@@ -1,0 +1,232 @@
+"""§2.4 Aggregation.
+
+All run as Catalyst HashAggregate pairs (partial map-side combine +
+final after shuffle) — the shape that scales: the shuffle carries one
+row per (partition × group), not per input row. Float sums go through
+DECIMAL(30,6) for cross-engine hash stability (functions/vector.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.vector import davg, dsum, sql_davg, sql_dsum
+from ..sources.loader import load_table
+from .registry import register
+
+
+@register(
+    "q_agg_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_q1(spark, sf_dir):
+    """TPC-H Q1 — the flagship relational aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_cust
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 5
+    """,
+)
+def q_agg_having(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .where(F.col("n_cust") > 5)
+    )
+
+
+_ROLLUP_JOIN = """
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@register(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS INT) AS g_r,
+           CAST(GROUPING(n_name) AS INT) AS g_n,
+           {sql_dsum('o_totalprice', 'revenue')}
+    {_ROLLUP_JOIN}
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_r"),
+        F.grouping("n_name").cast("int").alias("g_n"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_f,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_s,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_f"),
+        F.grouping("l_linestatus").cast("int").alias("g_s"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+@register(
+    "q_agg_groupingsets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_agg_groupingsets(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS revenue
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(MIN(c_acctbal), 4) AS min_bal,
+           ROUND(MAX(c_acctbal), 4) AS max_bal,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal,
+           ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_percentile(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT r_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def q_agg_collect(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_regionkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+        )
+    )
+
+
+@register("q_agg_approx_cd")  # rows-only: HLL sketches differ across engines
+def q_agg_approx_cd(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )

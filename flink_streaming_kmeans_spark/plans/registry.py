@@ -1,0 +1,65 @@
+"""Query registry — the SURVEY.md §2 contract, in code.
+
+Every hash-checked operator registers here twice: a PySpark callable
+``(spark, sf_dir) -> DataFrame`` and a DuckDB-runnable ANSI SQL oracle
+string. Rows-only operators register the callable without an oracle.
+
+Determinism discipline (SURVEY.md §2 rules, enforced by convention in
+every query module):
+
+1. Float aggregates go through DECIMAL(30,6) (exact, order-independent
+   summation) then back to DOUBLE and ROUND(...,4) on BOTH engines —
+   this removes sum-order drift entirely instead of hoping rounding
+   hides it.
+2. Parquet ms/ns timestamps: cast to DATE (orders/lineitem) or
+   second-truncate (events) in any returned column.
+3. UTC everywhere (session.py).
+4. Every LIMIT / top-k carries a total order with a unique tie-break.
+5. No approx_* in hash queries.
+6. POSIX-basic regexes only (Java regex ∩ RE2).
+7. ANSI mode stays on.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+_COLLECTED = False
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a query (and optionally its DuckDB oracle)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """Import all query modules (idempotent) and return the registry."""
+    global _COLLECTED
+    if not _COLLECTED:
+        from . import scans  # noqa: F401
+        from . import filters  # noqa: F401
+        from . import joins  # noqa: F401
+        from . import aggs  # noqa: F401
+        from . import windows  # noqa: F401
+        from . import setops  # noqa: F401
+        from . import scalars  # noqa: F401
+        from . import events  # noqa: F401
+        from . import ml  # noqa: F401
+        from . import llm  # noqa: F401
+        from . import udf  # noqa: F401
+        _COLLECTED = True
+    return QUERIES, ORACLE

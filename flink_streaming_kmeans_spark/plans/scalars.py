@@ -1,0 +1,143 @@
+"""§2.8 Scalar functions: string / date / math / array.
+
+(JSON extraction lives in events.py with the other events-table
+queries.) All expressions are built-in pyspark.sql.functions — JVM-side
+inside whole-stage codegen; no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+from .registry import register
+
+
+@register(
+    "q_str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS up_name,
+           LOWER(p_brand) AS low_brand,
+           SUBSTRING(p_name, 1, 5) AS name5,
+           TRIM(p_name) AS trimmed,
+           CONCAT_WS('|', p_brand, p_type) AS brand_type,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           REPLACE(p_name, ' ', '_') AS snake,
+           LPAD(p_brand, 12, '*') AS padded
+    FROM part
+    """,
+)
+def q_str_funcs(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("low_brand"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.trim("p_name").alias("trimmed"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+    )
+
+
+@register(
+    "q_str_regexp",
+    oracle="""
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num
+    FROM part
+    """,
+)
+def q_str_regexp(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "([0-9]+)", 1).cast("long").alias("brand_num"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS odate,
+           CAST(year(o_orderdate) AS INT) AS oyear,
+           CAST(month(o_orderdate) AS INT) AS omonth,
+           CAST(quarter(o_orderdate) AS INT) AS oquarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS omonth_start,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+               AS days_since,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30
+    FROM orders
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("odate"),
+        F.year(d).alias("oyear"),
+        F.month(d).alias("omonth"),
+        F.quarter(d).alias("oquarter"),
+        F.trunc(d, "month").alias("omonth_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_add(d, 30).alias("plus30"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(sqrt(l_extendedprice), 4) AS sqrt_price,
+           ROUND(abs(l_discount - 0.05), 4) AS abs_disc,
+           CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
+           CAST(floor(l_quantity) AS BIGINT) AS floor_qty,
+           ROUND(ln(l_extendedprice), 4) AS ln_price,
+           ROUND(power(l_quantity, 2), 4) AS qty_sq,
+           CAST(l_linenumber % 3 AS INT) AS mod3
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc"),
+        F.ceil("l_quantity").alias("ceil_qty"),
+        F.floor("l_quantity").alias("floor_qty"),
+        F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
+        F.round(F.pow("l_quantity", 2), 4).alias("qty_sq"),
+        (F.col("l_linenumber") % 3).alias("mod3"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(embedding[1]::DOUBLE, 4) AS first_val,
+           ROUND(sqrt(list_aggregate(
+               list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'
+           )), 4) AS l2
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """Vector arithmetic via higher-order functions (Feature.java analog)."""
+    from ..functions.vector import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(l2_norm("embedding"), 4).alias("l2"),
+    )

@@ -1,0 +1,70 @@
+"""§2.1 Scans / sources / sinks.
+
+Reference analog: the Flink demo's file source + collecting sink
+(KMeansTool.java, expected — SURVEY.md §1.1 [PK]). Here sources are
+declarative parquet scans so Catalyst applies column pruning and
+predicate pushdown (q_scan_pruned's plan shows PushedFilters +
+a 2-column ReadSchema — the 100 TB win: scan only what the query
+touches).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+from .registry import register
+
+
+@register(
+    "q_scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q_scan_parquet(spark, sf_dir):
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@register(
+    "q_scan_pruned",
+    oracle="""
+    SELECT l_orderkey, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def q_scan_pruned(spark, sf_dir):
+    # Column-pruned + predicate-pushed scan: ReadSchema carries only the
+    # 3 referenced columns and the shipdate filter lands in PushedFilters.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_quantity")
+    )
+
+
+@register(
+    "q_sink_roundtrip",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_quantity > 25
+    GROUP BY l_returnflag
+    """,
+)
+def q_sink_roundtrip(spark, sf_dir):
+    # Parquet sink + re-read: proves the write path (the reference's sink
+    # analog). The oracle recomputes from the source table.
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 25)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "fsk_spark_sink",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    li.select("l_orderkey", "l_returnflag", "l_quantity").write.mode(
+        "overwrite"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,176 @@
+"""§2.5 Window functions + §2.6 sort/limit/top-k.
+
+Every ORDER BY inside a window carries a unique tie-break column
+(determinism rule 4) — rank()/lag() over a non-total order is the
+classic nondeterminism trap. Scale note: window partitions shuffle on
+partitionBy keys; per-customer partitions are tiny and uniform, so no
+skew concern even at 1000×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+from .registry import register
+
+
+@register(
+    "q_win_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           ROW_NUMBER() OVER w AS rn
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_win_rank(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "q_win_lag",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(LAG(o_totalprice) OVER w, 4) AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, 4) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_win_lag(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+    )
+
+
+@register(
+    "q_win_running",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 4) AS running_total
+    FROM orders
+    """,
+)
+def q_win_running(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w)
+    return o.select(
+        "o_orderkey", F.round(running.cast("double"), 4).alias("running_total")
+    )
+
+
+@register(
+    "q_win_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 4) AS avg_near
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_range_frame(spark, sf_dir):
+    # Value-based frame → deterministic under ties by construction.
+    # AVG is decomposed into exact-decimal SUM / COUNT for hash stability.
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, W.currentRow)
+    )
+    s = F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    return o.select("o_orderkey", F.round(s / n, 4).alias("avg_near"))
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(c_custkey) OVER w2 AS richest,
+           LAST_VALUE(c_custkey) OVER w2 AS poorest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+           w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_ntile(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w2 = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("c_custkey").over(w2).alias("richest"),
+        F.last("c_custkey").over(w2).alias("poorest"),
+    )
+
+
+@register(
+    "q_topk_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_group(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_sort_limit(spark, sf_dir):
+    # Catalyst compiles orderBy().limit() into TakeOrderedAndProject —
+    # per-partition top-k then a k-row merge on the driver; no full sort,
+    # no shuffle of the full table. Exactly what you want at 100 TB.
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -1,0 +1,68 @@
+"""SparkSession factory and session hygiene.
+
+All correctness-critical SQL confs (SURVEY.md §4) live here, in ONE
+place. Two paths:
+
+- :func:`get_spark` builds a session for local runs / tests / bench.
+- :func:`ensure_confs` applies the runtime-settable subset to an
+  EXISTING session (the driver harness passes us its own session, which
+  may not have our confs). Every query entry point calls it; it is
+  idempotent and cheap.
+
+Scale notes (100 TB): these confs are the local-mode projection of the
+cluster posture — AQE on (runtime re-plan, skew-join splitting,
+shuffle-partition coalescing), broadcast threshold left to default,
+shuffle partitions sized by env so a cluster deploy can raise it to
+cores×3 without code changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs — safe to apply to a running session.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4 refuses
+    # by default; read as bigint ns and convert in the loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Determinism: every hash-checked query assumes UTC.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle coalescing + skew-join handling.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Arrow for pandas UDF / applyInPandas exchange.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def shuffle_partitions() -> str:
+    return os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
+
+
+def ensure_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-settable on this build; get_spark sets it at build time
+    return spark
+
+
+def get_spark(app_name: str = "flink-streaming-kmeans-spark") -> SparkSession:
+    """Build (or reuse) a local session with the full conf set."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", shuffle_partitions())
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_confs(spark)
