@@ -8,10 +8,20 @@ columns and the arithmetic is expressed with Spark higher-order
 functions so it runs JVM-side inside whole-stage codegen — no Python
 in the hot path.
 
-Determinism: every per-element product is promoted to DOUBLE before
-multiplication, and folds run left-to-right over the array — the same
-order DuckDB's list_dot_product / list_aggregate use — so dot products
-are bit-identical across engines (verified by tests/test_oracle_parity).
+Cross-engine determinism strategy (the heart of every `hash` oracle):
+
+1. Make both engines compute an IDENTICAL IEEE-754 double: per-row
+   cast to DECIMAL(30,6) (deterministic), exact decimal summation
+   (order-independent), single cast to DOUBLE, and — for averages —
+   one double division by the count. Same inputs + same IEEE ops =
+   bit-identical doubles on Spark and DuckDB.
+2. Round that double with MATCHED arithmetic, not each engine's native
+   ROUND: ``floor(x * 10^s + 0.5) / 10^s``. Native ROUNDs diverge at
+   decimal midpoints (Spark rounds the shortest decimal string HALF_UP;
+   DuckDB rounds the raw binary), e.g. 169738.83/8 = 21217.35375 →
+   Spark .3538 vs DuckDB .3537. floor() on the identical double is
+   engine-independent by construction. (Half-negative values round
+   toward +inf on both sides — consistent, which is all a hash needs.)
 """
 
 from __future__ import annotations
@@ -23,7 +33,7 @@ from pyspark.sql import functions as F
 def dot64(a, b) -> Column:
     """Dot product of two float-array columns, computed in double.
 
-    Sequential left-to-right fold == DuckDB list_dot_product order.
+    Sequential left-to-right fold == DuckDB list_inner_product order.
     """
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
@@ -38,39 +48,60 @@ def l2_norm(a) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
 
+def mround(col, scale: int = 4) -> Column:
+    """Matched round: ``floor(x*10^s + 0.5)/10^s`` — engine-independent.
+
+    Use instead of F.round whenever the rounded double is hash-compared
+    against a DuckDB oracle (see module docstring). SQL twin:
+    :func:`sql_mround`.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    p = float(10**scale)
+    return F.floor(col * p + F.lit(0.5)) / F.lit(p)
+
+
+def sql_mround(expr: str, scale: int = 4) -> str:
+    """DuckDB SQL twin of :func:`mround` (keep in lockstep)."""
+    p = 10**scale
+    return f"floor(({expr}) * {p} + 0.5) / {p}"
+
+
 def dsum(col, alias: str, scale: int = 4) -> Column:
     """Hash-stable SUM of a double expression.
 
     Routes through DECIMAL(30,6): per-row cast is deterministic, decimal
-    summation is exact (order-independent), final DOUBLE cast + ROUND is
-    deterministic — so Spark and DuckDB agree bit-for-bit. DuckDB twin:
-    ROUND(CAST(SUM(CAST(expr AS DECIMAL(30,6)) ) AS DOUBLE), 4).
-    """
-    col = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(col.cast("decimal(30,6)")).cast("double"), scale).alias(alias)
-
-
-def davg(col, alias: str, scale: int = 4) -> Column:
-    """Hash-stable AVG: exact decimal sum divided by count, then round.
-
-    DuckDB twin:
-    ROUND(CAST(SUM(CAST(expr AS DECIMAL(30,6))) AS DOUBLE) / COUNT(expr), 4).
+    summation is exact (order-independent), final DOUBLE cast is the
+    same IEEE value on both engines, matched-round finishes the job.
+    DuckDB twin: :func:`sql_dsum`.
     """
     col = F.col(col) if isinstance(col, str) else col
     total = F.sum(col.cast("decimal(30,6)")).cast("double")
-    return F.round(total / F.count(col), scale).alias(alias)
+    return mround(total, scale).alias(alias)
+
+
+def davg(col, alias: str, scale: int = 4) -> Column:
+    """Hash-stable AVG: exact decimal sum, one double division, matched round.
+
+    The double division (identical dividend/divisor on both engines)
+    yields an identical double; native ROUND of that double does NOT
+    match across engines at midpoints (the round-1 q_win_range_frame
+    bug) — mround does. DuckDB twin: :func:`sql_davg`.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    total = F.sum(col.cast("decimal(30,6)")).cast("double")
+    return mround(total / F.count(col), scale).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, scale: int = 4) -> str:
     """DuckDB SQL twin of :func:`dsum` (keep in lockstep)."""
-    return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE), {scale}) AS {alias}"
-    )
+    inner = f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+    return f"{sql_mround(inner, scale)} AS {alias}"
 
 
 def sql_davg(expr: str, alias: str, scale: int = 4) -> str:
     """DuckDB SQL twin of :func:`davg` (keep in lockstep)."""
-    return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
-        f" / COUNT(({expr})), {scale}) AS {alias}"
+    inner = (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+        f" / COUNT(({expr}))"
     )
+    return f"{sql_mround(inner, scale)} AS {alias}"

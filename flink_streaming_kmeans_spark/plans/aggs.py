@@ -150,16 +150,19 @@ def q_agg_cube(spark, sf_dir):
     """,
 )
 def q_agg_groupingsets(spark, sf_dir):
+    # Spark 4 parameterized sql: the DataFrame is passed as an argument,
+    # not registered under a session-global view name (no collisions
+    # across concurrent callers).
     o = load_table(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders_gs_v")
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
                ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS revenue
-        FROM orders_gs_v
+        FROM {orders}
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-        """
+        """,
+        orders=o,
     )
 
 

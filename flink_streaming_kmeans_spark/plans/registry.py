@@ -46,20 +46,39 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Query modules, in contract order (SURVEY.md §2.1-2.11).
+_MODULES = [
+    "scans",
+    "filters",
+    "joins",
+    "aggs",
+    "windows",
+    "setops",
+    "scalars",
+    "events",
+    "ml",
+    "llm",
+    "udf",
+]
+
+
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    """Import all query modules (idempotent) and return the registry."""
+    """Import all query modules (idempotent) and return the registry.
+
+    A module that is missing from the tree is skipped (so a partially
+    built tree still registers everything that exists); any OTHER import
+    error propagates — a broken module must never be silently dropped.
+    """
     global _COLLECTED
     if not _COLLECTED:
-        from . import scans  # noqa: F401
-        from . import filters  # noqa: F401
-        from . import joins  # noqa: F401
-        from . import aggs  # noqa: F401
-        from . import windows  # noqa: F401
-        from . import setops  # noqa: F401
-        from . import scalars  # noqa: F401
-        from . import events  # noqa: F401
-        from . import ml  # noqa: F401
-        from . import llm  # noqa: F401
-        from . import udf  # noqa: F401
+        import importlib
+
+        for mod in _MODULES:
+            fq = f"{__package__}.{mod}"
+            try:
+                importlib.import_module(fq)
+            except ModuleNotFoundError as e:
+                if e.name != fq:  # missing *dependency*, not missing module
+                    raise
         _COLLECTED = True
     return QUERIES, ORACLE

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import functions as F
 
@@ -37,7 +38,8 @@ def q_scan_parquet(spark, sf_dir):
 )
 def q_scan_pruned(spark, sf_dir):
     # Column-pruned + predicate-pushed scan: ReadSchema carries only the
-    # 3 referenced columns and the shipdate filter lands in PushedFilters.
+    # 2 projected columns plus the shipdate filter column, and the filter
+    # lands in PushedFilters.
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -58,10 +60,12 @@ def q_sink_roundtrip(spark, sf_dir):
     # Parquet sink + re-read: proves the write path (the reference's sink
     # analog). The oracle recomputes from the source table.
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 25)
+    # Unique per-invocation dir: concurrent runs at the same scale factor
+    # must not overwrite each other between the write and the re-read.
     out = os.path.join(
         tempfile.gettempdir(),
         "fsk_spark_sink",
-        os.path.basename(os.path.normpath(sf_dir)),
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}-{uuid.uuid4().hex}",
     )
     li.select("l_orderkey", "l_returnflag", "l_quantity").write.mode(
         "overwrite"

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.vector import mround, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 
@@ -85,10 +86,10 @@ def q_win_running(spark, sf_dir):
 
 @register(
     "q_win_range_frame",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)
-                 / COUNT(*) OVER w, 4) AS avg_near
+           {sql_mround('CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)'
+                       ' / (COUNT(*) OVER w)')} AS avg_near
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
                  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
@@ -96,7 +97,10 @@ def q_win_running(spark, sf_dir):
 )
 def q_win_range_frame(spark, sf_dir):
     # Value-based frame → deterministic under ties by construction.
-    # AVG is decomposed into exact-decimal SUM / COUNT for hash stability.
+    # AVG = exact-decimal SUM / COUNT; the final round must be mround,
+    # not native ROUND: the division lands on decimal midpoints
+    # (e.g. 169738.83/8 = 21217.35375) where Spark and DuckDB native
+    # ROUNDs disagree — the round-1 hash failure on this very query.
     o = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_orderstatus")
@@ -105,7 +109,7 @@ def q_win_range_frame(spark, sf_dir):
     )
     s = F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w).cast("double")
     n = F.count(F.lit(1)).over(w)
-    return o.select("o_orderkey", F.round(s / n, 4).alias("avg_near"))
+    return o.select("o_orderkey", mround(s / n).alias("avg_near"))
 
 
 @register(

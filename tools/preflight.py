@@ -1,0 +1,67 @@
+"""Run the oracle-parity preflight over the registry from the CLI.
+
+Usage: python tools/preflight.py [sf_dir] [query ...]
+Defaults: sf_dir=/root/testdata/sf0.01, all registered queries.
+Prints one line per query; exits nonzero on any failure.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+from oracle import check_parity, make_duckdb  # noqa: E402
+
+from flink_streaming_kmeans_spark.plans.registry import collect  # noqa: E402
+from flink_streaming_kmeans_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    names = [a for a in args if "/" not in a]
+
+    queries, oracles = collect()
+    todo = names or sorted(queries)
+    spark = get_spark("preflight")
+    con = make_duckdb(sf_dir)
+
+    failed = []
+    for name in todo:
+        if name not in queries:
+            print(f"{name}: NOT REGISTERED")
+            failed.append(name)
+            continue
+        t0 = time.time()
+        if name not in oracles:
+            try:
+                n = queries[name](spark, sf_dir).count()
+                print(f"{name}: rows-only, {n} rows  ({time.time()-t0:.1f}s)")
+            except Exception as e:
+                print(f"{name}: ERROR {type(e).__name__}: {e}")
+                failed.append(name)
+            continue
+        try:
+            r = check_parity(spark, con, name, queries[name], oracles[name], sf_dir)
+        except Exception as e:
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+            failed.append(name)
+            continue
+        status = "PASS" if r.ok else "FAIL"
+        print(
+            f"{name}: {status} rows={r.rows_match}({r.spark_rows}/{r.duck_rows})"
+            f" schema={r.schema_match} hash={r.hash_match}  ({time.time()-t0:.1f}s)"
+        )
+        if not r.ok:
+            print(f"  {r.detail}")
+            failed.append(name)
+
+    print(f"\n{len(todo) - len(failed)}/{len(todo)} pass")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
