@@ -1,0 +1,129 @@
+"""§2.8 q_json_extract + §2.9 time windows over the events table.
+
+Reference analog: the Flink demo's stream windowing/keying surface
+(KMeansClustering.java, expected — SURVEY.md §1.1/§2.9 [PK]; checkout
+was empty). These are the batch-deterministic decompositions of
+tumble/slide/session windows: identical grouping semantics to
+Structured Streaming's `F.window`/`F.session_window` over `readStream`
+(the streaming variants are exercised test-tier in tests/), but
+oracle-checkable.
+
+Scale notes (100 TB): every query here is a single hash-aggregate over
+the stream table — partial map-side combine, shuffle carries one row
+per (window×key). Window-start derivation is pure per-row arithmetic
+(no shuffle); session windows shuffle once on user_id, and Spark's
+session-merge is per-key sorted — uniform key cardinality, AQE handles
+stragglers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.vector import dsum, sql_dsum
+from ..sources.loader import load_table
+from .registry import register
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    # props is a JSON string column ({"k": int}); extraction stays
+    # JVM-side (get_json_object), no Python in the path.
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_win_tumble",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS win_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def q_win_tumble(spark, sf_dir):
+    # Tumbling 1-hour windows — batch equivalent of the streaming
+    # groupBy(window(...)); window starts are epoch-aligned, which for
+    # whole hours equals date_trunc('hour').
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "q_win_slide",
+    oracle=f"""
+    WITH buckets AS (
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5, value FROM events
+    ), slides AS (
+        -- each event belongs to exactly 10min/5min = 2 sliding windows:
+        -- the one starting at its 5-minute bucket and the one 5 minutes
+        -- earlier (hand-built slide enumeration; Spark's F.window emits
+        -- the same epoch-aligned starts)
+        SELECT b5 AS win_start, value FROM buckets
+        UNION ALL
+        SELECT b5 - INTERVAL 5 MINUTE AS win_start, value FROM buckets
+    )
+    SELECT win_start, COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+    FROM slides
+    GROUP BY win_start
+    """,
+)
+def q_win_slide(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "q_win_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q_win_session(spark, sf_dir):
+    # 30-minute-gap sessions per user. Spark's session_window end is
+    # exclusive (last_event + gap), so an event at exactly prev+30min
+    # opens a NEW session — the oracle's gaps-and-islands flag uses >=
+    # to match that boundary exactly.
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
