@@ -1,0 +1,96 @@
+"""§2.9 k-means queries — the reference's reason to exist.
+
+Reference analog: the streaming k-means demo's assignment + incremental
+centroid-update loop (KMeansClustering.java / Feature.java, expected —
+SURVEY.md §1.1/§3.1 [PK]; checkout was empty). Here decomposed into
+oracle-checkable batch Lloyd steps (operators/kmeans.py) plus a
+rows-only full iteration; the true streaming variant (MacQueen
+per-batch updates via foreachBatch) is test-tier in tests/.
+
+q_ml_kmeans_assign is the flagship ``entry()`` query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.vector import mround, sql_davg, sql_mround
+from ..operators.kmeans import assign, init_centroids, lloyd_iterate, update
+from ..sources.loader import load_table
+from .registry import register
+
+# Shared oracle CTE: one Lloyd assignment step in DuckDB. The dot
+# product is bit-identical to Spark's dot64 (both: float→double exact
+# products, sequential left-to-right sum — verified over all 5000
+# pairs at sf0.01), so the argmax ranking agrees exactly.
+_ASSIGN_CTE = """
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS cemb
+        FROM embeddings ORDER BY vec_id LIMIT 10
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               list_inner_product(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) AS dot
+        FROM embeddings e CROSS JOIN c
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dot DESC, cid) AS rn
+        FROM scored
+    )
+"""
+
+
+@register(
+    "q_ml_kmeans_assign",
+    oracle=f"""
+    {_ASSIGN_CTE}
+    SELECT vec_id, CAST(cid AS INT) AS cluster_id,
+           {sql_mround('1.0 - dot')} AS dist
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_ml_kmeans_assign(spark, sf_dir):
+    """One Lloyd step, assignment half (flagship entry() query):
+    centroids fixed to the 10 smallest-vec_id embeddings; every vector
+    goes to the nearest centroid by cosine (== dot on unit vectors),
+    ties to the lowest cluster id. dist = 1 - cosine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = assign(e, init_centroids(e))
+    return a.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        mround(F.lit(1.0) - F.col("dot")).alias("dist"),
+    )
+
+
+@register(
+    "q_ml_kmeans_update",
+    oracle=f"""
+    {_ASSIGN_CTE}, assigned AS (
+        SELECT cid, embedding FROM ranked WHERE rn = 1
+    )
+    SELECT CAST(cid AS INT) AS cluster_id, CAST(t.range AS INT) AS dim,
+           {sql_davg('embedding[CAST(t.range AS INT) + 1]::DOUBLE', 'c_val')}
+    FROM assigned CROSS JOIN range(64) t
+    GROUP BY cid, t.range
+    """,
+)
+def q_ml_kmeans_update(spark, sf_dir):
+    """One Lloyd step, update half: new centroid = per-dimension mean
+    of assigned vectors (exact decimal summation + matched round)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = assign(e, init_centroids(e))
+    upd = update(a)  # (cid, dim, c_val) — c_val unrounded double
+    return upd.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("dim"),
+        mround("c_val").alias("c_val"),
+    )
+
+
+@register("q_ml_kmeans_iter")  # rows-only: 20-iteration driver loop
+def q_ml_kmeans_iter(spark, sf_dir):
+    """Full Lloyd's to convergence (≤20 iters, deterministic init).
+    Rows-only for the driver; tests/test_kmeans.py checks ≥0.95 label
+    purity against embeddings.label ground truth and MLlib agreement."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return lloyd_iterate(spark, e, k=10, max_iter=20)
