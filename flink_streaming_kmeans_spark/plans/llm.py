@@ -1,0 +1,244 @@
+"""§2.10 LLM-data-pipeline operators (north-star extension).
+
+Dedup, similarity search, multimodal join, and text analysis over the
+documents/embeddings tables — the operations a large-scale
+training-data pipeline needs (BASELINE.json north star; no reference
+analog — the Flink demo has none of these).
+
+Scale notes (100 TB):
+- q_dedup_exact: hash-groupBy on md5 — one shuffle keyed by digest,
+  uniform by construction. The canonical exact-dedup shape.
+- q_dedup_near: shingle-set self-equi-join (group-count/union-count
+  Jaccard), NOT an all-pairs cross join. Cost is Σ|bucket|² over
+  shingle buckets; at 100 TB hot shingles make this quadratic, so the
+  scale path is MinHash+LSH banding (band-hash equi-join — implemented
+  in operators/minhash.py, recall-tested in tests/), with this exact
+  formulation as its verification oracle at small SF.
+- q_sim_knn: k probe vectors broadcast against the corpus — one narrow
+  scan, per-partition top-k via window. The brute-force baseline; the
+  scale path is LSH/IVF bucketing (same re-rank tail).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import davg, dot64, l2_norm, mround, sql_davg, sql_mround
+from ..sources.loader import load_table
+from .registry import register
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized text: one row per content fingerprint,
+    keep the smallest doc_id (testdata has zero exact dups, so output
+    cardinality == input — still a valid oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.lower(F.trim("text"))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# Token-3-gram shingle construction, shared Spark-side (element_at is
+# 1-based; guard len>=3 on BOTH engines: Spark's sequence(1,0) counts
+# DOWN, DuckDB's generate_series(1,0) is empty).
+_SHINGLES = """
+    array_distinct(transform(
+        sequence(1, size(w) - 2),
+        i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))
+    ))
+"""
+
+
+@register(
+    "q_dedup_near",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+               )) AS shingles
+        FROM toks WHERE len(w) >= 3
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS s, len(shingles) AS ns FROM sh
+    ), pairs AS (
+        SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
+               COUNT(*) AS common,
+               ANY_VALUE(a.ns) AS na, ANY_VALUE(b.ns) AS nb
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_id1, doc_id2,
+           {sql_mround('CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)')} AS jaccard
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
+    """,
+)
+def q_dedup_near(spark, sf_dir):
+    """Near-duplicate pairs: 3-gram shingle sets, Jaccard >= 0.8.
+
+    Shingle-join formulation: explode distinct shingles, self-equi-join
+    on the shingle, count common / union — never materializes all
+    doc pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .where(F.size("w") >= 3)
+        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    )
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("s"), F.size("shingles").alias("ns")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id1"), F.col("b.doc_id").alias("doc_id2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("a.ns").alias("na"),
+            F.first("b.ns").alias("nb"),
+        )
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    ).cast("double")
+    return (
+        pairs.where(jac >= 0.8)
+        .select("doc_id1", "doc_id2", mround(jac).alias("jaccard"))
+    )
+
+
+@register(
+    "q_sim_knn",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qemb
+        FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_inner_product(e.embedding::DOUBLE[], q.qemb::DOUBLE[]) AS sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, {sql_mround('sim')} AS sim
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_sim_knn(spark, sf_dir):
+    """Exact top-5 cosine neighbors for the 10 probe vectors
+    (brute-force baseline: probes broadcast against one corpus scan)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot64("embedding", "qemb").alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", mround("sim").alias("sim"))
+    )
+
+
+@register(
+    "q_multimodal_join",
+    oracle=f"""
+    WITH j AS (
+        SELECT d.lang, d.n_chars,
+               sqrt(list_aggregate(
+                   list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE),
+                   'sum')) AS nrm
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           {sql_davg('n_chars', 'avg_chars')},
+           {sql_davg('nrm', 'avg_norm')}
+    FROM j GROUP BY lang
+    """,
+)
+def q_multimodal_join(spark, sf_dir):
+    """Text ⟷ vector multimodal row: join documents to embeddings on
+    doc_id=vec_id, aggregate per language."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    j = d.join(e, d.doc_id == e.vec_id).select(
+        "lang", "n_chars", l2_norm("embedding").alias("nrm")
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars", "avg_chars"),
+        davg("nrm", "avg_norm"),
+    )
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+    SELECT t AS token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    GROUP BY t
+    ORDER BY n DESC, t
+    LIMIT 20
+    """,
+)
+def q_text_tokens(spark, sf_dir):
+    """Word frequency: top-20 tokens (total order: count desc, token)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {sql_davg("len(string_split(text, ' '))", 'avg_tokens')}
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    """Per (lang, source): doc count, total chars, mean token count."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        davg(F.size(F.split("text", " ")), "avg_tokens"),
+    )
