@@ -1,0 +1,133 @@
+"""§2.11 UDF / UDAF / UDTF surface — proves the Python execution paths.
+
+No reference analog (the Flink demo's user code is compiled Java
+operators); this is the extension surface a PySpark user needs. Four
+tiers, slowest to fastest:
+
+- q_udf_python: row-at-a-time Python UDF. THE SLOW PATH — kept in the
+  contract to prove it works, deliberately over the small events scan.
+  Never use this shape in a hot loop at scale.
+- q_udf_pandas: same function as an Arrow-batched pandas UDF
+  (~10-100x the row UDF; the acceptable Python path).
+- q_udaf_pandas: grouped applyInPandas aggregate (geometric mean).
+- q_udtf_python: Spark 4 Python UDTF with a lateral join.
+
+Cross-engine determinism for the UDAF: ln() may differ by 1 ulp
+between libm (Python/DuckDB) implementations, so each ln value is
+quantized to DECIMAL(30,12) on both sides before the exact decimal
+mean — a 1-ulp input wobble then moves the sum by at most 1e-12,
+invisible at the 4-decimal matched round.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from ..functions.vector import sql_mround
+from ..sources.loader import load_table
+from .registry import register
+
+
+@register(
+    "q_udf_python",
+    oracle="""
+    SELECT event_id, LEAST(GREATEST(value, 0.0), 100.0) AS clipped
+    FROM events
+    """,
+)
+def q_udf_python(spark, sf_dir):
+    @F.udf("double")
+    def clip_py(v):
+        if v is None:
+            return None
+        return max(0.0, min(100.0, v))
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", clip_py("value").alias("clipped"))
+
+
+@register(
+    "q_udf_pandas",
+    oracle="""
+    SELECT event_id, LEAST(GREATEST(value, 0.0), 100.0) AS clipped
+    FROM events
+    """,
+)
+def q_udf_pandas(spark, sf_dir):
+    @pandas_udf("double")
+    def clip_pd(v):
+        return v.clip(0.0, 100.0)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", clip_pd("value").alias("clipped"))
+
+
+_Q12 = Decimal("0.000000000001")
+
+
+@register(
+    "q_udaf_pandas",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {sql_mround(
+               'exp(CAST(SUM(CAST(ln(o_totalprice) AS DECIMAL(30,12))) AS DOUBLE)'
+               ' / COUNT(*))'
+           )} AS geo_mean,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_udaf_pandas(spark, sf_dir):
+    """Geometric mean of o_totalprice per status via applyInPandas:
+    exp(mean(ln(x))), with ln values quantized to 12 decimals and
+    summed exactly (see module docstring)."""
+
+    def geo(pdf):
+        import pandas as pd
+
+        total = Decimal(0)
+        vals = pdf["o_totalprice"]
+        for v in vals:
+            total += Decimal(repr(math.log(v))).quantize(_Q12, ROUND_HALF_UP)
+        n = len(vals)
+        mean = float(total) / n
+        gm = math.exp(mean)
+        gm4 = math.floor(gm * 10000.0 + 0.5) / 10000.0  # matched round
+        return pd.DataFrame(
+            {"o_orderstatus": [pdf["o_orderstatus"].iloc[0]], "geo_mean": [gm4], "n": [n]}
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").applyInPandas(
+        geo, "o_orderstatus string, geo_mean double, n bigint"
+    )
+
+
+@register(
+    "q_udtf_python",
+    oracle="""
+    SELECT r_name, CAST(i AS INT) AS pos, substr(r_name, CAST(i AS INT), 1) AS ch
+    FROM (SELECT r_name, unnest(generate_series(1, length(r_name))) AS i FROM region)
+    """,
+)
+def q_udtf_python(spark, sf_dir):
+    @udtf(returnType="pos int, ch string")
+    class ExplodeChars:
+        def eval(self, r_name: str):
+            for i, ch in enumerate(r_name or ""):
+                yield i + 1, ch
+
+    spark.udtf.register("fsk_explode_chars", ExplodeChars)
+    r = load_table(spark, sf_dir, "region")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.pos, t.ch
+        FROM {region} r, LATERAL fsk_explode_chars(r.r_name) t
+        """,
+        region=r,
+    )
