@@ -7,19 +7,23 @@ greatest ``right.on <= left.on`` within the same equi-key (the
 Implementation (union + running ``last(ignorenulls)`` window), NOT a
 pairwise theta join:
 
-- Tag right rows 0 and left rows 1, union them, and compute
-  ``last(<right payload>, ignorenulls=True)`` over a window partitioned
-  by key, ordered by (on, tag), rows unbounded-preceding..current.
-  Right rows sort before left rows at equal ``on``, which yields the
-  inclusive (<=) match.
+- Pack the right payload columns into ONE struct, tag right rows 0 and
+  left rows 1, union, and take ``last(struct, ignorenulls=True)`` over
+  a window partitioned by key, ordered by (on, tag), rows
+  unbounded-preceding..current. Right rows sort before left rows at
+  equal ``on``, which yields the inclusive (<=) match. The struct is
+  the fix for composite-row corruption: filling each payload column
+  independently would back-fill a genuine NULL in one column from an
+  OLDER right row; the struct keeps all payload columns from the same
+  matched row, preserving its NULLs.
 - Cost: ONE shuffle of |L|+|R| rows on the key + a per-key sort.
   A theta join is |L|×|R| per key — quadratic, dead at 100 TB. This
-  shape survives: it is exactly a sort-merge join's partitioning, and
-  AQE's skew splitting applies to the shuffle.
+  shape is exactly a sort-merge join's partitioning, and AQE's skew
+  splitting applies to the shuffle.
 
 Ties on (key, on) among right rows must be resolved by the caller
-(dedupe to one right row per (key, on)) or the result depends on input
-order — callers in plans/events.py do this explicitly.
+(dedupe to one right row per (key, on)) or the matched row depends on
+input order — q_join_asof in plans/joins.py dedupes explicitly.
 """
 
 from __future__ import annotations
@@ -35,25 +39,27 @@ def asof_join(
     on: str,
     payload: list[str],
 ) -> DataFrame:
-    """Left as-of join. ``payload`` = right columns to carry onto left rows.
-
-    Left and right must both expose ``key`` and ``on`` columns; payload
-    column names must not collide with left's columns.
-    """
+    """Left as-of join. ``payload`` = right columns to carry onto left
+    rows. Left and right must both expose ``key`` and ``on`` columns;
+    payload column names must not collide with left's columns."""
     lcols = left.columns
-    l_tagged = left.select(
-        *lcols, *[F.lit(None).cast(right.schema[p].dataType).alias(p) for p in payload]
-    ).withColumn("_tag", F.lit(1))
-    r_tagged = (
-        right.select(
-            key,
-            on,
-            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (key, on)],
-            *payload,
-        )
-        .select(*lcols, *payload)
-        .withColumn("_tag", F.lit(0))
+    r_packed = right.select(key, on, F.struct(*payload).alias("_p"))
+    p_type = r_packed.schema["_p"].dataType
+
+    l_tagged = (
+        left.withColumn("_p", F.lit(None).cast(p_type)).withColumn("_tag", F.lit(1))
     )
+    r_tagged = r_packed.select(
+        key,
+        on,
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in (key, on)
+        ],
+        "_p",
+    ).withColumn("_tag", F.lit(0))
+
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         W.partitionBy(key)
@@ -63,6 +69,9 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "_tag",
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+        F.last("_p", ignorenulls=True).over(w).alias("_p"),
     )
-    return filled.where(F.col("_tag") == 1).drop("_tag")
+    matched = filled.where(F.col("_tag") == 1)
+    return matched.select(
+        *lcols, *[F.col(f"_p.{p}").alias(p) for p in payload]
+    )

@@ -1,4 +1,4 @@
-"""§2.3 Joins (except as-of/range, which live in events.py / operators).
+"""§2.3 Joins, including as-of (operators/asof.py) and range joins.
 
 Scale notes: the dim tables (region/nation/supplier) are broadcast —
 no shuffle of the fact side; fact⋈fact equi-joins shuffle on the join
@@ -151,3 +151,90 @@ def q_join_theta(spark, sf_dir):
         n1.join(n2, (n1.rk == n2.rk2) & (n1.k1 < n2.k2))
         .select("k1", "k2", "rk")
     )
+
+
+@register(
+    "q_join_range",
+    oracle=f"""
+    WITH hours AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS bstart FROM events
+    ), b AS (
+        SELECT bstart, bstart + INTERVAL 90 MINUTE AS bend FROM hours
+    )
+    SELECT b.bstart, COUNT(*) AS n_events, {sql_dsum('e.value', 'sum_value')}
+    FROM events e JOIN b ON e.ts >= b.bstart AND e.ts < b.bend
+    GROUP BY b.bstart
+    """,
+)
+def q_join_range(spark, sf_dir):
+    """Range join: events against OVERLAPPING 90-minute buckets (one
+    bucket per distinct event hour) — each event lands in 1-2 buckets.
+
+    Physical shape: the bucket side is tiny (<=744 rows/month), so this
+    is a BroadcastNestedLoopJoin — the right call here. At 100 TB a
+    range join must be pre-binned to an equi-join (join on the hour bin,
+    then post-filter the range), because BNLJ scales with |probe|x|build|
+    and AQE cannot re-plan it."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(F.date_trunc("hour", "ts").alias("bstart")).distinct()
+    b = hours.select(
+        "bstart", (F.col("bstart") + F.expr("INTERVAL 90 MINUTES")).alias("bend")
+    )
+    joined = ev.join(
+        F.broadcast(b), (ev.ts >= b.bstart) & (ev.ts < b.bend)
+    )
+    return joined.groupBy("bstart").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ), c AS (
+        SELECT user_id, ts, event_id AS click_id, value AS click_value
+        FROM clicks WHERE rn = 1
+    ), p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, c.click_id, c.click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join: for every purchase, the most recent prior (<=) click
+    by the same user, with the click's id and value as payload (NULLs
+    when the user never clicked before).
+
+    Spark side is operators/asof.py's union+window formulation (one
+    shuffle on user_id); the DuckDB oracle uses its native ASOF JOIN.
+    Right rows are deduped to one per (user_id, ts) first — the
+    asof_join tie contract."""
+    from ..operators.asof import asof_join
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    dedup_w = W.partitionBy("user_id", "ts").orderBy(F.desc("click_id"))
+    clicks1 = (
+        clicks.withColumn("rn", F.row_number().over(dedup_w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, clicks1, key="user_id", on="ts",
+        payload=["click_id", "click_value"],
+    )
+    return out.select("event_id", "user_id", "click_id", "click_value")
