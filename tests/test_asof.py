@@ -1,0 +1,66 @@
+"""Edge cases for operators/asof.asof_join (the hand-built primitive
+behind q_join_asof — SURVEY §7 hard-part 3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from flink_streaming_kmeans_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_basic_most_recent_prior(spark):
+    left = _mk(spark, [(1, _ts(10), "L1"), (1, _ts(30), "L2")], "k int, ts timestamp, lv string")
+    right = _mk(
+        spark,
+        [(1, _ts(5), 100.0), (1, _ts(20), 200.0), (1, _ts(40), 300.0)],
+        "k int, ts timestamp, rv double",
+    )
+    out = {
+        r.lv: r.rv
+        for r in asof_join(left, right, "k", "ts", ["rv"]).collect()
+    }
+    assert out == {"L1": 100.0, "L2": 200.0}
+
+
+def test_no_prior_row_gives_nulls(spark):
+    left = _mk(spark, [(1, _ts(1), "early")], "k int, ts timestamp, lv string")
+    right = _mk(spark, [(1, _ts(5), 1.0)], "k int, ts timestamp, rv double")
+    [row] = asof_join(left, right, "k", "ts", ["rv"]).collect()
+    assert row.rv is None
+
+
+def test_equal_timestamp_is_inclusive(spark):
+    left = _mk(spark, [(1, _ts(10), "L")], "k int, ts timestamp, lv string")
+    right = _mk(spark, [(1, _ts(10), 7.0)], "k int, ts timestamp, rv double")
+    [row] = asof_join(left, right, "k", "ts", ["rv"]).collect()
+    assert row.rv == 7.0
+
+
+def test_keys_do_not_leak(spark):
+    left = _mk(spark, [(1, _ts(10), "a"), (2, _ts(10), "b")], "k int, ts timestamp, lv string")
+    right = _mk(spark, [(1, _ts(5), 1.0)], "k int, ts timestamp, rv double")
+    out = {r.lv: r.rv for r in asof_join(left, right, "k", "ts", ["rv"]).collect()}
+    assert out == {"a": 1.0, "b": None}
+
+
+def test_null_payload_not_backfilled(spark):
+    """The struct-packing fix: a matched right row with a genuine NULL
+    in one payload column must NOT have that column filled from an
+    older right row."""
+    left = _mk(spark, [(1, _ts(30), "L")], "k int, ts timestamp, lv string")
+    right = _mk(
+        spark,
+        [(1, _ts(10), 1.0, "old"), (1, _ts(20), None, "new")],
+        "k int, ts timestamp, rv double, tag string",
+    )
+    [row] = asof_join(left, right, "k", "ts", ["rv", "tag"]).collect()
+    assert row.tag == "new"
+    assert row.rv is None, "rv was back-filled from the older right row"

@@ -1,0 +1,40 @@
+"""Determinism smoke (SURVEY §5.2.5): run twice → identical canonical
+hash. Catches illegal nondeterminism (un-tiebroken limits, float
+drift across shuffle orders, Python UDF state) early.
+
+Subset chosen for nondeterminism *potential*: top-k/limits, window
+ranks over ties, shingle self-join aggregation, Python paths, k-means.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE
+from oracle import _canon_rows
+
+CANDIDATES = [
+    "q_sort_limit",
+    "q_topk_group",
+    "q_text_tokens",
+    "q_sim_knn",
+    "q_dedup_near",
+    "q_win_rank",
+    "q_udaf_pandas",
+    "q_ml_kmeans_assign",
+    "q_ml_kmeans_iter",
+    "q_agg_collect",
+]
+
+
+def _hash_of(df):
+    rows = [tuple(r) for r in df.collect()]
+    return _canon_rows(list(df.columns), rows)
+
+
+@pytest.mark.parametrize("name", CANDIDATES)
+def test_run_twice_identical(spark, registry, name):
+    queries, _ = registry
+    n1, c1, h1 = _hash_of(queries[name](spark, SF_SMOKE))
+    n2, c2, h2 = _hash_of(queries[name](spark, SF_SMOKE))
+    assert (n1, c1, h1) == (n2, c2, h2)

@@ -1,0 +1,65 @@
+"""Pre-flight replica of the driver's t2 correctness gate (SURVEY §5.2.1).
+
+Every hash-checked query runs on Spark AND its DuckDB oracle at
+sf0.001; row count, schema, and order-insensitive value hash must
+match. A failure here = a red CORRECTNESS row for that query.
+
+The riskiest queries (float rounding, window frames, shingle joins,
+k-means) are re-checked at sf0.01 — the exact scale the driver uses.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMOKE, SF_T2
+from oracle import check_parity
+
+
+def _hash_query_names():
+    from flink_streaming_kmeans_spark.plans.registry import collect
+
+    queries, oracles = collect()
+    return sorted(oracles)
+
+
+RISKY = [
+    "q_agg_q1",
+    "q_win_range_frame",
+    "q_dedup_near",
+    "q_ml_kmeans_assign",
+    "q_ml_kmeans_update",
+    "q_udaf_pandas",
+    "q_win_slide",
+    "q_win_session",
+    "q_join_asof",
+]
+
+
+@pytest.mark.parametrize("name", _hash_query_names())
+def test_parity_smoke(spark, duck_smoke, registry, name):
+    queries, oracles = registry
+    r = check_parity(spark, duck_smoke, name, queries[name], oracles[name], SF_SMOKE)
+    assert r.ok, f"{name}: rows={r.rows_match} schema={r.schema_match} hash={r.hash_match}\n{r.detail}"
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_parity_t2_risky(spark, duck_t2, registry, name):
+    queries, oracles = registry
+    r = check_parity(spark, duck_t2, name, queries[name], oracles[name], SF_T2)
+    assert r.ok, f"{name}: rows={r.rows_match} schema={r.schema_match} hash={r.hash_match}\n{r.detail}"
+
+
+def test_rows_only_queries_run(spark, registry):
+    queries, oracles = registry
+    rows_only = sorted(set(queries) - set(oracles))
+    assert rows_only == ["q_agg_approx_cd", "q_ml_kmeans_iter"]
+    for name in rows_only:
+        assert queries[name](spark, SF_SMOKE).count() > 0
+
+
+def test_contract_is_complete(registry):
+    """SURVEY §2 names 59 queries: 57 hash + 2 rows-only."""
+    queries, oracles = registry
+    assert len(queries) == 59, sorted(queries)
+    assert len(oracles) == 57
