@@ -1,0 +1,86 @@
+"""MinHash + LSH near-duplicate detection — the 100 TB dedup path.
+
+q_dedup_near (plans/llm.py) is the exact shingle-join formulation: its
+cost is Σ|bucket|² over shingle buckets, which goes quadratic on hot
+shingles at corpus scale. The scale path replaces the raw-shingle join
+with an LSH-banded join: hash each document's shingle SET to a short
+MinHash signature, band the signature, and equi-join on (band-index,
+band-hash) — candidate pairs are then verified exactly. The join key
+cardinality is controlled by the signature/band geometry instead of by
+the data's shingle distribution, so the plan stays a plain shuffled
+equi-join at any corpus size.
+
+Implementation uses pyspark.ml.feature.MinHashLSH (seed fixed) over
+HashingTF'd shingle sets; tests/test_minhash_lsh.py checks recall
+>= 0.9 against the exact q_dedup_near pairs at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles array<string>, ns) — distinct token-3-grams,
+    same construction as q_dedup_near (codegen posexplode form)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= 3
+    )
+    tri = (
+        toks.select("doc_id", "w", F.posexplode("w").alias("pos", "t0"))
+        .where(F.col("pos") <= F.size("w") - 3)
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                "t0",
+                F.element_at("w", F.col("pos") + 2),
+                F.element_at("w", F.col("pos") + 3),
+            ).alias("s"),
+        )
+        .dropDuplicates(["doc_id", "s"])
+    )
+    return tri.groupBy("doc_id").agg(
+        F.collect_list("s").alias("shingles"), F.count(F.lit(1)).alias("ns")
+    )
+
+
+def near_dup_candidates_lsh(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hash_tables: int = 16,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHashLSH.
+
+    Returns (doc_id1, doc_id2, jaccard_est) for candidate pairs whose
+    MinHash-estimated Jaccard >= threshold (doc_id1 < doc_id2).
+    jaccard_est is 1 - MinHashLSH's jaccard distance on the hashed
+    shingle sets (HashingTF bucketing can merge shingles, so this is
+    an estimate — verify candidates exactly downstream at scale)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = shingle_sets(docs)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features
+    )
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=num_hash_tables,
+        seed=42,
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1.0 - threshold, distCol="jdist"
+    )
+    return (
+        joined.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_id1"),
+            F.col("datasetB.doc_id").alias("doc_id2"),
+            (1.0 - F.col("jdist")).alias("jaccard_est"),
+        )
+    )

@@ -59,7 +59,13 @@ def get_spark(app_name: str = "flink-streaming-kmeans-spark") -> SparkSession:
         .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
         .config("spark.sql.shuffle.partitions", shuffle_partitions())
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Headroom for long sessions: hundreds of whole-stage-codegen
+        # classes live in the JVM code cache (default 240m).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,167 @@
+"""Streaming surface (SURVEY §2.9 test-tier): Structured Streaming
+variants of the batch-deterministic window queries, watermark
+late-data handling, and streaming (online) k-means — the reference's
+actual runtime behavior, exercised with file sources + memory sinks.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+def _events_stream(spark, sf_dir, **reader_opts):
+    """readStream over the events parquet with the same ns→µs fixup
+    the batch loader applies."""
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+
+    raw_schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    reader = spark.readStream.schema(raw_schema)
+    for k, v in reader_opts.items():
+        reader = reader.option(k, v)
+    # trailing glob: FileStreamSource rejects a bare file path
+    # ("Option 'basePath' must be a directory"); a glob resolves it.
+    df = reader.parquet(sf_dir.rstrip("/") + "/events.parquet*")
+    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def _run_to_memory(df, name, mode="complete"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_tumble_matches_batch(spark, registry):
+    queries, _ = registry
+    batch = {
+        (r.win_start, r.n_events): r.sum_value
+        for r in queries["q_win_tumble"](spark, SF_SMOKE).collect()
+    }
+    stream = _events_stream(spark, SF_SMOKE)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+    _run_to_memory(agg, "t_tumble")
+    got = {
+        (r.win_start, r.n_events) for r in spark.sql("SELECT * FROM t_tumble").collect()
+    }
+    assert got == set(batch)
+
+
+def test_streaming_session_matches_batch_count(spark, registry):
+    queries, _ = registry
+    batch_n = queries["q_win_session"](spark, SF_SMOKE).count()
+    stream = _events_stream(spark, SF_SMOKE)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _run_to_memory(agg, "t_session", mode="append")
+    # append mode emits only watermark-closed sessions; with availableNow
+    # the final watermark closes all but each user's last open session.
+    got_n = spark.sql("SELECT count(*) AS n FROM t_session").collect()[0].n
+    assert got_n >= batch_n - 150  # <= one open session per user (150 users)
+    assert got_n <= batch_n
+
+
+def test_watermark_drops_late_data(spark):
+    """Two sequential availableNow runs over a shared checkpoint: run 2
+    delivers rows far behind run 1's committed watermark → dropped."""
+    import datetime as dt
+
+    d = tempfile.mkdtemp(prefix="fsk_stream_")
+
+    def run_once():
+        stream = spark.readStream.schema("id bigint, ts timestamp").parquet(
+            d + "/in/*"
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        got: list = []
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda bdf, bid: got.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    try:
+        on_time = [(i, dt.datetime(2024, 1, 2, 12, 0, i)) for i in range(10)]
+        spark.createDataFrame(on_time, "id bigint, ts timestamp").coalesce(
+            1
+        ).write.parquet(d + "/in/f1")
+        rows1 = run_once()
+        assert sum(r.n for r in rows1) == 10
+        # watermark is now committed at 2024-01-02 11:50:09
+
+        late = [(100 + i, dt.datetime(2024, 1, 1, 0, 0, i)) for i in range(5)]
+        spark.createDataFrame(late, "id bigint, ts timestamp").coalesce(
+            1
+        ).write.parquet(d + "/in/f2")
+        rows2 = run_once()
+        # the late 2024-01-01 window must not appear in run 2's updates
+        starts = {r.w.start for r in rows2}
+        assert all(s.day == 2 for s in starts), starts
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_kmeans_macqueen(spark):
+    """Online k-means over a stream of embedding micro-batches: state
+    advances per batch, total count equals corpus size, and the final
+    centroids are finite and distinct."""
+    import numpy as np
+
+    from flink_streaming_kmeans_spark.operators.kmeans import init_centroids
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+    from flink_streaming_kmeans_spark.streaming.kmeans import StreamingKMeans
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cent = init_centroids(e).collect()
+    skm = StreamingKMeans(
+        [list(r.cemb) for r in cent], [int(r.cid) for r in cent]
+    )
+
+    # Multi-batch stream: re-write embeddings as 4 files, 1 per trigger.
+    d = tempfile.mkdtemp(prefix="fsk_skm_")
+    try:
+        e.select("vec_id", "embedding").repartition(4).write.parquet(d + "/in")
+        stream = spark.readStream.schema("vec_id bigint, embedding array<float>").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(d + "/in")
+        q = (
+            stream.writeStream.foreachBatch(skm.foreach_batch())
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert skm.batches_seen >= 2, "expected multiple micro-batches"
+        assert int(skm.n.sum()) == 500
+        assert np.isfinite(skm.C).all()
+        # centroids moved away from their init
+        init = np.array([list(r.cemb) for r in cent])
+        assert np.abs(skm.C - init).max() > 1e-3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
