@@ -91,7 +91,8 @@ def q_win_running(spark, sf_dir):
            {sql_mround('CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)'
                        ' / (COUNT(*) OVER w)')} AS avg_near
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+    WINDOW w AS (PARTITION BY o_orderstatus, o_orderpriority
+                 ORDER BY o_totalprice
                  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
     """,
 )
@@ -101,9 +102,18 @@ def q_win_range_frame(spark, sf_dir):
     # not native ROUND: the division lands on decimal midpoints
     # (e.g. 169738.83/8 = 21217.35375) where Spark and DuckDB native
     # ROUNDs disagree — the round-1 hash failure on this very query.
+    #
+    # Partition key is (status, priority), NOT status alone: Spark's
+    # WindowExec recomputes a BOUNDED range frame from scratch per row
+    # (O(rows × frame) interpreted decimal ops, no codegen), so frame
+    # density and partition count bound the cost. 3 status-only
+    # partitions of 50k rows measured 8-110s at sf0.1 (bimodal JIT);
+    # 15 (status, priority) partitions keep the same operator semantics
+    # at ~25x less work — and at 100 TB a bounded range frame over a
+    # 3-value key would be a single-task straggler anyway.
     o = load_table(spark, sf_dir, "orders")
     w = (
-        W.partitionBy("o_orderstatus")
+        W.partitionBy("o_orderstatus", "o_orderpriority")
         .orderBy("o_totalprice")
         .rangeBetween(-1000, W.currentRow)
     )

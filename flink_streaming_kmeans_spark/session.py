@@ -34,6 +34,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     # Arrow for pandas UDF / applyInPandas exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Window partitions beyond this many rows move into a sorter-backed
+    # spillable buffer whose per-row iterator restarts degrade bounded
+    # RANGE frames to effectively O(n^2) under memory pressure
+    # (measured: q_win_range_frame 5s -> 385s on its second run in one
+    # session with the 4096 default). 50k-row window partitions are a
+    # few MB; keep them in a plain in-memory array.
+    "spark.sql.windowExec.buffer.in.memory.threshold": "1048576",
 }
 
 
