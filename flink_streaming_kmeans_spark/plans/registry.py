@@ -58,6 +58,7 @@ _MODULES = [
     "events",
     "ml",
     "llm",
+    "textops",
     "udf",
 ]
 

@@ -1,0 +1,428 @@
+"""Extended training-data-pipeline operators (north-star extension):
+SimHash, embedding-cosine near-dup, LSH-bucketed ANN, language-ID,
+quality scoring, winnowing fingerprints, multimodal binary columns.
+
+These extend §2.10 with the remaining operations a 100 TB
+training-data pipeline needs. Every computation is expressed with
+engine-portable integer/decimal arithmetic so the DuckDB oracle is
+bit-exact (shared tricks: md5-derived 60-bit token hashes via
+``conv(substr(md5(x),1,15),16,10)``; Rademacher hyperplanes from an
+integer LCG; decimal-exact float sums; ``mround`` everywhere a
+rounded double is compared).
+
+Scale notes:
+- simhash / fingerprint / quality / langid: pure per-row or
+  per-(doc,token) map + one hash-aggregate keyed by doc_id — shuffle
+  carries one row per doc. Linear, uniform, scales.
+- q_dedup_embed is the brute-force O(n²) baseline kept for oracle
+  verification at small SF; q_sim_ann is the scale path — candidates
+  meet in LSH buckets (equi-join on the 8-bit signature), the exact
+  re-rank only touches same-bucket pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot64, mround, sql_mround
+from ..sources.loader import load_table
+from .registry import register
+
+# 60-bit deterministic token hash, identical on both engines.
+_SPARK_H60 = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+@register(
+    "q_dedup_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), bits AS (
+        SELECT doc_id, tok, t.range AS j,
+               ((strpos('0123456789abcdef',
+                        substr(md5(tok), 1 + CAST(t.range AS INT) // 4, 1)) - 1)
+                >> (3 - CAST(t.range AS INT) % 4)) & 1 AS bit
+        FROM toks CROSS JOIN range(32) t
+    ), votes AS (
+        SELECT doc_id, j, SUM(2 * bit - 1) AS v
+        FROM bits GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document over its distinct-token set: each
+    token votes ±1 on each signature bit (bit j of the token's md5);
+    bit j of the fingerprint is 1 iff the vote sum is positive.
+    Near-dup docs (shared token sets) land at small hamming distance —
+    banding the signature gives the candidate join at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).dropDuplicates(["doc_id", "tok"])
+    bits = toks.select(
+        "doc_id",
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
+    ).select(
+        "doc_id",
+        "j",
+        F.expr(
+            "((instr('0123456789abcdef', substr(md5(tok), 1 + CAST(j / 4 AS INT), 1)) - 1)"
+            " >> (3 - j % 4)) & 1"
+        ).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "j").agg(F.sum(2 * F.col("bit") - 1).alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << CAST(j AS INT)")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+@register(
+    "q_dedup_embed",
+    oracle=f"""
+    SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
+           {sql_mround('list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])')} AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def q_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine >= 0.4 on unit vectors
+    == dot). Brute-force all-pairs BASELINE for oracle verification —
+    the scale path is q_sim_ann's LSH bucketing (same re-rank)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_id1"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_id2"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("vec_id1") < F.col("vec_id2"))
+        .select("vec_id1", "vec_id2", dot64("ea", "eb").alias("dot"))
+        .where(F.col("dot") >= 0.4)
+    )
+    return pairs.select("vec_id1", "vec_id2", mround("dot").alias("sim"))
+
+
+# Rademacher hyperplanes from an integer LCG — identical in both
+# engines because everything is exact BIGINT arithmetic. Sign of
+# hyperplane j at dimension d = +1 if lcg(j*64+d) is even else -1.
+_LCG = "((1103515245 * ({i}) + 12345) % 2147483648)"
+
+
+@register(
+    "q_sim_ann",
+    oracle=f"""
+    WITH comps AS (
+        SELECT e.vec_id, t.range AS j, d.range AS d,
+               CASE WHEN {_LCG.format(i='t.range * 64 + d.range')} % 2 = 0
+                    THEN 1 ELSE -1 END
+               * CAST(e.embedding[CAST(d.range AS INT) + 1] AS DECIMAL(30,6)) AS c
+        FROM embeddings e CROSS JOIN range(8) t CROSS JOIN range(64) d
+    ), sigbits AS (
+        SELECT vec_id, j,
+               CASE WHEN SUM(c) > 0 THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END AS b
+        FROM comps GROUP BY vec_id, j
+    ), buckets AS (
+        SELECT vec_id, CAST(SUM(b) AS BIGINT) AS bucket FROM sigbits GROUP BY vec_id
+    ), probes AS (
+        SELECT e.vec_id AS query_id, e.embedding AS qemb, k.bucket
+        FROM embeddings e JOIN buckets k ON e.vec_id = k.vec_id
+        WHERE e.vec_id < 10
+    ), cands AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id,
+               list_inner_product(e.embedding::DOUBLE[], p.qemb::DOUBLE[]) AS sim
+        FROM probes p
+        JOIN buckets bk ON bk.bucket = p.bucket
+        JOIN embeddings e ON e.vec_id = bk.vec_id
+        WHERE e.vec_id <> p.query_id
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM cands
+    )
+    SELECT query_id, neighbor_id, {sql_mround('sim')} AS sim
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_sim_ann(spark, sf_dir):
+    """Approximate nearest neighbors via random-hyperplane LSH: 8-bit
+    signed-projection signature (Rademacher hyperplanes from an exact
+    integer LCG, projections summed in DECIMAL so the bucket id is
+    deterministic cross-engine), candidates = same-bucket vectors,
+    exact top-3 re-rank. At 100 TB the candidate join is an equi-join
+    on the signature (multi-probe/banded in practice) — never an
+    all-pairs scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comps = (
+        e.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+        .crossJoin(F.broadcast(spark.range(8).select(F.col("id").cast("int").alias("j"))))
+        .select(
+            "vec_id",
+            "j",
+            F.expr(
+                "CASE WHEN ((1103515245 * (CAST(j AS BIGINT) * 64 + d) + 12345) % 2147483648) % 2 = 0 "
+                "THEN 1 ELSE -1 END * CAST(CAST(x AS DOUBLE) AS DECIMAL(30,6))"
+            ).alias("c"),
+        )
+    )
+    sigbits = comps.groupBy("vec_id", "j").agg(
+        F.when(F.sum("c") > 0, F.expr("CAST(1 AS BIGINT) << j"))
+        .otherwise(F.lit(0))
+        .alias("b")
+    )
+    buckets = sigbits.groupBy("vec_id").agg(F.sum("b").cast("bigint").alias("bucket"))
+
+    probes = (
+        e.where(F.col("vec_id") < 10)
+        .join(buckets, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qemb"),
+            "bucket",
+        )
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(buckets.withColumnRenamed("vec_id", "neighbor_id"), "bucket")
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot64("embedding", "qemb").alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", mround("sim").alias("sim"))
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), feat AS (
+        SELECT doc_id,
+               ANY_VALUE(n_chars) AS n_chars,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT tok) AS n_distinct,
+               SUM(CASE WHEN tok IN ('the', 'a', 'value', 'data') THEN 1 ELSE 0 END) AS n_stop
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct, n_stop,
+           {sql_mround(
+               '0.5 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)'
+               ' + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)'
+               ' + 0.2 * (CAST(n_distinct AS DOUBLE) / n_tokens)'
+           )} AS quality
+    FROM feat
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Document quality scoring: length credit + (1 - stopword ratio)
+    + type/token ratio, the standard cheap pre-filter features of a
+    training-data pipeline. One explode + one hash-aggregate keyed by
+    doc_id — linear, uniform, scales."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("tok")
+    )
+    feat = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(
+            F.when(F.col("tok").isin("the", "a", "value", "data"), 1).otherwise(0)
+        ).alias("n_stop"),
+    )
+    quality = (
+        0.5 * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("n_stop").cast("double") / F.col("n_tokens"))
+        + 0.2 * (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+    )
+    return feat.select(
+        "doc_id", "n_tokens", "n_distinct", "n_stop",
+        mround(quality).alias("quality"),
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH feat AS (
+        SELECT doc_id, lang,
+               CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
+               / length(replace(text, ' ', '')) AS vowel_ratio,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / (len(string_split(text, ' '))) AS avg_tok_len
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN vowel_ratio >= 0.42 THEN 'es'
+                WHEN vowel_ratio >= 0.38 THEN 'en'
+                WHEN avg_tok_len >= 4.6 THEN 'de'
+                WHEN avg_tok_len >= 4.0 THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           {sql_mround('vowel_ratio')} AS vowel_ratio,
+           {sql_mround('avg_tok_len')} AS avg_tok_len
+    FROM feat
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    """Language-ID by character-profile heuristic (vowel density +
+    mean token length thresholds). NOTE: the synthetic corpus is the
+    same token soup for every lang label, so predictions cannot and do
+    not recover the metadata lang — this query demonstrates the
+    operator shape (per-doc featurize → classify, one map pass, no
+    shuffle); swap the CASE for real per-language n-gram profiles in
+    production."""
+    d = load_table(spark, sf_dir, "documents")
+    letters = F.length(F.regexp_replace("text", " ", ""))
+    vowels = F.length(F.regexp_replace("text", "[^aeiou]", ""))
+    n_toks = F.size(F.split("text", " "))
+    feat = d.select(
+        "doc_id", "lang",
+        (vowels.cast("double") / letters).alias("vowel_ratio"),
+        (letters.cast("double") / n_toks).alias("avg_tok_len"),
+    )
+    pred = (
+        F.when(F.col("vowel_ratio") >= 0.42, "es")
+        .when(F.col("vowel_ratio") >= 0.38, "en")
+        .when(F.col("avg_tok_len") >= 4.6, "de")
+        .when(F.col("avg_tok_len") >= 4.0, "fr")
+        .otherwise("zh")
+    )
+    return feat.select(
+        "doc_id", "lang", pred.alias("pred_lang"),
+        mround("vowel_ratio").alias("vowel_ratio"),
+        mround("avg_tok_len").alias("avg_tok_len"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pos AS (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS p
+        FROM toks WHERE len(w) >= 3
+    ), sh AS (
+        SELECT doc_id, p,
+               {_DUCK_H60.format(x="w[p] || ' ' || w[p+1] || ' ' || w[p+2]")} AS h
+        FROM pos
+    ), wins AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+        FROM sh
+    ), fp AS (
+        SELECT DISTINCT doc_id, m FROM wins
+    )
+    SELECT doc_id, COUNT(*) AS n_fp,
+           CAST(SUM(m % 1000000007) AS BIGINT) AS fp_sum
+    FROM fp GROUP BY doc_id
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprint (MOSS-style rolling selection):
+    positional 3-gram shingle hashes → min hash per 4-shingle window →
+    distinct selected hashes per doc, digested as (count, sum mod p).
+    Near-dup docs share most selected hashes, so the fingerprint set
+    is joinable for candidate detection at scale. One explode + two
+    keyed passes per doc — linear."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= 3
+    )
+    sh = (
+        toks.select("doc_id", "w", F.posexplode("w").alias("pos", "t0"))
+        .where(F.col("pos") <= F.size("w") - 3)
+        .select(
+            "doc_id",
+            F.col("pos").alias("p"),
+            F.expr(
+                _SPARK_H60.format(
+                    x="concat_ws(' ', t0, element_at(w, pos + 2), element_at(w, pos + 3))"
+                )
+            ).alias("h"),
+        )
+    )
+    win = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    fp = (
+        sh.select("doc_id", F.min("h").over(win).alias("m"))
+        .dropDuplicates(["doc_id", "m"])
+    )
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum(F.col("m") % 1000000007).cast("bigint").alias("fp_sum"),
+    )
+
+
+@register(
+    "q_multimodal_binary",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS mime,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q_multimodal_binary(spark, sf_dir):
+    """Multimodal binary-column plumbing: pack each document as an
+    opaque BINARY blob + typed metadata (mime), ship it through an
+    Arrow-batched mapInPandas 'decode' stage, emit extracted features.
+    The text 'decode' is real (byte length + md5 of the bytes); image/
+    audio/video decode is STUBBED behind NotImplementedError because
+    the codecs are not in this container — the Spark-side schema,
+    batching, and UDF signature are exactly what a real decoder uses.
+    Scale: narrow map pass, no shuffle; binary stays in Arrow buffers."""
+
+    def decode(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            n_bytes, md5s = [], []
+            for blob, mime in zip(pdf["blob"], pdf["mime"]):
+                if mime != "text/plain":
+                    # Deliberate stub: no image/audio codecs in this
+                    # container (see docstring).
+                    raise NotImplementedError(f"no decoder for {mime}")
+                b = bytes(blob)
+                n_bytes.append(len(b))
+                md5s.append(hashlib.md5(b).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": n_bytes,
+                    "content_md5": md5s,
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("blob"),
+        F.lit("text/plain").alias("mime"),
+    )
+    return packed.mapInPandas(
+        decode, "doc_id bigint, mime string, n_bytes bigint, content_md5 string"
+    )

@@ -59,7 +59,8 @@ def test_rows_only_queries_run(spark, registry):
 
 
 def test_contract_is_complete(registry):
-    """SURVEY §2 names 59 queries: 57 hash + 2 rows-only."""
+    """SURVEY §2 names 59 queries (57 hash + 2 rows-only); plans/
+    textops.py adds 7 extended pipeline operators, all hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 59, sorted(queries)
-    assert len(oracles) == 57
+    assert len(queries) == 66, sorted(queries)
+    assert len(oracles) == 64
