@@ -64,3 +64,34 @@ def test_null_payload_not_backfilled(spark):
     [row] = asof_join(left, right, "k", "ts", ["rv", "tag"]).collect()
     assert row.tag == "new"
     assert row.rv is None, "rv was back-filled from the older right row"
+
+
+def test_randomized_against_bruteforce(spark):
+    """Property-style check: asof_join == per-row brute-force argmax
+    over random keyed data (fixed seed, 3 trials)."""
+    import random
+
+    for seed in (7, 13, 99):
+        rng = random.Random(seed)
+        left = [
+            (rng.randint(1, 5), _ts(rng.randint(0, 50)), f"L{i}")
+            for i in range(40)
+        ]
+        # unique (key, ts) right rows — the asof tie contract
+        seen = set()
+        right = []
+        for i in range(40):
+            k, s = rng.randint(1, 5), rng.randint(0, 50)
+            if (k, s) not in seen:
+                seen.add((k, s))
+                right.append((k, _ts(s), float(i)))
+        ldf = _mk(spark, left, "k int, ts timestamp, lv string")
+        rdf = _mk(spark, right, "k int, ts timestamp, rv double")
+        got = {
+            r.lv: r.rv
+            for r in asof_join(ldf, rdf, "k", "ts", ["rv"]).collect()
+        }
+        for k, ts, lv in left:
+            cands = [(rts, rv) for rk, rts, rv in right if rk == k and rts <= ts]
+            want = max(cands)[1] if cands else None
+            assert got[lv] == want, (seed, lv, got[lv], want)
