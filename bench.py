@@ -28,6 +28,46 @@ def run_one(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# This box takes multi-minute external-load bursts, and one bench run
+# saw a single task stall for ~5 minutes (decimal hash-agg, normally
+# <10 s — environment, not plan: the identical query ran 8 s on retry).
+# A per-query watchdog cancels the job group at the cap so one stalled
+# task can never eat the whole suite's wall-clock budget; the retry
+# pass then re-measures the query on a healthy JVM/moment.
+QUERY_CAP_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_CAP", "150"))
+
+
+def run_capped(spark, df, name: str) -> bool:
+    """Run with a cancellation watchdog. Returns True if completed,
+    False if cancelled at the cap."""
+    import threading
+
+    sc = spark.sparkContext
+    sc.setJobGroup(name, f"bench:{name}", interruptOnCancel=True)
+    cancelled = threading.Event()
+
+    def cancel():
+        cancelled.set()
+        sc.cancelJobGroup(name)
+
+    timer = threading.Timer(QUERY_CAP_SEC, cancel)
+    timer.start()
+    try:
+        run_one(df)
+        return not cancelled.is_set()
+    except Exception:
+        if cancelled.is_set():
+            return False
+        raise
+    finally:
+        timer.cancel()
+        # PySpark 4 has no SparkContext.clearJobGroup; reset the local
+        # properties that setJobGroup wrote.
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     queries, _ = collect()
@@ -43,8 +83,14 @@ def main() -> int:
     # recovers the real engine time without doubling the suite.
     def timed(name: str) -> float:
         t0 = time.perf_counter()
-        run_one(queries[name](spark, sf_dir))
-        return time.perf_counter() - t0
+        ok = run_capped(spark, queries[name](spark, sf_dir), name)
+        dt = time.perf_counter() - t0
+        print(
+            f"[bench] {name}: {dt:.2f}s" + ("" if ok else " (CAPPED)"),
+            file=sys.stderr,
+            flush=True,
+        )
+        return dt
 
     times: dict[str, float] = {}
     for name in sorted(queries):

@@ -55,6 +55,7 @@ _MODULES = [
     "windows",
     "setops",
     "scalars",
+    "relational",
     "events",
     "ml",
     "llm",

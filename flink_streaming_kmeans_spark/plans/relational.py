@@ -1,0 +1,239 @@
+"""Round-2 relational surface: subqueries, CTEs, pivot/unpivot, and
+rank-distribution windows.
+
+No reference analog (the Flink demo has no SQL surface — SURVEY.md §1.1
+[PK]); these widen the engine's relational completeness so a user of a
+full query engine can express the standard decorrelation / reshaping
+patterns. All are pure Catalyst built-ins:
+
+- EXISTS / IN / scalar correlated subqueries decorrelate to semi joins
+  and aggregate-joins (visible in `explain()` as SortMergeJoin
+  LeftSemi / broadcast aggregate joins) — nothing custom, and the
+  rewrites are exactly what scales: no per-row re-execution, one join.
+- PIVOT compiles to a single hash-aggregate with conditional
+  aggregation (explicit value list keeps the plan static and the
+  result schema deterministic — required for the oracle and the only
+  sane shape at 100 TB: never let pivot values be discovered at plan
+  time with an extra pass).
+- UNPIVOT is a generate/expand: one narrow map pass, output = n_rows ×
+  n_cols, no shuffle.
+- percent_rank/cume_dist are rank-based (not value-based), so they are
+  deterministic under ties and need no rounding discipline beyond
+  mround on the emitted double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import mround, sql_mround
+from ..sources.loader import load_table
+from .registry import register
+
+
+def _view(spark, sf_dir, *tables):
+    """Register per-(table, sf) temp views for spark.sql queries; names
+    are unique per sf_dir so concurrent callers never collide."""
+    names = {}
+    tag = abs(hash(sf_dir)) % 10**8
+    for t in tables:
+        name = f"{t}_v{tag}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names[t] = name
+    return names
+
+
+@register(
+    "q_sub_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q_sub_exists(spark, sf_dir):
+    """Correlated EXISTS — decorrelates to a left-semi join."""
+    v = _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(f"""
+        SELECT c.c_custkey, c.c_name
+        FROM {v['customer']} c
+        WHERE EXISTS (
+            SELECT 1 FROM {v['orders']} o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
+    """)
+
+
+@register(
+    "q_sub_in",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ) AND o_orderstatus = 'F'
+    """,
+)
+def q_sub_in(spark, sf_dir):
+    """IN subquery — decorrelates to a semi join on the filtered dim."""
+    v = _view(spark, sf_dir, "customer", "orders")
+    return spark.sql(f"""
+        SELECT o_orderkey, o_totalprice
+        FROM {v['orders']}
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM {v['customer']} WHERE c_mktsegment = 'BUILDING'
+        ) AND o_orderstatus = 'F'
+    """)
+
+
+@register(
+    "q_sub_scalar",
+    oracle=f"""
+    WITH nat_avg AS (
+        SELECT c_nationkey,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+               / COUNT(c_acctbal) AS navg
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, {sql_mround('c.c_acctbal - n.navg')} AS above_by
+    FROM customer c JOIN nat_avg n ON c.c_nationkey = n.c_nationkey
+    WHERE c.c_acctbal > n.navg
+    """,
+)
+def q_sub_scalar(spark, sf_dir):
+    """Correlated scalar subquery: customers above their nation's mean
+    balance. Spark decorrelates the inner aggregate into one grouped
+    subplan joined back on the correlation key — one agg + one join, no
+    per-row re-execution (the oracle states the decorrelated form
+    directly; hash-stable via the decimal-sum average discipline)."""
+    v = _view(spark, sf_dir, "customer")
+    df = spark.sql(f"""
+        SELECT c.c_custkey,
+               c.c_acctbal - (
+                   SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                          / COUNT(c2.c_acctbal)
+                   FROM {v['customer']} c2
+                   WHERE c2.c_nationkey = c.c_nationkey
+               ) AS above_by
+        FROM {v['customer']} c
+    """)
+    return df.where(F.col("above_by") > 0).select(
+        "c_custkey", mround("above_by").alias("above_by")
+    )
+
+
+@register(
+    "q_cte_reuse",
+    oracle=f"""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS r
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    ), tot AS (SELECT CAST(SUM(CAST(r AS DECIMAL(30,6))) AS DOUBLE) AS t FROM rev)
+    SELECT n.n_name, {sql_mround('rev.r')} AS revenue,
+           {sql_mround('100.0 * rev.r / tot.t')} AS pct
+    FROM rev JOIN nation n ON rev.nationkey = n.n_nationkey
+    CROSS JOIN tot
+    """,
+)
+def q_cte_reuse(spark, sf_dir):
+    """CTE referenced twice (per-nation revenue + its grand total):
+    exercises WITH scoping and plan reuse of a shared subtree."""
+    v = _view(spark, sf_dir, "orders", "customer", "nation")
+    df = spark.sql(f"""
+        WITH rev AS (
+            SELECT c.c_nationkey AS nationkey,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS r
+            FROM {v['orders']} o JOIN {v['customer']} c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        ), tot AS (SELECT CAST(SUM(CAST(r AS DECIMAL(30,6))) AS DOUBLE) AS t FROM rev)
+        SELECT n.n_name, rev.r AS revenue, 100.0 * rev.r / tot.t AS pct
+        FROM rev JOIN {v['nation']} n ON rev.nationkey = n.n_nationkey
+        CROSS JOIN tot
+    """)
+    return df.select(
+        "n_name", mround("revenue").alias("revenue"), mround("pct").alias("pct")
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+           COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+           COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+           COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+           COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """PIVOT with an explicit value list (static plan — at scale, never
+    let pivot discover its values with an extra scan). Compiles to ONE
+    hash-aggregate with conditional counts."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+    )
+    renamed = piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
+    )
+    return renamed
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """UNPIVOT (melt) numeric part attributes to (key, attr, val) rows —
+    a single Expand map pass, no shuffle."""
+    p = load_table(spark, sf_dir, "part")
+    return p.unpivot(
+        "p_partkey",
+        [F.col("p_size").cast("double").alias("size"),
+         F.col("p_retailprice").alias("retailprice")],
+        "attr",
+        "val",
+    )
+
+
+@register(
+    "q_win_dist",
+    oracle=f"""
+    SELECT c_custkey,
+           {sql_mround('PERCENT_RANK() OVER w')} AS pr,
+           {sql_mround('CUME_DIST() OVER w')} AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_win_dist(spark, sf_dir):
+    """percent_rank + cume_dist per nation (rank-based → deterministic
+    under ties; total order via custkey tie-break anyway)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        mround(F.percent_rank().over(w)).alias("pr"),
+        mround(F.cume_dist().over(w)).alias("cd"),
+    )
