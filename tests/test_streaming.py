@@ -128,6 +128,42 @@ def test_watermark_drops_late_data(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_drop_duplicates_within_watermark(spark):
+    """Stateful streaming dedup: duplicate event_ids delivered within
+    the watermark window are emitted exactly once."""
+    import datetime as dt
+
+    d = tempfile.mkdtemp(prefix="fsk_dedup_")
+    try:
+        base = dt.datetime(2024, 1, 2, 12, 0, 0)
+        rows = [(i, base + dt.timedelta(seconds=i)) for i in range(20)]
+        dups = [(i, base + dt.timedelta(seconds=i, milliseconds=500)) for i in range(0, 20, 2)]
+        spark.createDataFrame(rows + dups, "id bigint, ts timestamp").coalesce(
+            1
+        ).write.parquet(d + "/in/f1")
+
+        stream = spark.readStream.schema("id bigint, ts timestamp").parquet(
+            d + "/in/*"
+        )
+        deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["id"]
+        )
+        got: list = []
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda bdf, bid: got.extend(bdf.collect())
+            )
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ids = sorted(r.id for r in got)
+        assert ids == list(range(20)), ids  # each id exactly once
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_kmeans_macqueen(spark):
     """Online k-means over a stream of embedding micro-batches: state
     advances per batch, total count equals corpus size, and the final
