@@ -1,0 +1,139 @@
+"""Physical-plan audits — the 100 TB scale contract, asserted.
+
+Correctness tests prove the operators compute the right answer at
+small SF; these prove the PLANS are the ones that survive a 100×
+scale-up: filters reach the parquet scan, small dims broadcast, top-k
+never globally sorts, subqueries decorrelate to joins, aggregates
+combine map-side, and the near-dup / ANN candidate generation is an
+equi-join — never a cartesian product.
+
+A regression here (e.g. a refactor that breaks pushdown or turns the
+shingle join into a BNLJ) changes no small-SF result but is exactly
+what kills the operator at scale, so it must fail CI.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from conftest import SF_T2
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jqe = df._jdf.queryExecution()
+    return df._sc._jvm.PythonSQLUtils.explainString(jqe, mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, registry):
+    queries, _ = registry
+
+    def get(name: str, mode: str = "formatted") -> str:
+        return plan_of(queries[name](spark, SF_T2), mode)
+
+    return get
+
+
+def test_scan_pruned_pushes_filter_and_prunes_columns(plans):
+    p = plans("q_scan_pruned")
+    assert "GreaterThanOrEqual(l_shipdate" in p, "filter not pushed to scan"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert sorted(cols) == ["l_orderkey", "l_quantity", "l_shipdate"], cols
+
+
+def test_broadcast_join_is_broadcast(plans):
+    p = plans("q_join_broadcast")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_sort_limit_is_take_ordered_not_global_sort(plans):
+    p = plans("q_sort_limit")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p, "top-k must not shuffle"
+
+
+def test_topk_group_take_ordered(plans):
+    # per-group top-3 via window: one hash-partitioned exchange on the
+    # group key, never a global sort/collect
+    p = plans("q_topk_group")
+    assert "WindowGroupLimit" in p or "Window" in p
+    assert "rangepartitioning" not in p.lower() or "TakeOrdered" in p
+
+
+def test_exists_subquery_decorrelates_to_semi_join(plans):
+    p = plans("q_sub_exists")
+    assert "LeftSemi" in p, "EXISTS did not decorrelate to a semi join"
+
+
+def test_scalar_subquery_decorrelates_to_aggregate_join(plans):
+    p = plans("q_sub_scalar")
+    # one grouped aggregate joined back — no per-row subquery execution
+    assert "HashAggregate" in p
+    assert "LeftOuter" in p or "Inner" in p
+
+
+def test_agg_q1_partial_final_pairs(plans):
+    # "simple" mode prints each node once — countable
+    p = plans("q_agg_q1", "simple")
+    assert "partial_sum" in p, "no map-side combine"
+    assert p.count("HashAggregate") == 2
+    assert p.count("Exchange") == 1, p
+
+
+def test_pivot_is_aggregates_only_no_join(plans):
+    # Spark pivots via a (status, priority) pre-aggregate + pivotfirst —
+    # two agg pairs whose shuffles carry only group rows. No join, no
+    # value-discovery scan (explicit value list keeps the plan static).
+    p = plans("q_pivot", "simple")
+    assert "Join" not in p
+    assert "pivotfirst" in p
+    assert p.count("Exchange") <= 2
+
+
+def test_kmeans_assign_broadcasts_centroids(plans):
+    p = plans("q_ml_kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p, "centroid side must broadcast"
+
+
+def test_dedup_near_is_equi_join_not_cartesian(plans):
+    p = plans("q_dedup_near")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, (
+        "shingle candidate join must be an equi-join"
+    )
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_sim_ann_candidates_meet_in_buckets(plans):
+    p = plans("q_sim_ann")
+    assert "CartesianProduct" not in p, (
+        "ANN candidates must meet via the bucket equi-join, not all-pairs"
+    )
+
+
+def test_sim_knn_probe_side_broadcasts(plans):
+    p = plans("q_sim_knn")
+    assert "Broadcast" in p, "probe vectors must broadcast against the corpus scan"
+
+
+def test_udf_pandas_is_arrow_eval(plans):
+    p = plans("q_udf_pandas")
+    assert "ArrowEvalPython" in p, "pandas UDF must run on the Arrow path"
+
+
+def test_udf_python_is_batch_eval(plans):
+    p = plans("q_udf_python")
+    assert "BatchEvalPython" in p or "ArrowEvalPython" in p
+
+
+def test_whole_stage_codegen_covers_relational_core(plans):
+    # q_project_compute is a pure map over lineitem: the entire plan
+    # below the scan must sit inside one WholeStageCodegen span.
+    p = plans("q_project_compute", "simple")
+    assert "*(1)" in p or "WholeStageCodegen" in p, p
+    assert "Exchange" not in p
