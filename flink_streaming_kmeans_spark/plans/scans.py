@@ -72,3 +72,36 @@ def q_sink_roundtrip(spark, sf_dir):
     ).parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "q_sink_partitioned",
+    oracle="""
+    SELECT l_linestatus, COUNT(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+)
+def q_sink_partitioned(spark, sf_dir):
+    """Hive-style partitioned parquet sink + partition-pruned re-read:
+    write lineitem partitioned by l_returnflag, read back only the 'R'
+    partition. The re-read scan's PartitionFilters prune at the
+    directory level — at 100 TB this is the difference between scanning
+    one partition and scanning the lake (tests/test_storage.py asserts
+    the pruning). The oracle recomputes from the source table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "fsk_spark_sink",
+        f"part-{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}-{uuid.uuid4().hex}",
+    )
+    li.select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity").write.mode(
+        "overwrite"
+    ).partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
+    )
