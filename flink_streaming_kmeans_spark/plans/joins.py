@@ -189,6 +189,52 @@ def q_join_range(spark, sf_dir):
 
 
 @register(
+    "q_join_range_binned",
+    oracle=f"""
+    WITH hours AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS bstart FROM events
+    ), b AS (
+        SELECT bstart, bstart + INTERVAL 90 MINUTE AS bend FROM hours
+    )
+    SELECT b.bstart, COUNT(*) AS n_events, {sql_dsum('e.value', 'sum_value')}
+    FROM events e JOIN b ON e.ts >= b.bstart AND e.ts < b.bend
+    GROUP BY b.bstart
+    """,
+)
+def q_join_range_binned(spark, sf_dir):
+    """q_join_range's 100 TB formulation, proven result-identical (same
+    oracle): pre-bin the range condition to an EQUI-join on the hour
+    bin, post-filter the exact range. Each 90-minute bucket is exploded
+    to the (<=2) hour bins it overlaps; each event joins on its own
+    hour bin. The join is hash-partitionable (shuffle or broadcast hash
+    join — tests/test_plans.py asserts no nested-loop), so it scales
+    with |events| instead of |events|x|buckets| and AQE can re-plan it
+    — the rewrite every interval/range join needs at scale."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bin", F.date_trunc("hour", "ts")
+    )
+    hours = ev.select(F.col("bin").alias("bstart")).distinct()
+    b = hours.select(
+        "bstart", (F.col("bstart") + F.expr("INTERVAL 90 MINUTES")).alias("bend")
+    )
+    # a [bstart, bstart+90min) bucket overlaps hour bins bstart and
+    # bstart+1h only
+    b_binned = b.select(
+        "bstart",
+        "bend",
+        F.explode(
+            F.array(F.col("bstart"), F.col("bstart") + F.expr("INTERVAL 1 HOUR"))
+        ).alias("bin"),
+    )
+    joined = ev.join(b_binned, "bin").where(
+        (F.col("ts") >= F.col("bstart")) & (F.col("ts") < F.col("bend"))
+    )
+    return joined.groupBy("bstart").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
+
+
+@register(
     "q_join_asof",
     oracle="""
     WITH clicks AS (

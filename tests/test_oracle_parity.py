@@ -59,8 +59,9 @@ def test_rows_only_queries_run(spark, registry):
 
 
 def test_contract_is_complete(registry):
-    """SURVEY §2 names 59 queries (57 hash + 2 rows-only); plans/
-    textops.py adds 7 extended pipeline operators, all hash-checked."""
+    """SURVEY §2.1-2.11 names 59 queries (57 hash + 2 rows-only);
+    §2.12 adds 16 round-2 extensions (textops, relational surface,
+    binned range join, partitioned sink), all hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 66, sorted(queries)
-    assert len(oracles) == 64
+    assert len(queries) == 75, sorted(queries)
+    assert len(oracles) == 73

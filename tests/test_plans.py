@@ -109,6 +109,14 @@ def test_dedup_near_is_equi_join_not_cartesian(plans):
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_range_binned_is_equi_join(plans):
+    p = plans("q_join_range_binned", "simple")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, (
+        "binned range join must be an equi-join"
+    )
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
 def test_sim_ann_candidates_meet_in_buckets(plans):
     p = plans("q_sim_ann")
     assert "CartesianProduct" not in p, (
