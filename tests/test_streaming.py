@@ -164,6 +164,61 @@ def test_drop_duplicates_within_watermark(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stateful_running_stats(spark):
+    """Custom stateful operator (applyInPandasWithState — see
+    streaming/stateful.py for why not transformWithStateInPandas):
+    per-user running (count, sum) must equal the batch aggregate after
+    the stream drains, and state must carry across micro-batches."""
+    d = tempfile.mkdtemp(prefix="fsk_tws_")
+    try:
+        from flink_streaming_kmeans_spark.sources.loader import load_table
+        from flink_streaming_kmeans_spark.streaming.stateful import (
+            running_user_stats,
+        )
+
+        ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value")
+        # 3 files → 3 micro-batches, so per-user state must accumulate
+        ev.repartition(3).write.parquet(d + "/in")
+        stream = (
+            spark.readStream.schema("user_id bigint, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d + "/in")
+        )
+        out = running_user_stats(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        # last update per user == the full batch aggregate
+        final = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(
+                """SELECT user_id, n_events, total_value FROM (
+                       SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY n_events DESC) rn
+                       FROM t_tws) WHERE rn = 1"""
+            ).collect()
+        }
+        expect = {
+            r.user_id: (r.n, r.total)
+            for r in ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert set(final) == set(expect)
+        for u in expect:
+            assert final[u][0] == expect[u][0], u
+            assert abs(final[u][1] - expect[u][1]) < 1e-6, u
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_kmeans_macqueen(spark):
     """Online k-means over a stream of embedding micro-batches: state
     advances per batch, total count equals corpus size, and the final
