@@ -1,0 +1,63 @@
+"""CLI tool (KMeansTool analog) end-to-end: parquet and CSV ingest."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+def test_tool_parquet_end_to_end(spark, capsys):
+    from flink_streaming_kmeans_spark.tool import main
+
+    d = tempfile.mkdtemp(prefix="fsk_tool_")
+    try:
+        rc = main(
+            [
+                "--input", f"{SF_SMOKE}/embeddings.parquet",
+                "--k", "10", "--max-iters", "5",
+                "--output", d + "/out",
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["n_points"] == 500
+        assert len(summary["clusters"]) == 10
+        back = spark.read.parquet(d + "/out")
+        assert back.columns == ["vec_id", "cluster_id"]
+        assert back.count() == 500
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tool_csv_points(spark, capsys):
+    """The reference's actual ingest: text lines of id + coordinates."""
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+    from flink_streaming_kmeans_spark.tool import main
+
+    d = tempfile.mkdtemp(prefix="fsk_tool_csv_")
+    try:
+        e = load_table(spark, SF_SMOKE, "embeddings")
+        e.select(
+            F.col("vec_id").alias("id"),
+            F.element_at("embedding", 1).cast("double").alias("x"),
+            F.element_at("embedding", 2).cast("double").alias("y"),
+        ).coalesce(1).write.option("header", True).csv(d + "/pts")
+
+        rc = main(
+            [
+                "--input", d + "/pts", "--format", "csv",
+                "--k", "4", "--max-iters", "5",
+                "--output", d + "/out",
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["n_points"] == 500
+        assert 1 <= len(summary["clusters"]) <= 4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
