@@ -227,6 +227,28 @@ def q_agg_collect(spark, sf_dir):
     )
 
 
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+               AS n_urgent
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_bool(spark, sf_dir):
+    """Boolean + filtered aggregates: bool_and / bool_or / count_if —
+    all decompose partial+final like any hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )
+
+
 @register("q_agg_approx_cd")  # rows-only: HLL sketches differ across engines
 def q_agg_approx_cd(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")

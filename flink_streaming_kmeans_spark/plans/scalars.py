@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.vector import mround, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 
@@ -115,6 +116,35 @@ def q_math_funcs(spark, sf_dir):
         F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
         F.round(F.pow("l_quantity", 2), 4).alias("qty_sq"),
         (F.col("l_linenumber") % 3).alias("mod3"),
+    )
+
+
+@register(
+    "q_try_arith",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity - 25 = 0 THEN NULL
+                ELSE {sql_mround('l_extendedprice / (l_quantity - 25)')} END
+               AS price_per_excess,
+           CASE WHEN l_quantity BETWEEN 1 AND 127
+                THEN CAST(l_quantity AS TINYINT) END AS qty_tiny
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def q_try_arith(spark, sf_dir):
+    """ANSI-mode error-safe arithmetic: try_divide → NULL on division
+    by zero, try_cast → NULL on overflow (Spark 4 runs ANSI ON, so the
+    non-try forms would raise — matching DuckDB; the try_* forms are
+    the engine's sanctioned null-on-error escape hatch). The oracle
+    states the null semantics explicitly with CASE."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        mround(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25)
+        ).alias("price_per_excess"),
+        F.col("l_quantity").try_cast("tinyint").alias("qty_tiny"),
     )
 
 

@@ -375,6 +375,50 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "q_text_bpe_tokens",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                   AS n_bpe,
+               len(string_split(text, ' ')) AS n_ws
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+           {sql_mround(
+               'CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws)'
+           )} AS bpe_per_word
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_text_bpe_tokens(spark, sf_dir):
+    """Token counting with a BPE-ish regex tokenizer (letter runs,
+    digit runs, single punctuation — the GPT-2 pre-tokenizer shape,
+    simplified to the Java∩RE2 regex subset): per-language totals and
+    the BPE-to-whitespace fan-out ratio a data pipeline uses for
+    token-budget estimates. Pure per-row map + one aggregate —
+    shuffle carries one row per lang."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+            )
+        ).alias("n_bpe"),
+        F.size(F.split("text", " ")).alias("n_ws"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe"),
+        mround(
+            F.sum("n_bpe").cast("double") / F.sum("n_ws")
+        ).alias("bpe_per_word"),
+    )
+
+
+@register(
     "q_multimodal_binary",
     oracle="""
     SELECT doc_id, 'text/plain' AS mime,

@@ -164,6 +164,58 @@ def test_drop_duplicates_within_watermark(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_stream_interval_join(spark):
+    """Stream-stream inner join with an event-time interval condition
+    (purchase joined to same-user clicks within the preceding hour) —
+    both sides watermarked so join state is evicted; results must
+    equal the identical batch join."""
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    batch_n = (
+        ev.where(F.col("event_type") == "purchase")
+        .alias("p")
+        .join(
+            ev.where(F.col("event_type") == "click").alias("c"),
+            F.expr(
+                "p.user_id = c.user_id AND "
+                "c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"
+            ),
+        )
+        .count()
+    )
+
+    stream = _events_stream(spark, SF_SMOKE)
+    p = (
+        stream.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        _events_stream(spark, SF_SMOKE)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_n = spark.sql("SELECT count(*) AS n FROM t_ssj").collect()[0].n
+    assert got_n == batch_n, (got_n, batch_n)
+
+
 def test_stateful_running_stats(spark):
     """Custom stateful operator (applyInPandasWithState — see
     streaming/stateful.py for why not transformWithStateInPandas):
