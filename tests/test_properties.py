@@ -1,0 +1,127 @@
+"""Property-based tests (SURVEY §5.2.4): algebraic invariants that
+must hold for ANY input, checked over generated data.
+
+Each property runs a bounded number of hypothesis examples against a
+shared Spark session (deadline disabled — JVM latency is not the
+code's fault). Data volumes are tiny by design; the properties, not
+the scale, are the point.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_streaming_kmeans_spark.functions.vector import mround, sql_mround
+
+SET = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=8
+)
+
+
+def _dedup(df):
+    """The q_dedup_exact core: one row per normalized-content digest."""
+    return (
+        df.select(F.md5(F.lower(F.trim("text"))).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+@SET
+@given(texts)
+def test_dedup_idempotent(spark, docs):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    once = _dedup(df)
+    twice = _dedup(
+        once.select(F.col("fp").alias("text"), F.col("keep_doc_id").alias("doc_id"))
+    )
+    # dedup of an already-deduped relation changes nothing: same count,
+    # and one row per distinct input fingerprint
+    n_distinct = df.select(F.md5(F.lower(F.trim("text")))).distinct().count()
+    assert once.count() == n_distinct
+    assert twice.count() == once.count()
+
+
+@SET
+@given(texts, texts)
+def test_union_all_count_additive(spark, a, b):
+    da = spark.createDataFrame([(t,) for t in a], "text string")
+    db = spark.createDataFrame([(t,) for t in b], "text string")
+    assert da.unionAll(db).count() == len(a) + len(b)
+
+
+tok_sets = st.sets(st.sampled_from("abcdefgh"), min_size=1, max_size=8)
+
+
+@SET
+@given(tok_sets, tok_sets)
+def test_jaccard_symmetric_bounded(spark, sa, sb):
+    """Jaccard via the group-count/union-count join formulation (the
+    q_dedup_near core) is symmetric, bounded to [0,1], and 1 iff the
+    sets are equal."""
+
+    def jac(x, y):
+        ex = spark.createDataFrame(
+            [(1, t) for t in x] + [(2, t) for t in y], "doc_id long, s string"
+        )
+        ns = ex.groupBy("doc_id").agg(F.count("*").alias("ns"))
+        a = ex.join(ns, "doc_id").where(F.col("doc_id") == 1).alias("a")
+        b = ex.join(ns, "doc_id").where(F.col("doc_id") == 2).alias("b")
+        row = (
+            a.join(b, F.col("a.s") == F.col("b.s"))
+            .groupBy()
+            .agg(
+                F.count("*").alias("common"),
+                F.first("a.ns").alias("na"),
+                F.first("b.ns").alias("nb"),
+            )
+            .collect()
+        )
+        # disjoint sets: the global agg over the empty join yields one
+        # row with count=0 and NULL firsts
+        if not row or not row[0].common:
+            return 0.0
+        r = row[0]
+        return r.common / (r.na + r.nb - r.common)
+
+    jab, jba = jac(sa, sb), jac(sb, sa)
+    assert abs(jab - jba) < 1e-12
+    assert 0.0 <= jab <= 1.0
+    if sa == sb:
+        assert jab == 1.0
+
+
+doubles = st.floats(
+    min_value=-1e8, max_value=1e8, allow_nan=False, allow_infinity=False
+)
+
+
+@SET
+@given(st.lists(doubles, min_size=1, max_size=20))
+def test_mround_matches_duckdb_exactly(spark, xs):
+    """The matched-round primitive must produce the bit-identical
+    double on Spark and DuckDB for arbitrary inputs INCLUDING decimal
+    midpoints — this one property is what every hash oracle rests on."""
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x double")
+    got = {
+        r.i: r.v for r in df.select("i", mround("x").alias("v")).collect()
+    }
+    con = duckdb.connect()
+    for i, x in enumerate(xs):
+        [(want,)] = con.execute(
+            f"SELECT {sql_mround('CAST(? AS DOUBLE)')}", [x]
+        ).fetchall()
+        assert got[i] == pytest.approx(want, abs=0.0), (x, got[i], want)
