@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import davg, dot64, l2_norm, mround, sql_davg, sql_mround
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 from .registry import register
 
 
@@ -92,7 +92,7 @@ def q_dedup_near(spark, sf_dir):
     functions are evaluated INTERPRETED in Spark, and the lambda chain
     recomputed on both join sides measured 24x slower at sf0.1
     (197s → 8s)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
         F.size("w") >= 3
     )
@@ -161,7 +161,7 @@ def q_sim_knn(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
     )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        fan_out(e).crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

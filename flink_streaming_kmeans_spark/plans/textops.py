@@ -26,7 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot64, mround, sql_mround
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 from .registry import register
 
 # 60-bit deterministic token hash, identical on both engines.
@@ -62,7 +62,7 @@ def q_dedup_simhash(spark, sf_dir):
     bit j of the fingerprint is 1 iff the vote sum is positive.
     Near-dup docs (shared token sets) land at small hamming distance —
     banding the signature gives the candidate join at scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).dropDuplicates(["doc_id", "tok"])
@@ -104,10 +104,14 @@ def q_dedup_embed(spark, sf_dir):
     == dot). Brute-force all-pairs BASELINE for oracle verification —
     the scale path is q_sim_ann's LSH bucketing (same re-rank)."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_id1"), F.col("embedding").alias("ea"))
+    # Probe side fanned out so the nested-loop pair evaluation uses all
+    # cores; build side broadcast (it is the smaller, bounded side).
+    a = fan_out(
+        e.select(F.col("vec_id").alias("vec_id1"), F.col("embedding").alias("ea"))
+    )
     b = e.select(F.col("vec_id").alias("vec_id2"), F.col("embedding").alias("eb"))
     pairs = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .where(F.col("vec_id1") < F.col("vec_id2"))
         .select("vec_id1", "vec_id2", dot64("ea", "eb").alias("dot"))
         .where(F.col("dot") >= 0.4)
@@ -166,7 +170,7 @@ def q_sim_ann(spark, sf_dir):
     all-pairs scan."""
     e = load_table(spark, sf_dir, "embeddings")
     comps = (
-        e.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+        fan_out(e).select("vec_id", F.posexplode("embedding").alias("d", "x"))
         .crossJoin(F.broadcast(spark.range(8).select(F.col("id").cast("int").alias("j"))))
         .select(
             "vec_id",
@@ -346,7 +350,7 @@ def q_text_fingerprint(spark, sf_dir):
     Near-dup docs share most selected hashes, so the fingerprint set
     is joinable for candidate detection at scale. One explode + two
     keyed passes per doc — linear."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
         F.size("w") >= 3
     )
