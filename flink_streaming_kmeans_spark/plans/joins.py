@@ -284,3 +284,45 @@ def q_join_asof(spark, sf_dir):
         payload=["click_id", "click_value"],
     )
     return out.select("event_id", "user_id", "click_id", "click_value")
+
+
+@register(
+    "q_join_salted",
+    oracle=f"""
+    SELECT s_nationkey,
+           {sql_dsum('l_extendedprice', 'revenue')},
+           COUNT(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """Skew-mitigation join, hash-checked against the plain join: the
+    build side is replicated SALT ways with a salt column, the fact
+    side derives its salt deterministically (pmod of a row attribute),
+    and the join key becomes (suppkey, salt) — splitting any hot key's
+    rows across SALT reducers instead of one. The oracle is the
+    unsalted join, proving salting is semantics-transparent. At 100 TB
+    this is the manual fallback when AQE's skew-split can't help (e.g.
+    skewed aggregate keys after the join); broadcast is disabled here
+    on purpose so the salted shuffle path is what actually executes."""
+    SALT = 8
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    salted_s = s.crossJoin(
+        F.broadcast(
+            li.sparkSession.range(SALT).select(F.col("id").cast("int").alias("salt"))
+        )
+    )
+    salted_li = li.withColumn(
+        "salt", F.pmod(F.col("l_orderkey"), F.lit(SALT)).cast("int")
+    )
+    joined = salted_li.hint("shuffle_hash").join(
+        salted_s,
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (salted_li["salt"] == salted_s["salt"]),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        dsum("l_extendedprice", "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

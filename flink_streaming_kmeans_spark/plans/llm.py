@@ -55,10 +55,11 @@ def q_dedup_exact(spark, sf_dir):
 
 
 
-@register(
-    "q_dedup_near",
-    oracle=f"""
-    WITH toks AS (
+# Shared near-dup pair derivation — the SQL CTE chain ends in
+# ``near(doc_id1, doc_id2, jac)`` (jac unrounded); used by both
+# q_dedup_near (the pair list) and q_dedup_cluster (the closure).
+_NEAR_PAIRS_CTE = """
+    toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ), sh AS (
         SELECT doc_id,
@@ -75,23 +76,19 @@ def q_dedup_exact(spark, sf_dir):
                ANY_VALUE(a.ns) AS na, ANY_VALUE(b.ns) AS nb
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
+    ), near AS (
+        SELECT doc_id1, doc_id2,
+               CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jac
+        FROM pairs
+        WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
     )
-    SELECT doc_id1, doc_id2,
-           {sql_mround('CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)')} AS jaccard
-    FROM pairs
-    WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
-    """,
-)
-def q_dedup_near(spark, sf_dir):
-    """Near-duplicate pairs: 3-gram shingle sets, Jaccard >= 0.8.
+"""
 
-    Shingle-join formulation: explode distinct shingles, self-equi-join
-    on the shingle, count common / union — never materializes all doc
-    pairs. Shingles are built with posexplode + element_at (whole-stage
-    codegen) rather than transform(sequence(...), lambda): higher-order
-    functions are evaluated INTERPRETED in Spark, and the lambda chain
-    recomputed on both join sides measured 24x slower at sf0.1
-    (197s → 8s)."""
+
+def _near_pairs(spark, sf_dir):
+    """Near-dup candidate pairs (doc_id1 < doc_id2, Jaccard >= 0.8 on
+    distinct 3-gram shingle sets), with the unrounded jaccard in
+    ``jac``. The shingle-equi-join formulation — see q_dedup_near."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
         F.size("w") >= 3
@@ -127,9 +124,94 @@ def q_dedup_near(spark, sf_dir):
     jac = F.col("common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("common")
     ).cast("double")
-    return (
-        pairs.where(jac >= 0.8)
-        .select("doc_id1", "doc_id2", mround(jac).alias("jaccard"))
+    return pairs.where(jac >= 0.8).select("doc_id1", "doc_id2", jac.alias("jac"))
+
+
+@register(
+    "q_dedup_near",
+    oracle=f"""
+    WITH {_NEAR_PAIRS_CTE}
+    SELECT doc_id1, doc_id2, {sql_mround('jac')} AS jaccard
+    FROM near
+    """,
+)
+def q_dedup_near(spark, sf_dir):
+    """Near-duplicate pairs: 3-gram shingle sets, Jaccard >= 0.8.
+
+    Shingle-join formulation: explode distinct shingles, self-equi-join
+    on the shingle, count common / union — never materializes all doc
+    pairs. Shingles are built with posexplode + element_at (whole-stage
+    codegen) rather than transform(sequence(...), lambda): higher-order
+    functions are evaluated INTERPRETED in Spark, and the lambda chain
+    recomputed on both join sides measured 24x slower at sf0.1
+    (197s → 8s)."""
+    return _near_pairs(spark, sf_dir).select(
+        "doc_id1", "doc_id2", mround("jac").alias("jaccard")
+    )
+
+
+@register(
+    "q_dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_PAIRS_CTE},
+    edges AS (
+        SELECT doc_id1 AS src, doc_id2 AS dst FROM near
+        UNION ALL
+        SELECT doc_id2, doc_id1 FROM near
+    ),
+    walk(doc_id, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT doc_id, MIN(node) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM walk GROUP BY doc_id
+    """,
+)
+def q_dedup_cluster(spark, sf_dir):
+    """Dedup clustering: connected components over the near-dup pair
+    graph — the pairs→canonical-doc step every dedup pipeline needs
+    after candidate generation. cluster_id = min doc_id in the
+    component; docs with no near-dup are singletons.
+
+    Spark side: driver-loop min-label propagation (the lloyd_iterate
+    pattern — constant-size plans, localCheckpoint per round, rounds =
+    graph diameter). Near-dup components are short chains in practice,
+    so this converges in 2-3 rounds; at 100 TB you swap in the
+    large-star/small-star contraction (Kiveris et al.) which keeps the
+    same join-per-round shape but contracts diameter quadratically.
+    Oracle: DuckDB recursive-CTE reachability closure."""
+    pairs = _near_pairs(spark, sf_dir).select("doc_id1", "doc_id2")
+    edges = pairs.union(
+        pairs.select(F.col("doc_id2").alias("doc_id1"), F.col("doc_id1").alias("doc_id2"))
+    ).toDF("src", "dst").localCheckpoint()
+    d = load_table(spark, sf_dir, "documents")
+    labels = d.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    while True:
+        prop = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return labels.join(F.broadcast(sizes), "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "n_members"
     )
 
 

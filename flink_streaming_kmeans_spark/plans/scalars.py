@@ -171,3 +171,38 @@ def q_array_funcs(spark, sf_dir):
         F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
         F.round(l2_norm("embedding"), 4).alias("l2"),
     )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_orderpriority AS prio,
+           2 AS n_keys,
+           'status,prio' AS keys_csv,
+           'y' AS extra
+    FROM orders
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """Map-column surface (§2.8's one remaining scalar type): build a
+    MAP<STRING,STRING> per row, then read it back through element_at /
+    map_keys / size / map_concat. The oracle is the ground-truth
+    scalars the map round-trip must reproduce — a map that drops,
+    reorders, or mangles entries hash-mismatches. Maps stay JVM-side
+    (codegen); at scale this is a pure narrow map pass."""
+    o = load_table(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("prio"), F.col("o_orderpriority"),
+    )
+    merged = F.map_concat(m, F.create_map(F.lit("x"), F.lit("y")))
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status"),
+        F.element_at(m, "prio").alias("prio"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(merged, "x").alias("extra"),
+    )

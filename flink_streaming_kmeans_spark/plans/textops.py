@@ -423,6 +423,74 @@ def q_text_bpe_tokens(spark, sf_dir):
 
 
 @register(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+    ), dfreq AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), total AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT t.doc_id, t.tok, t.tf, d.df,
+               CAST(t.tf AS DOUBLE)
+               * (CAST(n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS s
+        FROM tf t JOIN dfreq d USING (tok) CROSS JOIN total
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY s DESC, tok) AS rn
+        FROM scored
+    )
+    SELECT doc_id, tok, tf, df, CAST(rn AS INT) AS rank,
+           {sql_mround('s')} AS tfidf
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_text_tfidf(spark, sf_dir):
+    """Top-3 salient terms per document by tf-idf with a RATIONAL idf
+    surrogate (tf * N/df instead of tf * ln(N/df)): ln() is the one
+    transcendental whose last-ulp may differ between libm builds, and
+    N/df is order-preserving in it, so ranking is identical and every
+    double is engine-exact. Two hash-aggregates (doc×term, term) + one
+    equi-join on term + per-doc top-k window — all shuffle keys uniform
+    (terms follow the corpus distribution; a hot term's df row is one
+    row, the join fan-out is bounded by docs-per-term which is the df
+    itself — skew shows up only if one term dominates the corpus, the
+    salting case)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("s"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id", "tok", "tf", "df",
+            F.col("rn").alias("rank"),
+            mround("s").alias("tfidf"),
+        )
+    )
+
+
+@register(
     "q_multimodal_binary",
     oracle="""
     SELECT doc_id, 'text/plain' AS mime,
