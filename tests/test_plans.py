@@ -145,3 +145,30 @@ def test_whole_stage_codegen_covers_relational_core(plans):
     p = plans("q_project_compute", "simple")
     assert "*(1)" in p or "WholeStageCodegen" in p, p
     assert "Exchange" not in p
+
+
+def test_join_salted_is_shuffled_hash_not_broadcast(plans):
+    # The point of the salted join is exercising the shuffle path a hot
+    # key would take at scale; if Spark silently broadcasts the
+    # replicated build side the demo proves nothing.
+    p = plans("q_join_salted")
+    assert "ShuffledHashJoin" in p, "salted join must take the shuffle-hash path"
+
+
+def test_dedup_embed_probe_side_fans_out(plans):
+    # All-pairs baseline: build side broadcast, probe side round-robin
+    # repartitioned so the pair evaluation parallelizes (one parquet
+    # file otherwise scans as ONE partition — measured 12x).
+    p = plans("q_dedup_embed")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "roundrobin" in p.lower() or "RoundRobin" in p, (
+        "probe side must fan out across cores"
+    )
+
+
+def test_tfidf_total_docs_broadcasts(plans):
+    # The 1-row corpus count must broadcast; term-frequency join stays
+    # an equi-join on the term.
+    p = plans("q_text_tfidf")
+    assert "CartesianProduct" not in p
+    assert "Broadcast" in p
