@@ -127,3 +127,79 @@ def q_win_session(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+@register(
+    "q_evt_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t0
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           date_trunc('second', v.t0) AS t_view,
+           date_trunc('second', c.t1) AS t_click,
+           date_trunc('second', p.t2) AS t_purchase,
+           CAST(1 + (c.user_id IS NOT NULL)::INT
+                  + (p.user_id IS NOT NULL)::INT AS INT) AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+            LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_evt_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): per user,
+    the first view, the first click AFTER that view, the first purchase
+    AFTER that click, and the stage reached. The event-analytics
+    operator the windowing queries don't cover: stage N is defined
+    relative to stage N-1's timestamp, not a fixed window.
+
+    Three user-keyed aggregates + user-keyed joins — every shuffle is
+    on user_id (high-cardinality, uniform), each stage's input shrinks
+    to the survivors of the previous one. Scales linearly; no
+    per-user event-list materialization (contrast a collect_list +
+    UDF formulation, which holds a user's whole history in memory)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_trunc("second", "t0").alias("t_view"),
+            F.date_trunc("second", "t1").alias("t_click"),
+            F.date_trunc("second", "t2").alias("t_purchase"),
+            (
+                F.lit(1)
+                + F.col("t1").isNotNull().cast("int")
+                + F.col("t2").isNotNull().cast("int")
+            ).cast("int").alias("stage"),
+        )
+    )

@@ -105,3 +105,65 @@ def q_sink_partitioned(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
     )
+
+
+def _tmp_out(prefix: str, sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        "fsk_spark_sink",
+        f"{prefix}-{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}-{uuid.uuid4().hex}",
+    )
+
+
+@register(
+    "q_source_csv",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q_source_csv(spark, sf_dir):
+    """CSV source round-trip — the reference's ingest is text-file
+    based (KMeansTool's feature files, SURVEY.md §1.1 [PK]), so a CSV
+    scan is its most direct analog. Write supplier as headered CSV,
+    re-read with an EXPLICIT schema (schema inference is a full extra
+    pass at 100 TB — never rely on it), aggregate. Doubles survive
+    exactly: Spark writes shortest round-trip repr. Oracle recomputes
+    from parquet, proving the text round-trip is lossless."""
+    s = load_table(spark, sf_dir, "supplier")
+    out = _tmp_out("csv", sf_dir)
+    s.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+    ).option("header", True).csv(out)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.col("s_acctbal").cast("decimal(30,6)")).cast("double").alias("sum_bal"),
+    )
+
+
+@register(
+    "q_source_jsonl",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_source_jsonl(spark, sf_dir):
+    """JSON-lines source round-trip with explicit schema on re-read
+    (same rationale as q_source_csv; JSONL is the other ubiquitous
+    training-data interchange format)."""
+    n = load_table(spark, sf_dir, "nation")
+    out = _tmp_out("jsonl", sf_dir)
+    n.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "n_nationkey bigint, n_name string, n_regionkey int"
+    ).json(out)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )

@@ -542,3 +542,25 @@ def q_multimodal_binary(spark, sf_dir):
     return packed.mapInPandas(
         decode, "doc_id bigint, mime string, n_bytes bigint, content_md5 string"
     )
+
+
+@register(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_DUCK_H60.format(x='text')} % 100 < 20
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~20% corpus subsample by content hash — the
+    reproducible alternative to rand()-sampling for training-data
+    pipelines: the same document always lands in the same split,
+    regardless of partitioning, ordering, cluster size, or reruns
+    (rand()/TABLESAMPLE give none of those). Pure per-row filter, no
+    shuffle; at 100 TB this composes with any downstream pipeline as a
+    free scan-time predicate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.where(
+        F.expr(_SPARK_H60.format(x="text") + " % 100 < 20")
+    ).select("doc_id", "lang", "n_chars")
