@@ -8,6 +8,7 @@ DECIMAL(30,6) for cross-engine hash stability (functions/vector.py).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import davg, dsum, sql_davg, sql_dsum
@@ -254,4 +255,44 @@ def q_agg_approx_cd(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY cnt DESC, o_orderpriority) AS rn
+        FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark, sf_dir):
+    """Deterministic MODE (most frequent value per group): count +
+    top-1 window with an explicit tie-break on the value itself.
+    Native mode() is avoided on purpose — its tie behavior is
+    engine-defined (registry rule 4: every top-k carries a total
+    order). Two hash-aggregates + a group-keyed window; shuffle
+    carries one row per (group, value)."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("mode_count"),
+        )
     )

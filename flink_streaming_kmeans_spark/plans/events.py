@@ -203,3 +203,61 @@ def q_evt_funnel(spark, sf_dir):
             ).cast("int").alias("stage"),
         )
     )
+
+
+@register(
+    "q_ts_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ), hours AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), grid AS (
+        SELECT h, event_type FROM hours CROSS JOIN types
+    ), agg AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               COUNT(*) AS n, {sql_dsum('value', 'sv')}
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.h AS win_start, g.event_type,
+           COALESCE(a.n, 0) AS n_events,
+           COALESCE(a.sv, 0.0) AS sum_value
+    FROM grid g LEFT JOIN agg a ON g.h = a.h AND g.event_type = a.event_type
+    """,
+)
+def q_ts_gapfill(spark, sf_dir):
+    """Time-series gap filling: the (hour × event_type) calendar grid
+    from sequence() + explode, left-joined to the hourly aggregate,
+    missing cells coalesced to zero — what every downstream
+    charting/forecast consumer needs from an events table (a GROUP BY
+    silently drops empty buckets). The grid derives from a 1-row
+    min/max aggregate (broadcast); grid⋈agg is an equi-join on
+    (hour, type). Grid size is time-span × type-cardinality — plan it
+    like a dimension table, it never scales with event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "sv"))
+    return (
+        grid.join(agg, ["h", "event_type"], "left")
+        .select(
+            F.col("h").alias("win_start"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+        )
+    )

@@ -188,3 +188,38 @@ def q_sort_limit(spark, sf_dir):
         .limit(20)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value over the full partition
+    frame — the navigation functions §2.5 didn't yet cover. The frame
+    is explicitly UNBOUNDED BOTH (last_value's default frame ends at
+    CURRENT ROW, a classic silent-wrong-answer trap) and the ordering
+    carries the o_orderkey tie-break (orderdates repeat per customer).
+    One shuffle on o_custkey — high-cardinality, uniform."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

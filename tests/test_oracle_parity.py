@@ -60,10 +60,11 @@ def test_rows_only_queries_run(spark, registry):
 
 def test_contract_is_complete(registry):
     """SURVEY §2.1-2.11 names 59 queries (57 hash + 2 rows-only);
-    §2.12 adds 27 round-2 extensions (textops, relational surface,
+    §2.12 adds 30 round-2 extensions (textops, relational surface,
     binned range join, partitioned sink, boolean/try aggregates,
     dedup clustering, tf-idf, map funcs, salted join, CSV/JSONL
-    sources, hash sampling, event funnel), all hash-checked."""
+    sources, hash sampling, event funnel, mode, navigation windows,
+    gap fill), all hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 86, sorted(queries)
-    assert len(oracles) == 84
+    assert len(queries) == 89, sorted(queries)
+    assert len(oracles) == 87

@@ -63,3 +63,33 @@ def test_streaming_rate_source(spark):
         q.stop()
     assert len(got) >= 20  # at least two full micro-batches
     assert {c for c in ("timestamp", "value")} <= set(got[0].asDict())
+
+
+def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
+    """PERMISSIVE JSON ingest: malformed lines land in the
+    _corrupt_record column instead of failing the job — the resilience
+    mode a 100 TB ingest must run in (FAILFAST dies on one bad row in
+    a billion; DROPMALFORMED silently loses data — quarantine is the
+    only auditable option)."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        "not json at all\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+        '{"doc_id": "NaN-ish", "text": 3}\n'
+    )
+    df = (
+        spark.read.schema(
+            "doc_id bigint, text string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = {r.doc_id: r for r in rows if r._corrupt_record is None}
+    assert good[1].text == "good row"
+    assert good[2].text == "also good"
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 2, rows
+    assert any("not json" in r._corrupt_record for r in bad)
