@@ -58,7 +58,7 @@ def q_dedup_exact(spark, sf_dir):
 # Shared near-dup pair derivation — the SQL CTE chain ends in
 # ``near(doc_id1, doc_id2, jac)`` (jac unrounded); used by both
 # q_dedup_near (the pair list) and q_dedup_cluster (the closure).
-_NEAR_PAIRS_CTE = """
+_SHINGLES_CTE = """
     toks AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ), sh AS (
@@ -70,7 +70,11 @@ _NEAR_PAIRS_CTE = """
         FROM toks WHERE len(w) >= 3
     ), ex AS (
         SELECT doc_id, unnest(shingles) AS s, len(shingles) AS ns FROM sh
-    ), pairs AS (
+    )
+"""
+
+_NEAR_PAIRS_CTE = f"""
+    {_SHINGLES_CTE}, pairs AS (
         SELECT a.doc_id AS doc_id1, b.doc_id AS doc_id2,
                COUNT(*) AS common,
                ANY_VALUE(a.ns) AS na, ANY_VALUE(b.ns) AS nb
@@ -85,10 +89,10 @@ _NEAR_PAIRS_CTE = """
 """
 
 
-def _near_pairs(spark, sf_dir):
-    """Near-dup candidate pairs (doc_id1 < doc_id2, Jaccard >= 0.8 on
-    distinct 3-gram shingle sets), with the unrounded jaccard in
-    ``jac``. The shingle-equi-join formulation — see q_dedup_near."""
+def _shingle_sets(spark, sf_dir):
+    """Distinct 3-gram shingle set per document: (doc_id, s, ns) where
+    ns is the doc's shingle-set size. Shared by the exact near-dup
+    join and the MinHash-LSH variant."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
         F.size("w") >= 3
@@ -106,9 +110,16 @@ def _near_pairs(spark, sf_dir):
             ).alias("s"),
         )
     )
-    ex = tri.dropDuplicates(["doc_id", "s"]).withColumn(
+    return tri.dropDuplicates(["doc_id", "s"]).withColumn(
         "ns", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
     )
+
+
+def _near_pairs(spark, sf_dir):
+    """Near-dup candidate pairs (doc_id1 < doc_id2, Jaccard >= 0.8 on
+    distinct 3-gram shingle sets), with the unrounded jaccard in
+    ``jac``. The shingle-equi-join formulation — see q_dedup_near."""
+    ex = _shingle_sets(spark, sf_dir)
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -212,6 +223,137 @@ def q_dedup_cluster(spark, sf_dir):
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     return labels.join(F.broadcast(sizes), "label").select(
         "doc_id", F.col("label").alias("cluster_id"), "n_members"
+    )
+
+
+# MinHash-LSH geometry: 12 hashes = 4 bands × 3 rows. Everything is
+# exact BIGINT arithmetic (hash family g_i(s) = (a_i·h + b_i) mod p
+# with h = 60-bit md5 hash reduced mod p, a_i/b_i from an integer LCG)
+# so Spark and DuckDB derive IDENTICAL signatures, bands, and
+# candidate sets — which is what lets the scale path be hash-checked.
+_LSH_P = 1_000_000_007
+_LSH_NH, _LSH_ROWS = 12, 3
+
+
+@register(
+    "q_dedup_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, exh AS (
+        SELECT doc_id, s, ns,
+               (('0x' || substr(md5(s), 1, 15))::BIGINT) % {_LSH_P} AS h
+        FROM ex
+    ), sig AS (
+        SELECT doc_id, t.range AS i,
+               MIN((((1103515245 * t.range + 12345) % {_LSH_P}) * h
+                    + ((1103515245 * (t.range + 100) + 12345) % {_LSH_P}))
+                   % {_LSH_P}) AS m
+        FROM exh CROSS JOIN range({_LSH_NH}) t
+        GROUP BY doc_id, t.range
+    ), bands AS (
+        SELECT doc_id, CAST(i // {_LSH_ROWS} AS INT) AS band,
+               CAST(SUM(m * (CASE WHEN i % 3 = 0 THEN 961
+                                  WHEN i % 3 = 1 THEN 31
+                                  ELSE 1 END)) AS BIGINT) AS bh
+        FROM sig GROUP BY doc_id, i // {_LSH_ROWS}
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                    AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT c.doc_id1, c.doc_id2, COUNT(*) AS common,
+               ANY_VALUE(x.ns) AS na, ANY_VALUE(y.ns) AS nb
+        FROM cands c
+        JOIN exh x ON x.doc_id = c.doc_id1
+        JOIN exh y ON y.doc_id = c.doc_id2 AND y.s = x.s
+        GROUP BY c.doc_id1, c.doc_id2
+    )
+    SELECT doc_id1, doc_id2,
+           {sql_mround('CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE)')} AS jaccard
+    FROM verified
+    WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
+    """,
+)
+def q_dedup_lsh(spark, sf_dir):
+    """Near-dup via MinHash + LSH banding — the 100 TB dedup path,
+    hash-checked end to end (the oracle replicates the integer-exact
+    signature/band math, so candidate sets match bit-for-bit):
+
+    1. 12 minhashes per doc over its shingle set (universal-hash
+       family mod p on the 60-bit shingle hash);
+    2. 4 bands × 3 rows; band key = positional combine of the band's
+       minhashes; candidates MEET IN BAND BUCKETS via a band-hash
+       self-equi-join — cost set by signature geometry, never an
+       all-pairs scan (contrast q_dedup_near, whose shingle join is
+       Σ|bucket|² on hot shingles);
+    3. exact Jaccard re-verification computed ONLY for candidate
+       pairs (the shingle join is pre-filtered by the candidate set).
+
+    Output = true near-dups among LSH candidates; recall vs the exact
+    pair set is tested in tests/test_minhash_lsh.py (≥0.9)."""
+    ex = _shingle_sets(spark, sf_dir)
+    exh = ex.withColumn(
+        "h",
+        F.expr(f"CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {_LSH_P}"),
+    )
+    hashes = F.broadcast(
+        spark.range(_LSH_NH).select(F.col("id").alias("i"))
+    )
+    sig = (
+        exh.crossJoin(hashes)
+        .select(
+            "doc_id",
+            "i",
+            F.expr(
+                f"(((1103515245 * i + 12345) % {_LSH_P}) * h"
+                f" + ((1103515245 * (i + 100) + 12345) % {_LSH_P})) % {_LSH_P}"
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("g").alias("m"))
+    )
+    bands = sig.groupBy(
+        "doc_id", F.expr(f"CAST(i DIV {_LSH_ROWS} AS INT)").alias("band")
+    ).agg(
+        F.sum(
+            F.col("m")
+            * F.expr("CASE WHEN i % 3 = 0 THEN 961 WHEN i % 3 = 1 THEN 31 ELSE 1 END")
+        ).cast("bigint").alias("bh")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id1"),
+            F.col("b.doc_id").alias("doc_id2"),
+        )
+        .distinct()
+    )
+    x, y = exh.alias("x"), exh.alias("y")
+    verified = (
+        cands.join(x, F.col("x.doc_id") == F.col("doc_id1"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_id2"))
+            & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("doc_id1", "doc_id2")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("x.ns").alias("na"),
+            F.first("y.ns").alias("nb"),
+        )
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    ).cast("double")
+    return verified.where(jac >= 0.8).select(
+        "doc_id1", "doc_id2", mround(jac).alias("jaccard")
     )
 
 

@@ -172,3 +172,15 @@ def test_tfidf_total_docs_broadcasts(plans):
     p = plans("q_text_tfidf")
     assert "CartesianProduct" not in p
     assert "Broadcast" in p
+
+
+def test_dedup_lsh_candidates_meet_in_band_buckets(plans):
+    # The whole point of the LSH variant: candidates meet via the
+    # (band, band-hash) self-equi-join, never an all-pairs product.
+    # (The only permitted nested-loop is the bounded 12-row broadcast
+    # of the hash-family parameters.)
+    p = plans("q_dedup_lsh")
+    assert "CartesianProduct" not in p
+    assert (
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    ), "band-bucket candidate join must be an equi-join"
