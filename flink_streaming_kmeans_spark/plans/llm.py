@@ -472,3 +472,67 @@ def q_text_stats(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         davg(F.size(F.split("text", " ")), "avg_tokens"),
     )
+
+
+from .ml import _ASSIGN_CTE as _IVF_ASSIGN_CTE
+
+
+@register(
+    "q_sim_ivf",
+    oracle=f"""
+    {_IVF_ASSIGN_CTE}, asg AS (
+        SELECT vec_id, embedding, CAST(cid AS INT) AS cid
+        FROM ranked WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS qemb, cid
+        FROM asg WHERE vec_id < 10
+    ), cands AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_inner_product(a.embedding::DOUBLE[], p.qemb::DOUBLE[]) AS sim
+        FROM probes p
+        JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
+    ), rr AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM cands
+    )
+    SELECT query_id, neighbor_id, {sql_mround('sim')} AS sim
+    FROM rr WHERE rn <= 3
+    """,
+)
+def q_sim_ivf(spark, sf_dir):
+    """IVF-style ANN: the OTHER standard scale path next to LSH
+    (q_sim_ann) — a coarse quantizer (here: the engine's own k-means
+    assignment step with its deterministic centroid init) partitions
+    the corpus into inverted lists; each probe searches only its own
+    list, exact top-3 re-rank inside. Candidates meet in an equi-join
+    on the cluster id, so cost per probe is the list size, never the
+    corpus. Single-probe geometry for oracle determinism; production
+    raises nprobe and trains the quantizer with q_ml_kmeans_iter."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from ..operators.kmeans import assign, init_centroids
+
+    asg = assign(fan_out(e), init_centroids(e)).select(
+        "vec_id", "embedding", F.col("cid").cast("int").alias("cid")
+    )
+    probes = asg.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        "cid",
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(asg, "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot64("embedding", "qemb").alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", mround("sim").alias("sim"))
+    )

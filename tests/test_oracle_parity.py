@@ -64,7 +64,7 @@ def test_contract_is_complete(registry):
     binned range join, partitioned sink, boolean/try aggregates,
     dedup clustering, tf-idf, map funcs, salted join, CSV/JSONL
     sources, hash sampling, event funnel, mode, navigation windows,
-    gap fill, MinHash-LSH near-dup), all hash-checked."""
+    gap fill, MinHash-LSH near-dup, IVF ANN), all hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 90, sorted(queries)
-    assert len(oracles) == 88
+    assert len(queries) == 91, sorted(queries)
+    assert len(oracles) == 89
