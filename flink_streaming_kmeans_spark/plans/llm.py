@@ -193,36 +193,19 @@ def q_dedup_cluster(spark, sf_dir):
     large-star/small-star contraction (Kiveris et al.) which keeps the
     same join-per-round shape but contracts diameter quadratically.
     Oracle: DuckDB recursive-CTE reachability closure."""
+    from ..operators.graph import connected_components
+
     pairs = _near_pairs(spark, sf_dir).select("doc_id1", "doc_id2")
-    edges = pairs.union(
-        pairs.select(F.col("doc_id2").alias("doc_id1"), F.col("doc_id1").alias("doc_id2"))
-    ).toDF("src", "dst").localCheckpoint()
-    d = load_table(spark, sf_dir, "documents")
-    labels = d.select(
-        "doc_id", F.col("doc_id").alias("label")
-    ).localCheckpoint()
-    while True:
-        prop = edges.join(
-            labels.withColumnRenamed("doc_id", "src"), "src"
-        ).select(F.col("dst").alias("doc_id"), "label")
-        new_labels = (
-            labels.union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    edges = pairs.select(
+        F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst")
+    )
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    labels = connected_components(nodes, edges)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     return labels.join(F.broadcast(sizes), "label").select(
-        "doc_id", F.col("label").alias("cluster_id"), "n_members"
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"), "n_members"
     )
 
 

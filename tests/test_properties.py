@@ -125,3 +125,47 @@ def test_mround_matches_duckdb_exactly(spark, xs):
             f"SELECT {sql_mround('CAST(? AS DOUBLE)')}", [x]
         ).fetchall()
         assert got[i] == pytest.approx(want, abs=0.0), (x, got[i], want)
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(edges=edge_lists)
+@SET
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed min-label propagation must agree with a plain
+    union-find on ANY undirected graph over 15 nodes."""
+    from flink_streaming_kmeans_spark.operators.graph import connected_components
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    # union-find roots are not necessarily component minima; normalize
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    want = {i: min(comp[find(i)]) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edf = spark.createDataFrame(
+        edges or [(0, 0)], "src bigint, dst bigint"
+    )
+    if not edges:
+        edf = edf.where(F.lit(False))
+    got = {r.id: r.label for r in connected_components(nodes, edf).collect()}
+    assert got == want
