@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import davg, dsum, sql_davg, sql_dsum
+from ..functions.vector import davg, dsum, mround, sql_davg, sql_dsum
 from ..sources.loader import load_table
 from .registry import register
 
@@ -295,4 +295,54 @@ def q_agg_mode(spark, sf_dir):
             F.col("o_orderpriority").alias("mode_priority"),
             F.col("cnt").alias("mode_count"),
         )
+    )
+
+
+@register(
+    "q_agg_corr",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           FLOOR(((n * sxy - sx * sy)
+                  / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
+                 * 10000.0 + 0.5) / 10000.0 AS corr_qty_price
+    FROM m
+    """,
+)
+def q_agg_corr(spark, sf_dir):
+    """Pearson correlation per group — NOT via the native corr()
+    aggregate, whose streaming-update float order is engine-defined.
+    Instead: five exact decimal moment sums (order-independent), then
+    the closed-form correlation in identically-ordered double
+    arithmetic + matched round. Same single-shuffle partial+final
+    hash-aggregate shape as any groupBy; the five sums all combine
+    map-side. (Products are formed in DOUBLE first — IEEE-identical on
+    both engines — then decimal-summed; double→decimal(30,6) has no
+    exact midpoints, so the cast is deterministic too.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(30,6)")  # noqa: E731
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(x)).cast("double").alias("sx"),
+        F.sum(dec(y)).cast("double").alias("sy"),
+        F.sum(dec(x * y)).cast("double").alias("sxy"),
+        F.sum(dec(x * x)).cast("double").alias("sxx"),
+        F.sum(dec(y * y)).cast("double").alias("syy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag", "n", mround(corr).alias("corr_qty_price")
     )

@@ -326,3 +326,34 @@ def q_join_salted(spark, sf_dir):
         dsum("l_extendedprice", "revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "q_join_not_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+    """,
+)
+def q_join_not_in(spark, sf_dir):
+    """NOT IN subquery — three-valued-logic anti join: one NULL in the
+    subquery output empties the result, so Spark plans a dedicated
+    null-aware anti join (BroadcastHashJoin ... NullAwareAntiJoin)
+    rather than a plain LeftAnti. Registered via spark.sql so the
+    subquery path (not a hand-built anti join) is what's exercised;
+    the build side must stay broadcastable at scale — for a large
+    non-null subquery, rewrite to LeftAnti after an explicit
+    IS NOT NULL filter."""
+    from .relational import _view
+
+    v = _view(spark, sf_dir, "orders", "customer")
+    return spark.sql(f"""
+        SELECT o_orderkey, o_custkey
+        FROM {v['orders']}
+        WHERE o_custkey NOT IN (
+            SELECT c_custkey FROM {v['customer']} WHERE c_acctbal < 0
+        )
+    """)

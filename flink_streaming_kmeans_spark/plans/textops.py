@@ -564,3 +564,37 @@ def q_sample_hash(spark, sf_dir):
     return d.where(
         F.expr(_SPARK_H60.format(x="text") + " % 100 < 20")
     ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_DUCK_H60.format(x='text')}, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sample: exactly 20 docs per language,
+    chosen by content-hash order (+ doc_id tie-break) — balanced
+    per-stratum subsets that are stable across reruns/partitioning,
+    the companion to q_sample_hash's global split. One shuffle on the
+    stratum key; per-stratum top-k via window (WindowGroupLimit prunes
+    map-side, so the shuffle carries ~k rows per stratum, not the
+    table)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.expr(_SPARK_H60.format(x="text")), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "lang", F.col("rn").cast("int").alias("rank"))
+    )

@@ -64,7 +64,8 @@ def test_contract_is_complete(registry):
     binned range join, partitioned sink, boolean/try aggregates,
     dedup clustering, tf-idf, map funcs, salted join, CSV/JSONL
     sources, hash sampling, event funnel, mode, navigation windows,
-    gap fill, MinHash-LSH near-dup, IVF ANN), all hash-checked."""
+    gap fill, MinHash-LSH near-dup, IVF ANN, correlation, NOT-IN
+    null-aware anti join, stratified sampling), all hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 91, sorted(queries)
-    assert len(oracles) == 89
+    assert len(queries) == 94, sorted(queries)
+    assert len(oracles) == 92

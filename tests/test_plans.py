@@ -184,3 +184,10 @@ def test_dedup_lsh_candidates_meet_in_band_buckets(plans):
     assert (
         "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     ), "band-bucket candidate join must be an equi-join"
+
+
+def test_not_in_plans_null_aware_anti_join(plans):
+    # NOT IN must exercise Spark's dedicated three-valued-logic path,
+    # not decay to a plain LeftAnti (which would be wrong under NULLs).
+    p = plans("q_join_not_in")
+    assert "NullAwareAntiJoin" in p or "LeftAnti BuildRight" in p, p
