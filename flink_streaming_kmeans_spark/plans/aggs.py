@@ -346,3 +346,29 @@ def q_agg_corr(spark, sf_dir):
     return m.select(
         "l_returnflag", "n", mround(corr).alias("corr_qty_price")
     )
+
+
+@register(
+    "q_agg_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_prios,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_multi_distinct(spark, sf_dir):
+    """Two COUNT(DISTINCT) over different columns in one aggregate —
+    Spark plans this with an Expand (one replicated stream per
+    distinct set, then two-phase dedup+count). The replication factor
+    is the number of distinct aggregates: fine at 2-3, a scale hazard
+    at many — beyond that, restructure to per-column aggregates joined
+    back, or approx_count_distinct where tolerance allows."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -261,3 +261,77 @@ def q_ts_gapfill(spark, sf_dir):
             F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_win_time_range",
+    oracle=f"""
+    SELECT event_id, user_id, date_trunc('second', ts) AS ts_s,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_10m,
+           {{dsum_over_w}}
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
+    """.format(
+        dsum_over_w=(
+            "CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)"
+            " AS sum_value_10m"
+        )
+    ),
+)
+def q_win_time_range(spark, sf_dir):
+    """Per-user trailing 10-minute RANGE window (count + decimal-exact
+    sum) — the time-interval frame the numeric q_win_range_frame
+    doesn't cover, and the batch twin of a streaming sliding
+    aggregate. Partitioned by user_id (high-cardinality, uniform), so
+    unlike coarse-key range frames (SCALE.md finding 2) the per-key
+    frame density is bounded by a user's own 10-minute event rate."""
+    ev = load_table(spark, sf_dir, "events")
+    # SQL frame spec: the DataFrame rangeBetween API takes raw longs,
+    # which for timestamps means remembering the internal microsecond
+    # encoding — the INTERVAL literal form is explicit and readable.
+    return ev.selectExpr(
+        "event_id",
+        "user_id",
+        "date_trunc('second', ts) AS ts_s",
+        "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS BIGINT)"
+        " AS n_prev_10m",
+        "CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        " AS sum_value_10m",
+    )
+
+
+@register(
+    "q_rollup_time",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           EXTRACT(hour FROM ts) AS hour,
+           event_type,
+           COUNT(*) AS n, {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('day', ts) AS DATE),
+                     EXTRACT(hour FROM ts), event_type)
+    """,
+)
+def q_rollup_time(spark, sf_dir):
+    """Hypertable-style time rollup: one pass produces the hourly,
+    daily, and grand-total aggregates via ROLLUP over the
+    (day, hour, type) hierarchy — the continuous-aggregate shape a
+    time-series store maintains. Spark expands each input row once per
+    grouping level, then one partial+final hash-aggregate; shuffle
+    carries only group rows. At 100 TB the day/hour derivation also
+    matches a partition layout (day=.../hour=...), so the finest level
+    reads pruned."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            F.hour("ts").cast("bigint").alias("hour"),
+            "event_type",
+            "value",
+        )
+        .rollup("day", "hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )

@@ -65,7 +65,8 @@ def test_contract_is_complete(registry):
     dedup clustering, tf-idf, map funcs, salted join, CSV/JSONL
     sources, hash sampling, event funnel, mode, navigation windows,
     gap fill, MinHash-LSH near-dup, IVF ANN, correlation, NOT-IN
-    null-aware anti join, stratified sampling), all hash-checked."""
+    null-aware anti join, stratified sampling, multi-distinct,
+    time-range window, time rollup), all hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 94, sorted(queries)
-    assert len(oracles) == 92
+    assert len(queries) == 97, sorted(queries)
+    assert len(oracles) == 95

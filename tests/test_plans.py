@@ -191,3 +191,11 @@ def test_not_in_plans_null_aware_anti_join(plans):
     # not decay to a plain LeftAnti (which would be wrong under NULLs).
     p = plans("q_join_not_in")
     assert "NullAwareAntiJoin" in p or "LeftAnti BuildRight" in p, p
+
+
+def test_multi_distinct_uses_expand(plans):
+    # Two COUNT(DISTINCT) over different columns: Spark's Expand-based
+    # rewrite (replicate per distinct set) — the plan to watch, since
+    # its cost multiplies with each additional distinct aggregate.
+    p = plans("q_agg_multi_distinct")
+    assert "Expand" in p
