@@ -57,13 +57,27 @@ def mround(col, scale: int = 4) -> Column:
     """
     col = F.col(col) if isinstance(col, str) else col
     p = float(10**scale)
-    return F.floor(col * p + F.lit(0.5)) / F.lit(p)
+    # Guard non-finite and huge inputs: Spark's floor(double) returns
+    # BIGINT (NaN→0, ±inf/overflow clamp to Long.Min/MaxValue) while
+    # DuckDB's floor stays double — rounding such values would silently
+    # diverge. Pass them through raw instead: NaN/±inf/null are already
+    # identical doubles on both engines, and above |x| > 1e12 the
+    # double grid is coarser than ~1e-4 anyway, so rounding to 4
+    # decimals is (near-)identity and skipping it loses nothing.
+    rounded = F.floor(col * p + F.lit(0.5)) / F.lit(p)
+    return F.when(
+        col.isNull() | F.isnan(col) | (F.abs(col) > F.lit(1e12)), col
+    ).otherwise(rounded)
 
 
 def sql_mround(expr: str, scale: int = 4) -> str:
     """DuckDB SQL twin of :func:`mround` (keep in lockstep)."""
     p = 10**scale
-    return f"floor(({expr}) * {p} + 0.5) / {p}"
+    return (
+        f"(CASE WHEN ({expr}) IS NULL OR isnan({expr}) OR abs({expr}) > 1e12"
+        f" THEN ({expr})"
+        f" ELSE floor(({expr}) * {p} + 0.5) / {p} END)"
+    )
 
 
 def dsum(col, alias: str, scale: int = 4) -> Column:

@@ -147,7 +147,13 @@ def lloyd_iterate(
                 break
 
         final_fn = _final_assign_fn(C, cids)
-        return cached.mapInPandas(final_fn, "vec_id bigint, cluster_id int")
+        # Materialize the final assignment BEFORE the finally-block
+        # unpersists the input: the returned DataFrame is lazy, and
+        # without this the cache would be gone by the time any caller
+        # acts on it, re-scanning the source on every downstream action.
+        return cached.mapInPandas(
+            final_fn, "vec_id bigint, cluster_id int"
+        ).localCheckpoint(eager=True)
     finally:
         cached.unpersist()
 

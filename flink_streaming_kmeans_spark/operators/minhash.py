@@ -21,13 +21,19 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingles array<string>, ns) — distinct token-3-grams,
-    same construction as q_dedup_near (codegen posexplode form)."""
+def shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) — one row per DISTINCT token-3-gram per document.
+
+    THE canonical shingle definition: q_dedup_near, q_dedup_cluster,
+    q_dedup_lsh (plans/llm.py) and the MinHashLSH path below all build
+    on this one construction, so the exact oracle and every
+    approximate variant can never silently diverge on what a shingle
+    is. Codegen posexplode + element_at form — see q_dedup_near's
+    docstring for why not transform(sequence(...), λ)."""
     toks = docs.select("doc_id", F.split("text", " ").alias("w")).where(
         F.size("w") >= 3
     )
-    tri = (
+    return (
         toks.select("doc_id", "w", F.posexplode("w").alias("pos", "t0"))
         .where(F.col("pos") <= F.size("w") - 3)
         .select(
@@ -41,7 +47,12 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
         )
         .dropDuplicates(["doc_id", "s"])
     )
-    return tri.groupBy("doc_id").agg(
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles array<string>, ns) — collected form of
+    :func:`shingle_rows` for the MinHashLSH vectorizer."""
+    return shingle_rows(docs).groupBy("doc_id").agg(
         F.collect_list("s").alias("shingles"), F.count(F.lit(1)).alias("ns")
     )
 

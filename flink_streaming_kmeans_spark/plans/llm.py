@@ -91,26 +91,14 @@ _NEAR_PAIRS_CTE = f"""
 
 def _shingle_sets(spark, sf_dir):
     """Distinct 3-gram shingle set per document: (doc_id, s, ns) where
-    ns is the doc's shingle-set size. Shared by the exact near-dup
-    join and the MinHash-LSH variant."""
+    ns is the doc's shingle-set size. Delegates the shingle definition
+    to operators/minhash.py:shingle_rows — ONE construction shared by
+    the exact join, the clustering closure, the hash-checked LSH
+    query, and the MinHashLSH recall path."""
+    from ..operators.minhash import shingle_rows
+
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
-        F.size("w") >= 3
-    )
-    tri = (
-        toks.select("doc_id", "w", F.posexplode("w").alias("pos", "t0"))
-        .where(F.col("pos") <= F.size("w") - 3)
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                "t0",
-                F.element_at("w", F.col("pos") + 2),
-                F.element_at("w", F.col("pos") + 3),
-            ).alias("s"),
-        )
-    )
-    return tri.dropDuplicates(["doc_id", "s"]).withColumn(
+    return shingle_rows(d).withColumn(
         "ns", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
     )
 

@@ -62,11 +62,7 @@ def q_sink_roundtrip(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 25)
     # Unique per-invocation dir: concurrent runs at the same scale factor
     # must not overwrite each other between the write and the re-read.
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "fsk_spark_sink",
-        f"{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}-{uuid.uuid4().hex}",
-    )
+    out = _tmp_out("rt", sf_dir)
     li.select("l_orderkey", "l_returnflag", "l_quantity").write.mode(
         "overwrite"
     ).parquet(out)
@@ -92,11 +88,7 @@ def q_sink_partitioned(spark, sf_dir):
     one partition and scanning the lake (tests/test_storage.py asserts
     the pruning). The oracle recomputes from the source table."""
     li = load_table(spark, sf_dir, "lineitem")
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "fsk_spark_sink",
-        f"part-{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}-{uuid.uuid4().hex}",
-    )
+    out = _tmp_out("part", sf_dir)
     li.select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity").write.mode(
         "overwrite"
     ).partitionBy("l_returnflag").parquet(out)
@@ -108,9 +100,27 @@ def q_sink_partitioned(spark, sf_dir):
 
 
 def _tmp_out(prefix: str, sf_dir: str) -> str:
+    """Unique per-invocation sink dir + age-based GC of old siblings.
+
+    Uniqueness keeps concurrent runs from clobbering each other between
+    write and re-read; the GC (anything older than 30 min) bounds the
+    disk these round-trip queries consume across repeated bench/test
+    runs — a lazily-evaluated result can still be reading its input, so
+    same-run dirs must survive, but half-hour-old ones are dead."""
+    import shutil
+    import time
+
+    root = os.path.join(tempfile.gettempdir(), "fsk_spark_sink")
+    try:
+        cutoff = time.time() - 1800
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
     return os.path.join(
-        tempfile.gettempdir(),
-        "fsk_spark_sink",
+        root,
         f"{prefix}-{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}-{uuid.uuid4().hex}",
     )
 

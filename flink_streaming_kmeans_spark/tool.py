@@ -41,6 +41,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default="auto",
         help="input format (auto: .parquet suffix → parquet, else csv)",
     )
+    p.add_argument(
+        "--no-header",
+        action="store_true",
+        help="CSV input has no header row (headerless id,x,y,... lines)",
+    )
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--max-iters", type=int, default=20)
     p.add_argument("--output", required=True, help="output parquet dir")
@@ -53,7 +58,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
-def load_points(spark, path: str, fmt: str):
+def load_points(spark, path: str, fmt: str, header: bool = True):
     """Load points as (vec_id bigint, embedding array<float>)."""
     if fmt == "auto":
         fmt = "parquet" if path.rstrip("/").endswith(".parquet") else "csv"
@@ -67,7 +72,7 @@ def load_points(spark, path: str, fmt: str):
         return df.select("vec_id", "embedding")
     # CSV text lines: first column is the id, the rest are coordinates
     # (the reference parsed "lat,lon"-style lines into Feature POJOs).
-    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    df = spark.read.option("header", header).option("inferSchema", True).csv(path)
     id_col, *coord_cols = df.columns
     if not coord_cols:
         raise SystemExit("csv input needs an id column plus >=1 coordinate column")
@@ -86,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.parallelism:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
 
-    pts = load_points(spark, args.input, args.format)
+    pts = load_points(spark, args.input, args.format, header=not args.no_header)
     assigned = lloyd_iterate(spark, pts, k=args.k, max_iter=args.max_iters)
     assigned.write.mode("overwrite").parquet(args.output)
 

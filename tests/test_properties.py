@@ -121,8 +121,11 @@ def test_mround_matches_duckdb_exactly(spark, xs):
     }
     con = duckdb.connect()
     for i, x in enumerate(xs):
+        # bind once through a subquery alias: the guarded sql_mround
+        # repeats its argument expression several times
         [(want,)] = con.execute(
-            f"SELECT {sql_mround('CAST(? AS DOUBLE)')}", [x]
+            f"SELECT {sql_mround('x')} FROM (SELECT CAST(? AS DOUBLE) AS x)",
+            [x],
         ).fetchall()
         assert got[i] == pytest.approx(want, abs=0.0), (x, got[i], want)
 

@@ -61,3 +61,26 @@ def test_tool_csv_points(spark, capsys):
         assert 1 <= len(summary["clusters"]) <= 4
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tool_headerless_csv(spark, tmp_path):
+    """--no-header must not consume the first data point (the reference
+    KMeansTool's text lines have no header row)."""
+    import json
+    import subprocess
+    import sys
+
+    pts = tmp_path / "pts.csv"
+    pts.write_text("".join(f"{i},{i % 3}.5,{i % 3}.25\n" for i in range(30)))
+    out = tmp_path / "assigned"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "flink_streaming_kmeans_spark.tool",
+            "--input", str(pts), "--format", "csv", "--no-header",
+            "--k", "3", "--max-iters", "5", "--output", str(out),
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_points"] == 30, summary
