@@ -206,3 +206,33 @@ def q_map_funcs(spark, sf_dir):
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
         F.element_at(merged, "x").alias("extra"),
     )
+
+
+@register(
+    "q_str_levenshtein",
+    oracle="""
+    SELECT p_partkey, p_name,
+           CAST(levenshtein(p_name, 'standard polished brass') AS INT)
+               AS dist_std,
+           CAST(levenshtein(p_brand, p_type) AS INT) AS dist_bt
+    FROM part
+    WHERE levenshtein(p_name, 'standard polished brass') <= 15
+    """,
+)
+def q_str_levenshtein(spark, sf_dir):
+    """Edit-distance fuzzy matching (integer-exact on both engines) —
+    the cheap fuzzy-join primitive for catalog/entity dedup. As a
+    filter it's a pure map pass; as a JOIN condition at scale it must
+    be blocked first (prefix/length/q-gram buckets) — levenshtein in a
+    theta-join is the quadratic trap, same rule as q_dedup_near."""
+    p = load_table(spark, sf_dir, "part")
+    d = F.levenshtein("p_name", F.lit("standard polished brass"))
+    return (
+        p.where(d <= 15)
+        .select(
+            "p_partkey",
+            "p_name",
+            d.cast("int").alias("dist_std"),
+            F.levenshtein("p_brand", "p_type").cast("int").alias("dist_bt"),
+        )
+    )

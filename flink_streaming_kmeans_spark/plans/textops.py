@@ -598,3 +598,45 @@ def q_sample_stratified(spark, sf_dir):
         .where(F.col("rn") <= 20)
         .select("doc_id", "lang", F.col("rn").cast("int").alias("rank"))
     )
+
+
+@register(
+    "q_text_ngram_freq",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bi AS (
+        SELECT w[p] || ' ' || w[p + 1] AS bigram
+        FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(p)
+        WHERE len(w) >= 2
+    ), counts AS (
+        SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram
+    )
+    SELECT bigram, n
+    FROM counts
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_text_ngram_freq(spark, sf_dir):
+    """Global top-20 bigram frequencies — corpus vocabulary statistics
+    (the input to stopword lists, tokenizer merges, contamination
+    checks). Explode + one hash-aggregate keyed by bigram +
+    TakeOrderedAndProject with a total order (count desc, bigram asc);
+    the shuffle carries one row per distinct bigram, the top-k merge
+    k rows per partition."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.split("text", " ").alias("w")).where(F.size("w") >= 2)
+    bi = (
+        toks.select("w", F.posexplode("w").alias("pos", "t0"))
+        .where(F.col("pos") <= F.size("w") - 2)
+        .select(
+            F.concat_ws(" ", "t0", F.element_at("w", F.col("pos") + 2)).alias("bigram")
+        )
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
