@@ -24,6 +24,16 @@ CANDIDATES = [
     "q_ml_kmeans_assign",
     "q_ml_kmeans_iter",
     "q_agg_collect",
+    # round-2b additions with nondeterminism potential: driver-loop
+    # label propagation, fan_out round-robin repartition feeding
+    # all-pairs / LSH banding, stratified top-k, funnel left joins
+    "q_dedup_cluster",
+    "q_dedup_embed",
+    "q_dedup_lsh",
+    "q_sim_ivf",
+    "q_sample_stratified",
+    "q_evt_funnel",
+    "q_text_tfidf",
 ]
 
 

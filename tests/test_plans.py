@@ -199,3 +199,17 @@ def test_multi_distinct_uses_expand(plans):
     # its cost multiplies with each additional distinct aggregate.
     p = plans("q_agg_multi_distinct")
     assert "Expand" in p
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, registry):
+    # Runtime evidence that AQE is live: after execution, the final
+    # adaptive plan reads the 32-partition shuffle through an
+    # AQEShuffleRead that coalesces tiny map outputs — the mechanism
+    # that right-sizes reducer counts at any SF without retuning
+    # spark.sql.shuffle.partitions.
+    queries, _ = registry
+    df = queries["q_agg_q1"](spark, SF_T2)
+    df.collect()  # materialize so the adaptive plan is final
+    p = plan_of(df)
+    assert "AdaptiveSparkPlan" in p
+    assert "AQEShuffleRead" in p and "coalesced" in p.lower(), p
