@@ -213,3 +213,43 @@ def test_aqe_coalesces_shuffle_partitions(spark, registry):
     p = plan_of(df)
     assert "AdaptiveSparkPlan" in p
     assert "AQEShuffleRead" in p and "coalesced" in p.lower(), p
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # Runtime evidence for the skew story SCALE.md leans on: a hot key
+    # (200k of 300k rows) under a sort-merge join gets split by AQE's
+    # OptimizeSkewedJoin — the executed plan shows
+    # SortMergeJoin(skew=true) reading 'coalesced and skewed' shuffle
+    # partitions. Thresholds are scaled to local data sizes and
+    # restored afterwards.
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(300_000).select(
+            F.when(F.col("id") < 200_000, F.lit(7))
+            .otherwise((F.col("id") % 999) + 10)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(2_000).select(
+            (F.col("id") % 1100).alias("k"), F.col("id").alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 589_100
+        p = plan_of(j)  # executed → final adaptive plan
+        assert "skew=true" in p, p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
