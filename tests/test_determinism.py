@@ -48,3 +48,35 @@ def test_run_twice_identical(spark, registry, name):
     n1, c1, h1 = _hash_of(queries[name](spark, SF_SMOKE))
     n2, c2, h2 = _hash_of(queries[name](spark, SF_SMOKE))
     assert (n1, c1, h1) == (n2, c2, h2)
+
+
+PARTITION_SENSITIVE = [
+    # float aggregation order, window framing, driver loops, Python
+    # paths — everything that COULD change with reducer count
+    "q_agg_q1",
+    "q_agg_corr",
+    "q_win_range_frame",
+    "q_ml_kmeans_update",
+    "q_dedup_lsh",
+    "q_text_tfidf",
+    "q_udaf_pandas",
+]
+
+
+@pytest.mark.parametrize("name", PARTITION_SENSITIVE)
+def test_partition_invariance(spark, registry, name):
+    """Same canonical hash at shuffle.partitions=5 and =32: results
+    must not depend on reducer count — the property that lets the same
+    query run on 8 local threads or 8000 cluster cores. The decimal
+    summation discipline is what makes float aggregates pass this."""
+    queries, _ = registry
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "5")
+        a = _hash_of(queries[name](spark, SF_SMOKE))
+        spark.conf.set(key, "32")
+        b = _hash_of(queries[name](spark, SF_SMOKE))
+        assert a == b
+    finally:
+        spark.conf.set(key, saved)
