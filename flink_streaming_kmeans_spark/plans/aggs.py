@@ -372,3 +372,28 @@ def q_agg_multi_distinct(spark, sf_dir):
         F.countDistinct("o_orderpriority").alias("n_prios"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "q_agg_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_agg_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/STRING_AGG): collect_list
+    carries NO ordering guarantee across shuffles, so the list is
+    array_sort-ed before joining — the only deterministic formulation
+    (registry rule 4 applied to aggregation). Shuffle carries the
+    per-group name lists; at scale, bound group sizes or switch to a
+    top-k window first — an unbounded LISTAGG over a hot group is an
+    OOM by construction."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )

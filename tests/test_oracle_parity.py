@@ -66,8 +66,8 @@ def test_contract_is_complete(registry):
     sources, hash sampling, event funnel, mode, navigation windows,
     gap fill, MinHash-LSH near-dup, IVF ANN, correlation, NOT-IN
     null-aware anti join, stratified sampling, multi-distinct,
-    time-range window, time rollup, levenshtein, ngram freq), all
-    hash-checked."""
+    time-range window, time rollup, levenshtein, ngram freq, ordered
+    string agg), all hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 99, sorted(queries)
-    assert len(oracles) == 97
+    assert len(queries) == 100, sorted(queries)
+    assert len(oracles) == 98
