@@ -236,3 +236,39 @@ def q_str_levenshtein(spark, sf_dir):
             F.levenshtein("p_brand", "p_type").cast("int").alias("dist_bt"),
         )
     )
+
+
+@register(
+    "q_struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS st,
+           o_totalprice AS price,
+           2 AS n_fields,
+           o_orderstatus || ':' || CAST(o_custkey AS VARCHAR) AS packed_key
+    FROM orders
+    """,
+)
+def q_struct_funcs(spark, sf_dir):
+    """STRUCT column round-trip (the nested type q_map_funcs/
+    q_array_funcs don't cover): pack fields into a struct, read them
+    back via dot access / getField, count fields, derive a key from
+    struct members. Oracle is the scalar ground truth the round-trip
+    must reproduce. Structs are Tungsten-columnar and codegen-friendly
+    — the natural shape for typed metadata (multimodal meta, source
+    provenance) in a training-data pipeline."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("st").alias("st"),
+        s.getField("price").alias("price"),
+        F.lit(2).alias("n_fields"),
+        F.concat_ws(
+            ":", s.getField("st"), s.getField("ck").cast("string")
+        ).alias("packed_key"),
+    )

@@ -67,7 +67,7 @@ def test_contract_is_complete(registry):
     gap fill, MinHash-LSH near-dup, IVF ANN, correlation, NOT-IN
     null-aware anti join, stratified sampling, multi-distinct,
     time-range window, time rollup, levenshtein, ngram freq, ordered
-    string agg), all hash-checked."""
+    string agg, struct round-trip), all hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 100, sorted(queries)
-    assert len(oracles) == 98
+    assert len(queries) == 101, sorted(queries)
+    assert len(oracles) == 99
