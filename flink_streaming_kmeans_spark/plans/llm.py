@@ -507,3 +507,58 @@ def q_sim_ivf(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", mround("sim").alias("sim"))
     )
+
+
+@register(
+    "q_text_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLES_CTE}, tr AS (
+        SELECT doc_id, s, ns FROM ex WHERE doc_id % 10 <> 0
+    ), ev AS (
+        SELECT doc_id AS eval_id, s FROM ex WHERE doc_id % 10 = 0
+    )
+    SELECT tr.doc_id,
+           COUNT(DISTINCT tr.s) AS n_hit,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_docs,
+           {sql_mround('CAST(COUNT(DISTINCT tr.s) AS DOUBLE)'
+                       ' / ANY_VALUE(tr.ns)')} AS contamination
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id
+    """,
+)
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing 3-gram
+    shingles with a held-out eval split (here: doc_id % 10 == 0 plays
+    the benchmark suite). Per contaminated train doc: how many of its
+    distinct shingles appear in any eval doc, how many eval docs are
+    hit, and the contaminated fraction of its shingle set.
+
+    Same canonical shingle construction as q_dedup_near
+    (operators/minhash.py:shingle_rows). Scale shape: eval/benchmark
+    suites are tiny next to a training corpus, so the eval shingle set
+    is broadcast and the whole check is one map-side join over the
+    corpus shingles — no shuffle of the big side. If the eval set ever
+    outgrows broadcast, drop the hint and it degrades gracefully to
+    the same shuffled equi-join as q_dedup_near."""
+    ex = _shingle_sets(spark, sf_dir)
+    tr = ex.where(F.col("doc_id") % 10 != 0)
+    ev = ex.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_id"), "s"
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_hit"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.first("ns").alias("ns"),
+        )
+        .select(
+            "doc_id",
+            "n_hit",
+            "n_eval_docs",
+            mround(F.col("n_hit").cast("double") / F.col("ns")).alias(
+                "contamination"
+            ),
+        )
+    )

@@ -640,3 +640,52 @@ def q_text_ngram_freq(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "q_text_chunk",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), c AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0, (len(w) - 1) // 32)) AS chunk_id
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(list_slice(w, chunk_id * 32 + 1, chunk_id * 32 + 32))
+                AS INTEGER) AS n_tokens,
+           array_to_string(list_slice(w, chunk_id * 32 + 1, chunk_id * 32 + 32),
+                           ' ') AS chunk_text
+    FROM c
+    """,
+)
+def q_text_chunk(spark, sf_dir):
+    """Sequence packing / chunking: split each document into fixed-size
+    32-token chunks (the pretraining context-window prep step), keeping
+    per-chunk token counts and the reassembled chunk text. No explode
+    of individual tokens: enumerate chunk indices with
+    sequence+explode, then slice the token array per chunk — rows out
+    = chunks, not tokens, so the shuffle-free map pass stays ~len/32 of
+    the exploded alternative and everything is whole-stage codegen.
+    Last chunk is ragged (n_tokens <= 32), matching how packers emit a
+    tail rather than padding."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    c = toks.select(
+        "doc_id",
+        "w",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.floor((F.size("w") - 1) / 32).cast("int")
+            )
+        ).alias("chunk_id"),
+    )
+    piece = F.slice("w", F.col("chunk_id") * 32 + 1, F.lit(32))
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
