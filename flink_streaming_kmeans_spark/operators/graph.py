@@ -51,3 +51,80 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"no convergence in {max_rounds} rounds")
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (a, b) with a > b, no self
+    loops, distinct."""
+    return (
+        e.where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) ∪ {u})."""
+    bidir = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = bidir.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return _canon(
+        bidir.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large→small; connect each smaller neighbor (and u
+    itself) to u's minimum neighbor."""
+    d = e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = d.join(mins, "u").where(F.col("v") != F.col("m")).select(
+        F.col("v").alias("a"), F.col("m").alias("b")
+    )
+    selfs = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+    return _canon(nbrs.union(selfs))
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 25
+) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — the 100 TB path for
+    HIGH-DIAMETER graphs.
+
+    Same (id, label=component min) contract as
+    :func:`connected_components`, but converges in O(log² n) rounds
+    regardless of diameter, where min-label propagation needs
+    diameter-many rounds (a 1M-hop chain = 1M shuffles). Each round is
+    two groupBy+join passes over the edge list; edges only get
+    replaced, never multiplied, so the per-round shuffle stays O(|E|).
+    Near-dup graphs are short chains (propagation wins on constants);
+    use this variant when components can be long paths — session
+    graphs, citation chains, URL redirect chains.
+    """
+    e = _canon(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        stable = (
+            e2.count() == e.count()
+            and e2.exceptAll(e).limit(1).count() == 0
+        )
+        e = e2
+        if stable:
+            break
+    else:
+        raise RuntimeError(f"no convergence in {max_rounds} rounds")
+    # At the fixpoint every edge points directly at its component
+    # minimum: (a=node, b=center). Centers and isolated nodes label
+    # themselves.
+    memb = e.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("label"))
+    return nodes.join(memb, "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )

@@ -172,3 +172,61 @@ def test_connected_components_matches_union_find(spark, edges):
         edf = edf.where(F.lit(False))
     got = {r.id: r.label for r in connected_components(nodes, edf).collect()}
     assert got == want
+
+
+@given(edges=edge_lists)
+@SET
+def test_star_contraction_matches_union_find(spark, edges):
+    """The large-star/small-star contraction must agree with union-find
+    on ANY undirected graph over 15 nodes — same contract as the
+    propagation variant, different round complexity."""
+    from flink_streaming_kmeans_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    want = {i: min(comp[find(i)]) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edf = spark.createDataFrame(edges or [(0, 0)], "src bigint, dst bigint")
+    if not edges:
+        edf = edf.where(F.lit(False))
+    got = {
+        r.id: r.label
+        for r in connected_components_star(nodes, edf).collect()
+    }
+    assert got == want
+
+
+def test_star_contraction_high_diameter_chain(spark):
+    """The reason the star variant exists: a 256-hop path collapses in
+    O(log² n) rounds (min-label propagation would need ~256). The
+    round cap of 10 is the assertion — propagation could not converge
+    a diameter-256 graph in 10 rounds."""
+    from flink_streaming_kmeans_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    n = 257
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    got = connected_components_star(nodes, edf, max_rounds=10).collect()
+    assert len(got) == n
+    assert all(r.label == 0 for r in got)
