@@ -689,3 +689,98 @@ def q_text_chunk(spark, sf_dir):
         F.size(piece).alias("n_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+@register(
+    "q_text_repetition",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), tok AS (
+        SELECT doc_id, unnest(w) AS t FROM toks
+    ), per_tok AS (
+        SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t
+    ), m1 AS (
+        SELECT doc_id, SUM(c) AS n_toks, COUNT(*) AS n_distinct,
+               MAX(c) AS top_c
+        FROM per_tok GROUP BY doc_id
+    ), big AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS b
+        FROM toks WHERE len(w) >= 2
+    ), per_big AS (
+        SELECT doc_id, b, COUNT(*) AS c FROM big GROUP BY doc_id, b
+    ), m2 AS (
+        SELECT doc_id, SUM(c) AS n_bi, COUNT(*) AS n_bi_distinct
+        FROM per_big GROUP BY doc_id
+    )
+    SELECT m1.doc_id,
+           CAST(m1.n_toks AS BIGINT) AS n_toks,
+           {sql_mround('1.0 - CAST(m1.n_distinct AS DOUBLE) / m1.n_toks')}
+               AS frac_dup_tokens,
+           {sql_mround('CAST(m1.top_c AS DOUBLE) / m1.n_toks')}
+               AS top_token_frac,
+           {sql_mround('COALESCE(1.0 - CAST(m2.n_bi_distinct AS DOUBLE)'
+                       ' / m2.n_bi, 0.0)')} AS frac_dup_bigrams,
+           (CAST(m1.top_c AS DOUBLE) / m1.n_toks <= 0.2
+            AND COALESCE(1.0 - CAST(m2.n_bi_distinct AS DOUBLE) / m2.n_bi,
+                         0.0) <= 0.2) AS keep
+    FROM m1 LEFT JOIN m2 ON m1.doc_id = m2.doc_id
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Repetition-based quality filter (the Gopher/RefinedWeb family):
+    per doc, the duplicate-token fraction, the most-frequent-token
+    share, and the duplicate-bigram fraction, plus a keep/drop verdict
+    at the standard 0.2 thresholds. Two hash-aggregates keyed by
+    (doc_id, gram) then doc_id — shuffle rows ∝ distinct grams per
+    doc, no joins between docs, embarrassingly parallel at corpus
+    scale. Ratios compared after mround so the oracle is bit-exact;
+    the keep flag compares UNrounded ratios on both engines."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    tok = toks.select("doc_id", F.explode("w").alias("t"))
+    m1 = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    big = (
+        toks.where(F.size("w") >= 2)
+        .select("doc_id", "w", F.posexplode("w").alias("pos", "t0"))
+        .where(F.col("pos") <= F.size("w") - 2)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "t0", F.element_at("w", F.col("pos") + 2)).alias("b"),
+        )
+    )
+    m2 = (
+        big.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bi"),
+            F.count(F.lit(1)).alias("n_bi_distinct"),
+        )
+    )
+    top_frac = F.col("top_c").cast("double") / F.col("n_toks")
+    dup_bi = F.coalesce(
+        F.lit(1.0) - F.col("n_bi_distinct").cast("double") / F.col("n_bi"),
+        F.lit(0.0),
+    )
+    return m1.join(m2, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+        mround(
+            F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_toks")
+        ).alias("frac_dup_tokens"),
+        mround(top_frac).alias("top_token_frac"),
+        mround(dup_bi).alias("frac_dup_bigrams"),
+        ((top_frac <= 0.2) & (dup_bi <= 0.2)).alias("keep"),
+    )

@@ -67,8 +67,8 @@ def test_contract_is_complete(registry):
     gap fill, MinHash-LSH near-dup, IVF ANN, correlation, NOT-IN
     null-aware anti join, stratified sampling, multi-distinct,
     time-range window, time rollup, levenshtein, ngram freq, ordered
-    string agg, struct round-trip, decontamination, token chunking),
-    all hash-checked."""
+    string agg, struct round-trip, decontamination, token chunking,
+    repetition filter), all hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 103, sorted(queries)
-    assert len(oracles) == 101
+    assert len(queries) == 104, sorted(queries)
+    assert len(oracles) == 102
