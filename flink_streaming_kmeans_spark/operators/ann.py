@@ -1,0 +1,112 @@
+"""Multi-table random-hyperplane LSH ANN — the recall lever over the
+single-table q_sim_ann (plans/textops.py).
+
+q_sim_ann keys candidates on ONE 8-bit signed-projection signature:
+cheap, deterministic, oracle-verifiable — but a true neighbor that
+disagrees on any one of the 8 bits is lost. The standard fix is L
+independent hash tables: a vector lands in L buckets, probes collect
+the union of same-bucket candidates from every table, and the exact
+re-rank dedupes. P(candidate) = 1-(1-p^b)^L rises quickly with L at
+high cosine similarity, so recall is tunable without touching the
+plan shape — the candidate step stays an equi-join on
+(table, bucket), one shuffle whose key cardinality is L x 2^b,
+independent of corpus size.
+
+Table 0 reuses exactly q_sim_ann's hyperplanes (same LCG stream
+index h*64+d with h=0..7), so the multi-table candidate set is a
+SUPERSET of the single-table one by construction — recall can only
+go up. tests/test_ann.py asserts both the superset property and
+absolute recall against the exact brute-force top-k.
+
+Test-tier (no SQL oracle): recall is a statistical property, not a
+row-level parity one; the exact re-rank math reuses dot64 so any
+scored pair matches q_sim_knn's scoring bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import dot64
+
+# Same Rademacher-from-LCG hyperplane stream as q_sim_ann: sign of
+# component d of hyperplane h is LCG(h*64+d) % 2.
+# Bit 16, not bit 0: an LCG's low bit has period 2 in the stream
+# index, and h*64+d steps the index by an even stride across h — the
+# parity bit would make every hyperplane identical (verified: recall
+# flat in L). The high bit mixes through carries and is balanced.
+_SIGN = (
+    "CASE WHEN (((1103515245 * (CAST(h AS BIGINT) * 64 + d) + 12345)"
+    " % 2147483648) div 65536) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+)
+
+
+def lsh_buckets(e: DataFrame, n_tables: int = 4, n_bits: int = 8) -> DataFrame:
+    """(vec_id, table, bucket): one bucket id per vector per table.
+
+    Hyperplane h = table*n_bits + j draws its signs from the shared
+    LCG stream, so (n_tables=1, n_bits=8) reproduces q_sim_ann's
+    buckets exactly.
+    """
+    hs = e.sparkSession.range(n_tables * n_bits).select(
+        F.col("id").cast("int").alias("h")
+    )
+    proj = (
+        e.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+        .crossJoin(F.broadcast(hs))
+        .select(
+            "vec_id",
+            "h",
+            (F.expr(_SIGN) * F.col("x").cast("double")).alias("c"),
+        )
+    )
+    bits = proj.groupBy("vec_id", "h").agg(
+        (F.sum("c") > 0).cast("long").alias("bit")
+    )
+    return (
+        bits.select(
+            "vec_id",
+            (F.col("h") / n_bits).cast("int").alias("table"),
+            F.expr(f"shiftleft(bit, h % {n_bits})").alias("piece"),
+        )
+        .groupBy("vec_id", "table")
+        .agg(F.sum("piece").cast("bigint").alias("bucket"))
+    )
+
+
+def ann_topk(
+    e: DataFrame,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    k: int = 3,
+    n_probes: int = 10,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors for probe vectors
+    (vec_id < n_probes): union of same-bucket candidates over all
+    tables, exact dot64 re-rank, deterministic tie-break on
+    neighbor_id. Returns (query_id, neighbor_id, sim, rn<=k)."""
+    b = lsh_buckets(e, n_tables, n_bits)
+    probes = b.where(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    cand_ids = (
+        F.broadcast(probes)
+        .join(b.withColumnRenamed("vec_id", "neighbor_id"), ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qemb = e.where(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    cands = (
+        cand_ids.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qemb), "query_id")
+        .select("query_id", "neighbor_id", dot64("embedding", "qemb").alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

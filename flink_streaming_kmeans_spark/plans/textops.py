@@ -130,7 +130,7 @@ _LCG = "((1103515245 * ({i}) + 12345) % 2147483648)"
     oracle=f"""
     WITH comps AS (
         SELECT e.vec_id, t.range AS j, d.range AS d,
-               CASE WHEN {_LCG.format(i='t.range * 64 + d.range')} % 2 = 0
+               CASE WHEN ({_LCG.format(i='t.range * 64 + d.range')} // 65536) % 2 = 0
                     THEN 1 ELSE -1 END
                * CAST(e.embedding[CAST(d.range AS INT) + 1] AS DECIMAL(30,6)) AS c
         FROM embeddings e CROSS JOIN range(8) t CROSS JOIN range(64) d
@@ -163,8 +163,10 @@ _LCG = "((1103515245 * ({i}) + 12345) % 2147483648)"
 def q_sim_ann(spark, sf_dir):
     """Approximate nearest neighbors via random-hyperplane LSH: 8-bit
     signed-projection signature (Rademacher hyperplanes from an exact
-    integer LCG, projections summed in DECIMAL so the bucket id is
-    deterministic cross-engine), candidates = same-bucket vectors,
+    integer LCG — bit 16 of the state, never the parity bit, whose
+    period-2 pattern would collapse all hyperplanes into one;
+    projections summed in DECIMAL so the bucket id is deterministic
+    cross-engine), candidates = same-bucket vectors,
     exact top-3 re-rank. At 100 TB the candidate join is an equi-join
     on the signature (multi-probe/banded in practice) — never an
     all-pairs scan."""
@@ -176,7 +178,7 @@ def q_sim_ann(spark, sf_dir):
             "vec_id",
             "j",
             F.expr(
-                "CASE WHEN ((1103515245 * (CAST(j AS BIGINT) * 64 + d) + 12345) % 2147483648) % 2 = 0 "
+                "CASE WHEN (((1103515245 * (CAST(j AS BIGINT) * 64 + d) + 12345) % 2147483648) div 65536) % 2 = 0 "
                 "THEN 1 ELSE -1 END * CAST(CAST(x AS DOUBLE) AS DECIMAL(30,6))"
             ).alias("c"),
         )
