@@ -562,3 +562,69 @@ def q_text_decontaminate(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "q_emb_normalize",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                             AS BIGINT)) AS qi
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, embedding,
+               sqrt(CAST(list_sum(list_transform(qi, v -> v * v))
+                         AS DOUBLE)) / 1000000 AS norm_raw
+        FROM q
+    )
+    SELECT vec_id,
+           {sql_mround('norm_raw')} AS norm,
+           list_transform(embedding::DOUBLE[],
+                          x -> {sql_mround('x / norm_raw')}) AS unit
+    FROM n
+    """,
+)
+def q_emb_normalize(spark, sf_dir):
+    """L2-normalize the embedding column — the prep step before any
+    cosine-metric op (ANN, dedup, clustering) so dot == cosine.
+
+    The norm is computed on components QUANTIZED to 1e-6 with the
+    matched floor(x*1e6+0.5) primitive, then an exact BIGINT sum of
+    squares (64 terms ≤ 6.4e13, no overflow): norm is bit-identical
+    across engines BY CONSTRUCTION. Neither a raw double fold (a
+    last-ulp gap vs DuckDB's list_inner_product flipped a .xxxx5
+    midpoint round at sf0.001) nor DECIMAL(18,6) casts (Spark rounds
+    the decimal expansion, DuckDB the scaled double — they disagree
+    ~1e-3 of the time on float tails) survives 32,000 rounded
+    components; integer quantization does, at a 1e-6 norm error far
+    below the 1e-4 output round. Pure map pass, no shuffle; the HOF
+    transform is per-row over 64 elements (the interpreted-HOF hazard
+    is lambda chains recomputed across join sides, not a single map)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qi = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("bigint"),
+    )
+    sq_sum = F.aggregate(
+        F.transform(qi, lambda v: v * v),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n = e.select(
+        "vec_id",
+        "embedding",
+        (F.sqrt(sq_sum.cast("double")) / 1000000).alias("norm_raw"),
+    )
+    # NB: the rounded output must NOT be aliased to the same name the
+    # sibling transform divides by — Spark laterally resolves the
+    # fresh alias (dividing by the ROUNDED norm) while DuckDB binds
+    # the input column; distinct names make both engines unambiguous.
+    return n.select(
+        "vec_id",
+        mround("norm_raw").alias("norm"),
+        F.transform(
+            "embedding", lambda x: mround(x.cast("double") / F.col("norm_raw"))
+        ).alias("unit"),
+    )

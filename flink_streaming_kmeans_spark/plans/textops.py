@@ -786,3 +786,61 @@ def q_text_repetition(spark, sf_dir):
         mround(dup_bi).alias("frac_dup_bigrams"),
         ((top_frac <= 0.2) & (dup_bi <= 0.2)).alias("keep"),
     )
+
+
+@register(
+    "q_text_concat_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
+        FROM t
+    )
+    SELECT source,
+           CAST(start_tok // 512 AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           {sql_mround('CAST(SUM(n_tok) AS DOUBLE) / 512')} AS fill
+    FROM c
+    GROUP BY source, start_tok // 512
+    """,
+)
+def q_text_concat_pack(spark, sf_dir):
+    """Cross-document sequence packing: concatenate docs per source in
+    doc_id order and cut 512-token training sequences; each doc is
+    assigned to the bin where it STARTS (greedy first-fit in stream
+    order — the standard concat-and-chunk pretraining packer). Output
+    is per-(source, bin) occupancy. One window cumsum per source
+    partition + one hash-aggregate: both shuffle on source, integer
+    arithmetic throughout, so the pack assignment is deterministic at
+    any partitioning and linear at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = t.select(
+        "source",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_tok"),
+    )
+    return (
+        c.groupBy("source", F.floor(F.col("start_tok") / 512).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "bin",
+            "n_docs",
+            "total_tokens",
+            mround(F.col("total_tokens").cast("double") / 512).alias("fill"),
+        )
+    )

@@ -68,7 +68,8 @@ def test_contract_is_complete(registry):
     null-aware anti join, stratified sampling, multi-distinct,
     time-range window, time rollup, levenshtein, ngram freq, ordered
     string agg, struct round-trip, decontamination, token chunking,
-    repetition filter), all hash-checked."""
+    repetition filter, embedding normalize, concat packing), all
+    hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 104, sorted(queries)
-    assert len(oracles) == 102
+    assert len(queries) == 106, sorted(queries)
+    assert len(oracles) == 104
