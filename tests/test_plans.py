@@ -253,3 +253,44 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    # Runtime-filter evidence for the 100 TB story: a selective
+    # dimension predicate under a shuffled join makes Spark inject a
+    # bloom filter built from the dim side and apply it to the fact
+    # scan BEFORE the shuffle (might_contain over xxhash64) — the
+    # semi-join reduction that keeps a 100 TB fact shuffle
+    # proportional to matching rows, not table size. Thresholds are
+    # lowered to local data sizes and restored afterwards.
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        l = load_table(spark, SF_T2, "lineitem")
+        o = load_table(spark, SF_T2, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in p, p
+        assert "might_contain" in p, p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
