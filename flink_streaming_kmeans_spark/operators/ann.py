@@ -110,3 +110,60 @@ def ann_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def ann_topk_multiprobe(
+    e: DataFrame,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    k: int = 3,
+    n_probes: int = 10,
+) -> DataFrame:
+    """Multi-probe variant of :func:`ann_topk`: each probe also
+    searches the n_bits buckets at Hamming distance 1 from its own
+    signature (flip one bit), per table. Near-misses — a true
+    neighbor disagreeing on exactly one hyperplane — are recovered
+    without adding tables, trading k+1 probe rows (tiny side) for L×
+    memory. Candidates remain an equi-join on (table, bucket); the
+    fact side is untouched, so the probe fan-out is the ONLY cost —
+    the standard recall/memory lever when table count is capped.
+    Candidate set ⊇ :func:`ann_topk`'s by construction (flip 0 = the
+    original bucket)."""
+    b = lsh_buckets(e, n_tables, n_bits)
+    flips = e.sparkSession.range(n_bits + 1).select(
+        F.col("id").cast("int").alias("flip")
+    )
+    probes = (
+        b.where(F.col("vec_id") < n_probes)
+        .crossJoin(F.broadcast(flips))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "table",
+            # flip=0 → original bucket; flip=j → bit j-1 flipped
+            F.when(F.col("flip") == 0, F.col("bucket"))
+            .otherwise(
+                F.expr("bucket ^ shiftleft(CAST(1 AS BIGINT), flip - 1)")
+            )
+            .alias("bucket"),
+        )
+    )
+    cand_ids = (
+        F.broadcast(probes)
+        .join(b.withColumnRenamed("vec_id", "neighbor_id"), ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qemb = e.where(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
+    )
+    cands = (
+        cand_ids.join(
+            e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qemb), "query_id")
+        .select("query_id", "neighbor_id", dot64("embedding", "qemb").alias("sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

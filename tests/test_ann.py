@@ -71,3 +71,43 @@ def test_planted_near_dup_recall(spark):
     got = {(r.query_id, r.neighbor_id) for r in top}
     hits = sum((i, 10000 + i) in got for i in range(20))
     assert hits >= 18, f"planted recall {hits}/20"
+
+
+def _with_planted(spark, e, n=20, scale=0.2, seed=7):
+    rows = e.where(F.col("vec_id") < n).collect()
+    rng = np.random.default_rng(seed)
+    planted = []
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        g = rng.standard_normal(v.shape)
+        g -= g @ v / (v @ v) * v
+        g *= scale * np.linalg.norm(v) / np.linalg.norm(g)
+        planted.append((10000 + r.vec_id, [float(x) for x in (v + g)]))
+    return e.union(spark.createDataFrame(planted, e.schema))
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    """Hamming-1 multi-probe at L=2 tables must (a) be a candidate
+    superset of single-probe (flip 0 = original bucket), and (b)
+    recover nearly all planted near-dups where single-probe at the
+    same L misses a chunk — the memory-capped recall lever."""
+    from flink_streaming_kmeans_spark.operators.ann import (
+        ann_topk,
+        ann_topk_multiprobe,
+    )
+
+    e = _embeddings(spark)
+    corpus = _with_planted(spark, e)
+
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk(corpus, n_tables=2, n_probes=20).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_topk_multiprobe(corpus, n_tables=2, n_probes=20).collect()
+    }
+    s_hits = sum((i, 10000 + i) in single for i in range(20))
+    m_hits = sum((i, 10000 + i) in multi for i in range(20))
+    assert m_hits >= s_hits, (m_hits, s_hits)
+    assert m_hits >= 17, f"multiprobe planted recall {m_hits}/20 (single {s_hits}/20)"
