@@ -335,3 +335,37 @@ def q_rollup_time(spark, sf_dir):
         .rollup("day", "hour", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
     )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM events
+    """,
+)
+def q_scd2_intervals(spark, sf_dir):
+    """SCD2 (slowly-changing-dimension type 2) interval construction:
+    each event opens a validity interval for the user's state
+    (event_type), closed by the next event's timestamp; the last
+    interval per user is open (is_current). The standard
+    warehouse-history shape, built with one lead() window — one
+    shuffle on user_id, per-key sort, no joins. event_id breaks ts
+    ties so interval boundaries are deterministic at any
+    partitioning."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -237,3 +237,71 @@ def q_win_dist(spark, sf_dir):
         mround(F.percent_rank().over(w)).alias("pr"),
         mround(F.cume_dist().over(w)).alias("cd"),
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH src AS (
+        SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                   AS spend
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT COALESCE(c.c_custkey, s.custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'I'
+                WHEN s.custkey IS NULL THEN 'K'
+                ELSE 'U' END AS action,
+           CASE WHEN c.c_custkey IS NULL THEN 'NEW'
+                ELSE c.c_name END AS name,
+           CASE WHEN s.custkey IS NULL THEN CAST(c.c_acctbal AS DOUBLE)
+                ELSE s.spend END AS balance
+    FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.custkey
+    """,
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO (upsert) semantics over plain parquet: target =
+    customer, source = per-customer order spend (keys shifted for
+    custkey%3=0 to exercise the NOT MATCHED branch). WHEN MATCHED →
+    update balance; WHEN NOT MATCHED → insert; unmatched target rows
+    kept. This full-outer-join + conditional-project is EXACTLY the
+    join plan Delta/Iceberg MERGE compiles to — what those formats
+    add is transactional file replacement of the touched partitions
+    (no lakehouse lib in this container; the sink surface stops at
+    parquet, see SCALE.md). Source aggregate shuffles on custkey,
+    join co-partitions on the same key; at 100 TB the matched subset
+    drives partition-selective rewrites, not a full-table pass."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    src = (
+        o.groupBy(
+            F.when(
+                F.col("o_custkey") % 3 == 0, F.col("o_custkey") + 1000000
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("custkey")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("spend"),
+        )
+    )
+    j = c.join(src, c.c_custkey == src.custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), F.lit("I"))
+        .when(F.col("custkey").isNull(), F.lit("K"))
+        .otherwise(F.lit("U"))
+        .alias("action"),
+        F.when(F.col("c_custkey").isNull(), F.lit("NEW"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("custkey").isNull(), F.col("c_acctbal").cast("double"))
+        .otherwise(F.col("spend"))
+        .alias("balance"),
+    )

@@ -68,8 +68,8 @@ def test_contract_is_complete(registry):
     null-aware anti join, stratified sampling, multi-distinct,
     time-range window, time rollup, levenshtein, ngram freq, ordered
     string agg, struct round-trip, decontamination, token chunking,
-    repetition filter, embedding normalize, concat packing), all
-    hash-checked."""
+    repetition filter, embedding normalize, concat packing, SCD2
+    intervals, merge upsert), all hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 106, sorted(queries)
-    assert len(oracles) == 104
+    assert len(queries) == 108, sorted(queries)
+    assert len(oracles) == 106
