@@ -628,3 +628,77 @@ def q_emb_normalize(spark, sf_dir):
             "embedding", lambda x: mround(x.cast("double") / F.col("norm_raw"))
         ).alias("unit"),
     )
+
+
+@register(
+    "q_pipeline_clean",
+    oracle=f"""
+    WITH {_NEAR_PAIRS_CTE}, drops AS (
+        SELECT DISTINCT doc_id2 AS doc_id FROM near
+    ), tok AS (
+        SELECT doc_id, source, lang, string_split(text, ' ') AS w
+        FROM documents
+    ), stats AS (
+        SELECT doc_id, source, lang, len(w) AS n_tok FROM tok
+    ), topf AS (
+        SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac
+        FROM (
+            SELECT doc_id, t, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(w) AS t FROM tok)
+            GROUP BY doc_id, t
+        ) GROUP BY doc_id
+    ), keep AS (
+        SELECT s.doc_id, s.source, s.n_tok
+        FROM stats s JOIN topf f USING (doc_id)
+        WHERE s.lang = 'en' AND s.n_tok >= 30 AND f.top_frac <= 0.2
+          AND s.doc_id NOT IN (SELECT doc_id FROM drops)
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           {sql_davg('n_tok', 'avg_tokens')}
+    FROM keep
+    GROUP BY source
+    """,
+)
+def q_pipeline_clean(spark, sf_dir):
+    """The end-to-end corpus-cleaning pipeline a training-data user
+    actually runs, composed from this engine's own stages: language
+    filter (en) → length floor (>=30 tokens) → repetition filter
+    (top-token share <= 0.2) → near-dup removal (drop the larger
+    doc_id of each Jaccard>=0.8 pair, the canonical-survivor rule
+    q_dedup_cluster encodes) → per-source kept-corpus stats.
+
+    Composability is the point: the shingle join, the repetition
+    aggregate, and the per-doc stats are the same constructions as
+    their standalone queries, fused by Catalyst into one DAG — filters
+    are map-side, the near-dup join only feeds an anti-join of doc
+    ids, and the final stats shuffle carries one row per source. At
+    100 TB each stage stays the shape proven scalable standalone."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", "lang", F.split("text", " ").alias("w"))
+    stats = toks.select("doc_id", "source", "lang", F.size("w").alias("n_tok"))
+    topf = (
+        toks.select("doc_id", F.explode("w").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_frac"))
+    )
+    drops = _near_pairs(spark, sf_dir).select(
+        F.col("doc_id2").alias("doc_id")
+    ).distinct()
+    keep = (
+        stats.join(topf, "doc_id")
+        .where(
+            (F.col("lang") == "en")
+            & (F.col("n_tok") >= 30)
+            & (F.col("top_frac") <= 0.2)
+        )
+        .join(drops, "doc_id", "left_anti")
+    )
+    return keep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        davg("n_tok", "avg_tokens"),
+    )

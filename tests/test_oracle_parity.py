@@ -69,7 +69,8 @@ def test_contract_is_complete(registry):
     time-range window, time rollup, levenshtein, ngram freq, ordered
     string agg, struct round-trip, decontamination, token chunking,
     repetition filter, embedding normalize, concat packing, SCD2
-    intervals, merge upsert), all hash-checked."""
+    intervals, merge upsert, end-to-end clean pipeline), all
+    hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 108, sorted(queries)
-    assert len(oracles) == 106
+    assert len(queries) == 109, sorted(queries)
+    assert len(oracles) == 107
