@@ -305,3 +305,73 @@ def q_merge_upsert(spark, sf_dir):
         .otherwise(F.col("spend"))
         .alias("balance"),
     )
+
+
+@register(
+    "q_cdc_diff",
+    oracle="""
+    WITH snap_b AS (
+        SELECT o_orderkey + 1000000000 AS k, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ), snap_a AS (
+        SELECT o_orderkey AS k, o_totalprice AS price FROM orders
+    )
+    SELECT COALESCE(a.k, b.k) AS okey,
+           CASE WHEN b.k IS NULL THEN 'D'
+                WHEN a.k IS NULL THEN 'I'
+                ELSE 'U' END AS op,
+           CAST(a.price AS DOUBLE) AS old_price,
+           CAST(b.price AS DOUBLE) AS new_price
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k
+    WHERE a.k IS NULL OR b.k IS NULL OR a.price <> b.price
+    """,
+)
+def q_cdc_diff(spark, sf_dir):
+    """Change-data-capture by snapshot diff: given two table states,
+    emit the I/U/D changeset (inserts, updates with old+new values,
+    deletes) — the inverse of q_merge_upsert and the batch form of a
+    CDC feed. Snapshot B is derived deterministically from A (delete
+    keys %97, reprice keys %5, insert shifted keys %13). One
+    co-partitioned full-outer join on the key + a row-level predicate;
+    unchanged rows are filtered before any downstream consumer, so at
+    100 TB the changeset shuffle is proportional to churn, not table
+    size."""
+    o = load_table(spark, sf_dir, "orders")
+    snap_a = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price"))
+    snap_b = (
+        o.where(F.col("o_orderkey") % 13 == 0)
+        .select(
+            (F.col("o_orderkey") + 1000000000).alias("k"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 97 != 0).select(
+                F.col("o_orderkey").alias("k"),
+                F.when(
+                    F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 10.0
+                )
+                .otherwise(F.col("o_totalprice"))
+                .alias("price"),
+            )
+        )
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    j = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    return j.where(
+        F.col("a.k").isNull()
+        | F.col("b.k").isNull()
+        | (F.col("a.price") != F.col("b.price"))
+    ).select(
+        F.coalesce("a.k", "b.k").alias("okey"),
+        F.when(F.col("b.k").isNull(), F.lit("D"))
+        .when(F.col("a.k").isNull(), F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("a.price").cast("double").alias("old_price"),
+        F.col("b.price").cast("double").alias("new_price"),
+    )

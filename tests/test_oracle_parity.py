@@ -69,8 +69,8 @@ def test_contract_is_complete(registry):
     time-range window, time rollup, levenshtein, ngram freq, ordered
     string agg, struct round-trip, decontamination, token chunking,
     repetition filter, embedding normalize, concat packing, SCD2
-    intervals, merge upsert, end-to-end clean pipeline), all
-    hash-checked."""
+    intervals, merge upsert, end-to-end clean pipeline, CDC snapshot
+    diff), all hash-checked."""
     queries, oracles = registry
-    assert len(queries) == 109, sorted(queries)
-    assert len(oracles) == 107
+    assert len(queries) == 110, sorted(queries)
+    assert len(oracles) == 108
