@@ -104,19 +104,30 @@ def main() -> int:
     times = {k: round(v, 3) for k, v in times.items()}
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": os.path.basename(os.path.normpath(sf_dir)),
-                "n_queries": len(times),
-                "agg": "min_of_pass_plus_outlier_retry",
-            }
-        )
-    )
+    full = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "n_queries": len(times),
+        "agg": "min_of_pass_plus_outlier_retry",
+    }
+    # The driver keeps only a bounded tail of stdout (r2: 2000 chars) and
+    # parses the final JSON line; the full 110-query map is ~3000 chars,
+    # which truncated the head of the line and broke the parse in r2.
+    # So: full map → sidecar file + an early stdout line (for humans),
+    # and the FINAL stdout line is a compact summary guaranteed to fit
+    # the tail capture (top slowest queries only, full map referenced).
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+    slowest = dict(sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:15])
+    compact = dict(full, queries=slowest, queries_note=f"top-15 slowest; full map in {sidecar}")
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"compact bench line too long ({len(line)})"
+    print(line)
     return 0
 
 

@@ -1,0 +1,114 @@
+"""Lakehouse manifest-table tests: copy-on-write isolation, byte-level
+untouched-partition stability, time travel, and atomic commit shape."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+from conftest import SF_SMOKE
+
+from flink_streaming_kmeans_spark.operators.lakehouse import (
+    create_table,
+    latest_version,
+    load_manifest,
+    merge_cow,
+    read_table,
+)
+from flink_streaming_kmeans_spark.plans.lakehouse import (
+    _merge_fn,
+    _merge_source,
+    _seed_table,
+    _SEGMENTS,
+)
+
+
+def _file_hashes(root: str, manifest: dict) -> dict[str, str]:
+    out = {}
+    for f in manifest["files"]:
+        with open(os.path.join(root, f["path"]), "rb") as fh:
+            out[f["path"]] = hashlib.sha256(fh.read()).hexdigest()
+    return out
+
+
+@pytest.fixture(scope="module")
+def merged_root(spark):
+    root = _seed_table(spark, SF_SMOKE)
+    m0 = load_manifest(root, 0)
+    h0 = _file_hashes(root, m0)
+    merge_cow(spark, root, _merge_source(spark, SF_SMOKE), _merge_fn)
+    return root, m0, h0
+
+
+def test_untouched_partitions_byte_identical(merged_root):
+    """COW must carry untouched partitions forward by PATH — the same
+    files, not rewritten copies. Touched partitions get new files."""
+    root, m0, h0 = merged_root
+    m1 = load_manifest(root, 1)
+    touched = set(_SEGMENTS)
+    untouched0 = {f["path"] for f in m0["files"] if f["partition"] not in touched}
+    untouched1 = {f["path"] for f in m1["files"] if f["partition"] not in touched}
+    assert untouched0 == untouched1 and untouched0  # carried by path
+    h1 = _file_hashes(root, m1)
+    for p in untouched0:
+        assert h1[p] == h0[p]  # byte-identical on disk
+    # Touched partitions must be fully replaced (no v0 file survives).
+    touched1 = {f["path"] for f in m1["files"] if f["partition"] in touched}
+    assert touched1 and all("/v1-" in p or p.split("/")[-1].startswith("v1-") for p in touched1)
+
+
+def test_time_travel_reads_premerge_state(spark, merged_root):
+    """Snapshot 0 after the merge == the seed data, row for row."""
+    root, m0, _ = merged_root
+    v0 = read_table(spark, root, version=0)
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+
+    seed = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    assert v0.count() == seed.count()
+    # No post-merge artifacts in v0: inserted keys are shifted +1e6.
+    assert v0.where(v0.custkey >= 1000000).count() == 0
+    # And v1 does contain inserts.
+    v1 = read_table(spark, root)
+    assert v1.where(v1.custkey >= 1000000).count() > 0
+
+
+def test_manifest_pruned_read(spark, merged_root):
+    """partitions=[...] prunes files driver-side: the returned frame
+    only contains those partitions, and the plan reads fewer files."""
+    root, _, _ = merged_root
+    one = read_table(spark, root, partitions=["FURNITURE"])
+    assert one.select("segment").distinct().collect()[0][0] == "FURNITURE"
+    n_all = len(load_manifest(root)["files"])
+    n_one = len(
+        [f for f in load_manifest(root)["files"] if f["partition"] == "FURNITURE"]
+    )
+    assert n_one < n_all
+
+
+def test_commit_is_pointer_swap(merged_root):
+    """Both manifests retained; _latest resolves to the newest; every
+    manifest file parses and lists only existing files."""
+    root, _, _ = merged_root
+    assert latest_version(root) == 1
+    for v in (0, 1):
+        m = load_manifest(root, v)
+        assert m["version"] == v
+        for f in m["files"]:
+            assert os.path.exists(os.path.join(root, f["path"]))
+    # Manifest JSON is the full commit (no partial writes visible):
+    # parseable implies the os.replace protocol published it whole.
+    with open(os.path.join(root, "_manifests", "v00001.json")) as fh:
+        json.load(fh)
+
+
+def test_merge_is_idempotent_versioning(spark, merged_root):
+    """A second identical merge commits v2 whose data equals v1's
+    logical state only where re-derived — versions are linear."""
+    root, _, _ = merged_root
+    v = merge_cow(spark, root, _merge_source(spark, SF_SMOKE), _merge_fn)
+    assert v == 2
+    assert load_manifest(root, 2)["parent"] == 1
