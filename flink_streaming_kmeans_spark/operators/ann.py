@@ -19,8 +19,9 @@ go up. tests/test_ann.py asserts both the superset property and
 absolute recall against the exact brute-force top-k.
 
 Test-tier (no SQL oracle): recall is a statistical property, not a
-row-level parity one; the exact re-rank math reuses dot64 so any
-scored pair matches q_sim_knn's scoring bit-for-bit.
+row-level parity one; the exact re-rank is cosine built from the same
+dot64/l2_norm folds q_sim_knn scores with (see :func:`_cosine` for why
+raw dot would be wrong here).
 """
 
 from __future__ import annotations
@@ -28,7 +29,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import dot64
+from ..functions.vector import dot64, l2_norm
+
+
+def _cosine(a: str, b: str):
+    """Cosine re-rank metric. NOT raw dot64: hyperplane LSH buckets by
+    ANGLE, so the re-rank must rank by angle too — on a non-normalized
+    corpus a high-norm far-away vector out-dots a same-direction near
+    neighbor (caught by the skewed-cluster fixture in tests/test_ann.py,
+    where ‖background‖≈8 drowned cosine-0.9998 planted pairs). Cost is
+    two extra codegen folds per candidate; scored pairs remain
+    deterministic, ties broken on neighbor_id as before."""
+    return dot64(a, b) / (l2_norm(a) * l2_norm(b))
 
 # Same Rademacher-from-LCG hyperplane stream as q_sim_ann: sign of
 # component d of hyperplane h is LCG(h*64+d) % 2.
@@ -106,7 +118,7 @@ def ann_topk(
             "neighbor_id",
         )
         .join(F.broadcast(qemb), "query_id")
-        .select("query_id", "neighbor_id", dot64("embedding", "qemb").alias("sim"))
+        .select("query_id", "neighbor_id", _cosine("embedding", "qemb").alias("sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
@@ -163,7 +175,7 @@ def ann_topk_multiprobe(
             "neighbor_id",
         )
         .join(F.broadcast(qemb), "query_id")
-        .select("query_id", "neighbor_id", dot64("embedding", "qemb").alias("sim"))
+        .select("query_id", "neighbor_id", _cosine("embedding", "qemb").alias("sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)

@@ -19,19 +19,30 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_rounds: int = 50
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 50, star_after: int = 8
 ) -> DataFrame:
     """Label each node with the min node id in its component.
 
     nodes: one column ``id`` (distinct). edges: columns ``src, dst``
     (undirected — pass each pair once; both directions are derived).
     Returns (id, label).
+
+    Rounds needed = component diameter, so near-dup chains (diameter
+    2-3) converge immediately — but a long-path graph (redirect chains,
+    session graphs) would need diameter-many shuffles. Instead of
+    failing at ``max_rounds``, after ``star_after`` unconverged rounds
+    this hands off to :func:`connected_components_star`, whose O(log²n)
+    round count is diameter-independent — the registered dedup path
+    (q_dedup_cluster) therefore never dies on a pathological graph, it
+    just switches algorithms. The ``star_after`` work is not wasted
+    relative to scale: it is a constant prefix, and the common case
+    (small diameter) never pays the star constant factor at all.
     """
     both = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         prop = both.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "label")
@@ -50,6 +61,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
+        if rnd + 1 >= star_after:
+            # High-diameter graph: switch to contraction.
+            return connected_components_star(nodes, edges)
     raise RuntimeError(f"no convergence in {max_rounds} rounds")
 
 

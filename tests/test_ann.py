@@ -111,3 +111,67 @@ def test_multiprobe_dominates_single_probe(spark):
     m_hits = sum((i, 10000 + i) in multi for i in range(20))
     assert m_hits >= s_hits, (m_hits, s_hits)
     assert m_hits >= 17, f"multiprobe planted recall {m_hits}/20 (single {s_hits}/20)"
+
+
+def _skewed_corpus(spark, n_dominant=1600, n_background=400, dim=64, seed=11):
+    """Adversarial distribution: one dominant cluster holding 80% of
+    the corpus at cosine ≈0.99 of a shared center, plus uniform
+    background. The uniform-corpus recall tests can't see the LSH
+    failure mode this provokes: clustered vectors agree on most
+    hyperplanes, so a handful of buckets hold most of the data."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal(dim)
+    c /= np.linalg.norm(c)
+    vecs = []
+    for i in range(n_dominant):
+        g = rng.standard_normal(dim)
+        g -= g @ c * c
+        v = c + 0.15 * g / np.linalg.norm(g)
+        vecs.append((i, [float(x) for x in v]))
+    for i in range(n_background):
+        v = rng.standard_normal(dim)
+        vecs.append((n_dominant + i, [float(x) for x in v]))
+    return spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+
+
+def test_skewed_cluster_recall_and_occupancy(spark):
+    """Round-2 verdict item 7: recall must hold when one cluster
+    dominates. Asserts (a) the skew is REAL — the hottest table-0
+    bucket holds ≥25% of the corpus (so this fixture genuinely
+    stresses the Σ|bucket|² candidate blow-up, unlike the uniform
+    corpus where buckets are balanced), and (b) multi-probe recall of
+    planted near-dups inside the dominant cluster stays ≥17/20 —
+    bucket collisions add candidates (cost), but the exact re-rank
+    keeps them from displacing true neighbors (correctness). The scale
+    lever for the hot-bucket COST (not recall) is more bits per table:
+    occupancy halves per bit, at zero plan-shape change."""
+    from flink_streaming_kmeans_spark.operators.ann import (
+        ann_topk_multiprobe,
+        lsh_buckets,
+    )
+
+    # scale=0.02 (not the uniform tests' 0.2): in the dominant cluster,
+    # SIBLINGS already sit at cosine ≈0.978, so a 0.2-perturbed copy
+    # (cosine ≈0.98) would not be the unambiguous nearest neighbor —
+    # ground truth itself would be noise. 0.02 puts the planted pair at
+    # ≈0.9998, clear of every sibling, so recall measures the INDEX.
+    e = _skewed_corpus(spark)
+    corpus = _with_planted(spark, e, n=20, scale=0.02, seed=13)
+
+    occ = (
+        lsh_buckets(e, 1, 8)
+        .groupBy("bucket")
+        .count()
+        .orderBy(F.desc("count"))
+        .collect()
+    )
+    n = e.count()
+    assert occ[0]["count"] >= 0.25 * n, (
+        f"fixture not skewed: max bucket {occ[0]['count']}/{n}, "
+        f"histogram {[(r.bucket, r['count']) for r in occ[:5]]}"
+    )
+
+    top = ann_topk_multiprobe(corpus, n_tables=2, n_probes=20).collect()
+    got = {(r.query_id, r.neighbor_id) for r in top}
+    hits = sum((i, 10000 + i) in got for i in range(20))
+    assert hits >= 17, f"skewed-cluster planted recall {hits}/20"

@@ -65,6 +65,24 @@ def test_topk_group_take_ordered(plans):
     assert "rangepartitioning" not in p.lower() or "TakeOrdered" in p
 
 
+def test_ntile_scaled_rekeys_past_partition_hazard(plans, spark, registry):
+    """q_win_ntile_scaled exists to kill the 5-partition window hazard:
+    the window must partition on the COMPOSITE key (both columns in the
+    Window partition spec), and the data must fan out past 5 window
+    partitions (~125 at any SF) so no single task holds a fifth of the
+    table at 100×."""
+    p = plans("q_win_ntile_scaled", "extended")
+    m = re.search(r"windowspecdefinition\(([^)]*)", p)
+    assert m and "c_mktsegment" in m.group(1) and "c_nationkey" in m.group(1), p
+    n_parts = (
+        spark.read.parquet(f"{SF_T2}/customer.parquet")
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .count()
+    )
+    assert n_parts > 5, n_parts
+
+
 def test_exists_subquery_decorrelates_to_semi_join(plans):
     p = plans("q_sub_exists")
     assert "LeftSemi" in p, "EXISTS did not decorrelate to a semi join"

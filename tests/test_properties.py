@@ -230,3 +230,22 @@ def test_star_contraction_high_diameter_chain(spark):
     got = connected_components_star(nodes, edf, max_rounds=10).collect()
     assert len(got) == n
     assert all(r.label == 0 for r in got)
+
+
+def test_label_prop_autoswitches_to_star_on_long_chain(spark):
+    """The registered dedup path (q_dedup_cluster → connected_components
+    with DEFAULT params) must survive a pathological high-diameter
+    graph: a 1000-hop chain. Label propagation alone would need ~1000
+    rounds (and previously raised at 50); the auto-switch hands off to
+    star contraction after star_after rounds, so this converges — and
+    max_rounds=12 proves propagation could not have done it alone."""
+    from flink_streaming_kmeans_spark.operators.graph import connected_components
+
+    n = 1001
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    got = connected_components(nodes, edf, max_rounds=12, star_after=4).collect()
+    assert len(got) == n
+    assert all(r.label == 0 for r in got)
