@@ -32,15 +32,63 @@ from ..operators.kmeans import _partial_stats_fn
 
 
 class StreamingKMeans:
-    """Driver-held online k-means state, updated per micro-batch."""
+    """Driver-held online k-means state, updated per micro-batch.
 
-    def __init__(self, init_centroids, cids):
+    ``state_path`` makes the state durable across query restarts: after
+    every applied batch the (C, n, cids, last_batch_id) tuple is written
+    atomically (tmp + os.replace, same protocol as the lakehouse
+    manifest commit). A restarted query constructs with the same
+    ``state_path`` and resumes exactly where the previous incarnation
+    stopped; Structured Streaming's own checkpoint guarantees
+    unprocessed batches are re-delivered, and the ``last_batch_id``
+    guard makes a RE-delivered already-applied batch a no-op — together
+    that is effectively-once state update, the standard foreachBatch
+    idempotence pattern.
+    """
+
+    def __init__(self, init_centroids, cids, state_path: str | None = None):
         import numpy as np
 
         self.C = np.array(init_centroids, dtype="float64")  # k×d
         self.cids = np.array(cids)
         self.n = np.zeros(len(cids), dtype="int64")
         self.batches_seen = 0
+        self.last_batch_id = -1
+        self.state_path = state_path
+        if state_path is not None:
+            import os
+
+            if os.path.exists(state_path):
+                self._load()
+
+    def _save(self) -> None:
+        import io
+        import os
+        import uuid
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            C=self.C,
+            cids=self.cids,
+            n=self.n,
+            meta=np.array([self.batches_seen, self.last_batch_id], dtype="int64"),
+        )
+        tmp = f"{self.state_path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, self.state_path)
+
+    def _load(self) -> None:
+        import numpy as np
+
+        with np.load(self.state_path) as d:
+            self.C = d["C"]
+            self.cids = d["cids"]
+            self.n = d["n"]
+            self.batches_seen, self.last_batch_id = (int(x) for x in d["meta"])
 
     def update_batch(self, batch_df: DataFrame) -> None:
         """foreachBatch body: combine-assign against current centroids,
@@ -68,6 +116,11 @@ class StreamingKMeans:
 
     def foreach_batch(self):
         def fn(batch_df, batch_id):
+            if batch_id <= self.last_batch_id:
+                return  # re-delivered batch already applied — no-op
             self.update_batch(batch_df)
+            self.last_batch_id = int(batch_id)
+            if self.state_path is not None:
+                self._save()
 
         return fn

@@ -6,6 +6,7 @@ actual runtime behavior, exercised with file sources + memory sinks.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -16,18 +17,28 @@ from conftest import SF_SMOKE
 
 
 def _events_stream(spark, sf_dir, **reader_opts):
-    """readStream over the events parquet with the same ns→µs fixup
-    the batch loader applies."""
-    from flink_streaming_kmeans_spark.sources.loader import load_table
-
-    raw_schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    """readStream over the events parquet, with the same DTYPE-GATED
+    ns→µs fixup the batch loader applies: generated testdata has
+    shipped ts as both TIMESTAMP(NANOS) (read as bigint under
+    nanosAsLong — needs the DIV 1000 fixup) and timestamp[us] (read
+    natively — needs none). A readStream schema must be declared up
+    front, so probe the physical type with a batch read first."""
+    path = sf_dir.rstrip("/") + "/events.parquet"
+    ts_is_bigint = dict(spark.read.parquet(path).dtypes)["ts"] == "bigint"
+    ts_decl = "bigint" if ts_is_bigint else "timestamp"
+    raw_schema = (
+        f"event_id bigint, ts {ts_decl}, user_id bigint,"
+        " event_type string, value double, props string"
+    )
     reader = spark.readStream.schema(raw_schema)
     for k, v in reader_opts.items():
         reader = reader.option(k, v)
     # trailing glob: FileStreamSource rejects a bare file path
     # ("Option 'basePath' must be a directory"); a glob resolves it.
-    df = reader.parquet(sf_dir.rstrip("/") + "/events.parquet*")
-    return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    df = reader.parquet(path + "*")
+    if ts_is_bigint:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def _run_to_memory(df, name, mode="complete"):
@@ -267,6 +278,116 @@ def test_stateful_running_stats(spark):
         for u in expect:
             assert final[u][0] == expect[u][0], u
             assert abs(final[u][1] - expect[u][1]) < 1e-6, u
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_kmeans_restart_and_lloyd_parity(spark):
+    """Round-2 verdict item 5: streaming MacQueen hardening, asserted
+    end-to-end on a 5-batch replay with a CHECKPOINT RESTART in the
+    middle and parity against batch Lloyd.
+
+    Data note: the sf testdata's embeddings have no recoverable cluster
+    structure (Lloyd's own purity ceiling is ~0.30 there — documented
+    in test_kmeans.py), so "purity >= 0.9" is only meaningful on data
+    WITH structure: a separable 10-cluster mixture (intra cosine ~0.99,
+    inter ~0.0). On it, single-pass MacQueen must land on the same
+    solution as 20-iteration Lloyd.
+
+    Asserts: (1) a restarted query resumes from persisted state and
+    Spark's checkpoint prevents reprocessing (total count would be 800,
+    not 500, if the first 3 batches replayed); (2) a re-delivered batch
+    id is a no-op (effectively-once guard); (3) final centroids within
+    0.1 of batch-Lloyd's member means; (4) assignment agreement with
+    Lloyd >= 0.95 and true-label purity >= 0.9."""
+    import numpy as np
+    from collections import Counter
+
+    from flink_streaming_kmeans_spark.operators.kmeans import (
+        init_centroids,
+        lloyd_iterate,
+    )
+    from flink_streaming_kmeans_spark.streaming.kmeans import StreamingKMeans
+
+    rng = np.random.default_rng(5)
+    k, dim, n = 10, 64, 500
+    centers = rng.standard_normal((k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        v = centers[i % k] + 0.15 * rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v], i % k))
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+
+    cent = init_centroids(e).collect()
+    init = ([list(r.cemb) for r in cent], [int(r.cid) for r in cent])
+    d = tempfile.mkdtemp(prefix="fsk_skm_restart_")
+    state = d + "/state.npz"
+    try:
+        e.select("vec_id", "embedding").repartition(5).write.parquet(d + "/all")
+        files = sorted(
+            f for f in os.listdir(d + "/all") if f.endswith(".parquet")
+        )
+        assert len(files) == 5
+        os.makedirs(d + "/in")
+
+        def run():
+            skm = StreamingKMeans(*init, state_path=state)
+            stream = (
+                spark.readStream.schema("vec_id bigint, embedding array<float>")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d + "/in")
+            )
+            q = (
+                stream.writeStream.foreachBatch(skm.foreach_batch())
+                .option("checkpointLocation", d + "/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+            return skm
+
+        # First incarnation sees 3 of the 5 batches, then "crashes".
+        for f in files[:3]:
+            shutil.copy(d + "/all/" + f, d + "/in/" + f)
+        s1 = run()
+        assert s1.batches_seen == 3 and int(s1.n.sum()) == 300
+
+        # Restart: new StreamingKMeans instance resumes from state_path,
+        # same checkpoint dir — only the 2 new files are delivered.
+        for f in files[3:]:
+            shutil.copy(d + "/all/" + f, d + "/in/" + f)
+        s2 = run()
+        assert s2.batches_seen == 5, s2.batches_seen
+        assert int(s2.n.sum()) == 500, int(s2.n.sum())  # 800 ⇒ reprocessed
+
+        # Effectively-once: re-delivering an applied batch is a no-op.
+        C_before, n_before = s2.C.copy(), s2.n.copy()
+        fake = spark.createDataFrame(
+            [(9999, [1.0] * dim)], "vec_id bigint, embedding array<float>"
+        )
+        s2.foreach_batch()(fake, s2.last_batch_id)
+        assert np.array_equal(C_before, s2.C) and np.array_equal(n_before, s2.n)
+
+        # Batch-Lloyd parity on the same data + init.
+        asg = lloyd_iterate(spark, e, k=k, max_iter=20)
+        arows = e.select("vec_id", "embedding", "label").join(asg, "vec_id").collect()
+        X = np.stack([np.array(r.embedding, dtype=np.float64) for r in arows])
+        lab = np.array([r.cluster_id for r in arows])
+        true = np.array([r.label for r in arows])
+        L = np.zeros_like(s2.C)
+        for j, c in enumerate(s2.cids):
+            m = lab == c
+            L[j] = X[m].mean(axis=0) if m.any() else s2.C[j]
+        assert float(np.linalg.norm(s2.C - L, axis=1).max()) < 0.1
+        stream_lab = s2.cids[np.argmax(X @ s2.C.T, axis=1)]
+        assert float((stream_lab == lab).mean()) >= 0.95
+        byc = {}
+        for a, t in zip(stream_lab, true):
+            byc.setdefault(a, []).append(t)
+        purity = sum(Counter(v).most_common(1)[0][1] for v in byc.values()) / n
+        assert purity >= 0.9, purity
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
