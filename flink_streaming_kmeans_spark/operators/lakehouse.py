@@ -164,6 +164,105 @@ def read_table(
     return df.withColumn(pcol, F.col(pcol).cast(ptype))
 
 
+def changed_partitions(root: str, from_v: int, to_v: int) -> list:
+    """Partition values whose file sets differ between two snapshots —
+    pure manifest metadata, no data read. The incremental-consumption
+    primitive: at 100 TB a downstream consumer reads ONLY these
+    partitions' files, never the table."""
+    a = load_manifest(root, from_v)
+    b = load_manifest(root, to_v)
+
+    def by_part(m):
+        d: dict[str, set] = {}
+        for f in m["files"]:
+            d.setdefault(str(f["partition"]), set()).add(f["path"])
+        return d
+
+    pa, pb = by_part(a), by_part(b)
+    return sorted(
+        p for p in set(pa) | set(pb) if pa.get(p, set()) != pb.get(p, set())
+    )
+
+
+def vacuum(root: str, keep_last: int = 2) -> dict:
+    """GC: delete data files referenced by NO retained manifest, and
+    the manifests older than the newest ``keep_last`` versions.
+    Returns {"removed_files": n, "removed_manifests": n}. Safe order:
+    first stop referencing (drop old manifests), then delete
+    unreferenced data — a reader holding the latest pointer never sees
+    a missing file. (Concurrent readers of a *dropped* historical
+    version race with vacuum exactly as in Delta/Iceberg VACUUM; the
+    retention window is the contract.)"""
+    latest = latest_version(root)
+    keep = set(range(max(0, latest - keep_last + 1), latest + 1))
+    removed_manifests = 0
+    mdir = os.path.join(root, _MANIFESTS)
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith("v") and name.endswith(".json"):
+            v = int(name[1:-5])
+            if v not in keep:
+                os.remove(os.path.join(mdir, name))
+                removed_manifests += 1
+    referenced = set()
+    for v in keep:
+        referenced.update(f["path"] for f in load_manifest(root, v)["files"])
+    removed_files = 0
+    ddir = os.path.join(root, _DATA)
+    for part_dir in os.listdir(ddir):
+        pdir = os.path.join(ddir, part_dir)
+        for fname in os.listdir(pdir):
+            rel = f"{_DATA}/{part_dir}/{fname}"
+            if rel not in referenced:
+                os.remove(os.path.join(pdir, fname))
+                removed_files += 1
+    return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+
+
+def read_changes(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    value_cols: list[str],
+    from_v: int,
+    to_v: int,
+) -> DataFrame:
+    """Incremental changeset (I/U/D + old/new values) between two
+    snapshots — the lakehouse twin of q_cdc_diff, driven entirely by
+    manifest metadata: only partitions whose FILES changed are read
+    (on either side), so the scan and the join are O(churn), not
+    O(table). Returns (key, op, old_<v>.., new_<v>..)."""
+    parts = changed_partitions(root, from_v, to_v)
+    old = read_table(spark, root, version=from_v, partitions=parts)
+    new = read_table(spark, root, version=to_v, partitions=parts)
+    # Explicit presence markers — value columns may legitimately be
+    # NULL, so null-ness of a value must not stand in for row absence.
+    o = old.select(
+        F.col(key_col).alias("k"),
+        F.lit(True).alias("in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in value_cols],
+    )
+    n = new.select(
+        F.col(key_col).alias("k"),
+        F.lit(True).alias("in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in value_cols],
+    )
+    j = o.join(n, "k", "full_outer")
+    changed = F.lit(False)
+    for c in value_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    return j.where(
+        F.col("in_old").isNull() | F.col("in_new").isNull() | changed
+    ).select(
+        F.col("k").alias(key_col),
+        F.when(F.col("in_new").isNull(), F.lit("D"))
+        .when(F.col("in_old").isNull(), F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        *[F.col(f"old_{c}") for c in value_cols],
+        *[F.col(f"new_{c}") for c in value_cols],
+    )
+
+
 def merge_cow(
     spark: SparkSession,
     root: str,

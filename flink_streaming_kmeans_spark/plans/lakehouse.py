@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.vector import mround, sql_mround
-from ..operators.lakehouse import create_table, merge_cow, read_table
+from ..operators.lakehouse import (
+    create_table,
+    merge_cow,
+    read_changes,
+    read_table,
+)
 from ..sources.loader import load_table
 from .registry import register
 from .scans import _tmp_out
@@ -179,4 +184,100 @@ def q_lake_time_travel(spark, sf_dir):
     a1 = agg(read_table(spark, root), "v1")
     return a0.join(a1, "segment").select(
         "segment", "n_v0", "bal_v0", "n_v1", "bal_v1"
+    )
+
+
+@register(
+    "q_lake_incremental",
+    oracle=f"""
+    WITH {_SQL_SRC},
+    o AS (
+        SELECT c_custkey AS k, TRUE AS in_old,
+               CAST(c_acctbal AS DOUBLE) AS old_acctbal
+        FROM customer WHERE c_mktsegment IN {_SEGMENTS!r}
+    ),
+    n AS (
+        SELECT custkey AS k, TRUE AS in_new, acctbal AS new_acctbal
+        FROM merged WHERE segment IN {_SEGMENTS!r}
+    )
+    SELECT COALESCE(o.k, n.k) AS custkey,
+           CASE WHEN in_new IS NULL THEN 'D'
+                WHEN in_old IS NULL THEN 'I'
+                ELSE 'U' END AS op,
+           {sql_mround('old_acctbal')} AS old_acctbal,
+           {sql_mround('new_acctbal')} AS new_acctbal
+    FROM o FULL OUTER JOIN n ON o.k = n.k
+    WHERE in_old IS NULL OR in_new IS NULL
+       OR old_acctbal IS DISTINCT FROM new_acctbal
+    """,
+)
+def q_lake_incremental(spark, sf_dir):
+    """Incremental (CDF-style) consumption of a lakehouse table: the
+    I/U/D changeset between snapshot 0 and the post-merge snapshot,
+    derived from MANIFEST metadata — changed_partitions() compares
+    file lists (no data read), then only those partitions' files are
+    scanned on both sides. At 100 TB a downstream consumer pays
+    O(churn), never O(table) — the lakehouse twin of q_cdc_diff (which
+    diffs two full relational states). The oracle recomputes the
+    changeset relationally over only the touched segments."""
+    root = _seed_table(spark, sf_dir)
+    merge_cow(spark, root, _merge_source(spark, sf_dir), _merge_fn)
+    ch = read_changes(spark, root, "custkey", ["acctbal"], 0, 1)
+    return ch.select(
+        "custkey",
+        "op",
+        mround("old_acctbal").alias("old_acctbal"),
+        mround("new_acctbal").alias("new_acctbal"),
+    )
+
+
+_DELETE_BELOW = 200000.0
+
+
+def _merge_fn_delete(target, src):
+    """MERGE with the third branch: WHEN MATCHED AND spend < threshold
+    THEN DELETE; WHEN MATCHED THEN UPDATE; WHEN NOT MATCHED THEN
+    INSERT. A delete under copy-on-write is just absence from the
+    rewritten partition — no tombstones, no read-side merge cost."""
+    t, s = target.alias("t"), src.alias("s")
+    j = t.join(s, F.col("t.custkey") == F.col("s.custkey"), "full_outer")
+    matched = F.col("t.custkey").isNotNull() & F.col("s.custkey").isNotNull()
+    return (
+        j.where(~(matched & (F.col("s.spend") < F.lit(_DELETE_BELOW))))
+        .select(
+            F.coalesce("t.custkey", "s.custkey").alias("custkey"),
+            F.coalesce("t.name", F.lit("NEW")).alias("name"),
+            F.when(F.col("s.custkey").isNull(), F.col("t.acctbal"))
+            .otherwise(F.col("s.spend"))
+            .alias("acctbal"),
+            F.coalesce("t.segment", "s.segment").alias("segment"),
+        )
+    )
+
+
+@register(
+    "q_lake_delete",
+    oracle=f"""
+    WITH {_SQL_SRC}
+    SELECT COALESCE(t.c_custkey, s.custkey) AS custkey,
+           COALESCE(t.c_name, 'NEW') AS name,
+           {sql_mround('CASE WHEN s.custkey IS NULL THEN CAST(t.c_acctbal AS DOUBLE) ELSE s.spend END')}
+               AS acctbal,
+           COALESCE(t.c_mktsegment, s.segment) AS segment
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.custkey
+    WHERE NOT (t.c_custkey IS NOT NULL AND s.custkey IS NOT NULL
+               AND s.spend < {_DELETE_BELOW})
+    """,
+)
+def q_lake_delete(spark, sf_dir):
+    """MERGE with a DELETE branch under copy-on-write: matched
+    customers whose spend falls below the threshold are deleted
+    (absent from the rewritten partition files), the rest update, new
+    keys insert, untouched partitions carry forward by path. Hash
+    parity proves deletes round-trip the commit protocol exactly."""
+    root = _seed_table(spark, sf_dir)
+    merge_cow(spark, root, _merge_source(spark, sf_dir), _merge_fn_delete)
+    t = read_table(spark, root)
+    return t.select(
+        "custkey", "name", mround("acctbal").alias("acctbal"), "segment"
     )

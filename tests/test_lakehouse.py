@@ -112,3 +112,49 @@ def test_merge_is_idempotent_versioning(spark, merged_root):
     v = merge_cow(spark, root, _merge_source(spark, SF_SMOKE), _merge_fn)
     assert v == 2
     assert load_manifest(root, 2)["parent"] == 1
+
+
+def test_changed_partitions_is_metadata_only(merged_root):
+    from flink_streaming_kmeans_spark.operators.lakehouse import (
+        changed_partitions,
+    )
+
+    root, _, _ = merged_root
+    assert changed_partitions(root, 0, 1) == sorted(_SEGMENTS)
+
+
+def test_vacuum_gc_and_retention(spark):
+    """vacuum(keep_last=1): old manifests dropped, data files
+    referenced only by dropped snapshots deleted, carried-forward
+    files retained, latest still readable, history no longer."""
+    from flink_streaming_kmeans_spark.operators.lakehouse import (
+        load_manifest,
+        merge_cow,
+        read_table,
+        vacuum,
+    )
+    from flink_streaming_kmeans_spark.plans.lakehouse import (
+        _merge_fn,
+        _merge_source,
+        _seed_table,
+        _SEGMENTS,
+    )
+
+    root = _seed_table(spark, SF_SMOKE)
+    m0 = load_manifest(root, 0)
+    merge_cow(spark, root, _merge_source(spark, SF_SMOKE), _merge_fn)
+    n_latest = read_table(spark, root).count()
+
+    stats = vacuum(root, keep_last=1)
+    assert stats["removed_manifests"] == 1
+    # v0's touched-partition files are unreferenced now — removed.
+    touched0 = [
+        f["path"] for f in m0["files"] if f["partition"] in set(_SEGMENTS)
+    ]
+    assert stats["removed_files"] == len(touched0) > 0
+    for p in touched0:
+        assert not os.path.exists(os.path.join(root, p))
+    # Carried-forward (untouched) files still exist and latest reads.
+    assert read_table(spark, root).count() == n_latest
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, root, version=0)
