@@ -76,13 +76,43 @@ def load_manifest(root: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def _file_stats(path: str, cols: list[str]) -> tuple[int, dict]:
+    """(row_count, {col: [min, max]}) from the parquet FOOTER — no data
+    pages read. The same stats Iceberg keeps per data file; written
+    into the manifest so readers can skip files driver-side."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx[c]).statistics
+            if s is None or not s.has_min_max:
+                lo = hi = None
+                break
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            stats[c] = [lo, hi]
+    return md.num_rows, stats
+
+
 def _stage_and_collect(
-    df: DataFrame, root: str, pcol: str, version: int
+    df: DataFrame,
+    root: str,
+    pcol: str,
+    version: int,
+    stats_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write df partitioned by pcol to a stage dir, then move the files
     into data/<pcol>=<val>/ under version-prefixed unique names.
-    Returns manifest file entries. The move is a same-filesystem rename
-    (no copy); on an object store this step is a multipart-commit."""
+    Returns manifest file entries (with per-file footer stats for
+    ``stats_cols``). The move is a same-filesystem rename (no copy);
+    on an object store this step is a multipart-commit."""
     stage = os.path.join(root, f"_stage-{uuid.uuid4().hex}")
     df.write.partitionBy(pcol).mode("overwrite").parquet(stage)
     entries: list[dict] = []
@@ -96,14 +126,15 @@ def _stage_and_collect(
             if not fname.endswith(".parquet"):
                 continue
             new_name = f"v{version}-{uuid.uuid4().hex[:8]}-{fname}"
-            os.replace(
-                os.path.join(stage, part_dir, fname),
-                os.path.join(dest_dir, new_name),
-            )
+            dest = os.path.join(dest_dir, new_name)
+            os.replace(os.path.join(stage, part_dir, fname), dest)
+            rows, stats = _file_stats(dest, stats_cols or [])
             entries.append(
                 {
                     "path": f"{_DATA}/{part_dir}/{new_name}",
                     "partition": pval,
+                    "rows": rows,
+                    "stats": stats,
                 }
             )
     shutil.rmtree(stage, ignore_errors=True)
@@ -116,13 +147,19 @@ def _commit(root: str, version: int, manifest: dict) -> None:
 
 
 def create_table(
-    df: DataFrame, root: str, partition_col: str
+    df: DataFrame,
+    root: str,
+    partition_col: str,
+    stats_cols: list[str] | None = None,
 ) -> int:
-    """Initialize a table at ``root`` as snapshot 0 of ``df``."""
+    """Initialize a table at ``root`` as snapshot 0 of ``df``.
+    ``stats_cols``: columns whose per-file footer min/max get recorded
+    in every manifest (a table property — all later commits keep
+    collecting them), enabling driver-side file skipping on read."""
     os.makedirs(os.path.join(root, _MANIFESTS), exist_ok=True)
     os.makedirs(os.path.join(root, _DATA), exist_ok=True)
     ptype = dict(df.dtypes)[partition_col]
-    files = _stage_and_collect(df, root, partition_col, 0)
+    files = _stage_and_collect(df, root, partition_col, 0, stats_cols)
     _commit(
         root,
         0,
@@ -131,6 +168,7 @@ def create_table(
             "parent": None,
             "partition_col": partition_col,
             "partition_type": ptype,
+            "stats_cols": stats_cols or [],
             "files": files,
         },
     )
@@ -142,15 +180,28 @@ def read_table(
     root: str,
     version: int | None = None,
     partitions: list | None = None,
+    between: tuple | None = None,
 ) -> DataFrame:
     """Read snapshot ``version`` (default: latest). ``partitions``
     prunes the file list driver-side from manifest metadata — the scan
-    Spark plans never sees the pruned files at all."""
+    Spark plans never sees the pruned files at all. ``between=(col,
+    lo, hi)`` additionally skips files whose recorded footer [min,max]
+    for ``col`` cannot intersect [lo, hi] — FILE pruning only: callers
+    still apply the row-level predicate (a kept file may hold rows
+    outside the range). Files without recorded stats are kept."""
     m = load_manifest(root, version)
     files = m["files"]
     if partitions is not None:
         want = {str(p) for p in partitions}
         files = [f for f in files if str(f["partition"]) in want]
+    if between is not None:
+        col, lo, hi = between
+        files = [
+            f
+            for f in files
+            if col not in f.get("stats", {})
+            or not (f["stats"][col][1] < lo or f["stats"][col][0] > hi)
+        ]
     pcol, ptype = m["partition_col"], m["partition_type"]
     if not files:
         # Preserve schema for the empty snapshot: no files ⇒ build an
@@ -291,7 +342,9 @@ def merge_cow(
         spark, root, version=prev["version"], partitions=touched
     )
     merged = merge_fn(target_touched, source)
-    new_files = _stage_and_collect(merged, root, pcol, version)
+    new_files = _stage_and_collect(
+        merged, root, pcol, version, prev.get("stats_cols") or []
+    )
     want = {str(t) for t in touched}
     carried = [f for f in prev["files"] if str(f["partition"]) not in want]
     _commit(
@@ -302,6 +355,51 @@ def merge_cow(
             "parent": prev["version"],
             "partition_col": pcol,
             "partition_type": prev["partition_type"],
+            "stats_cols": prev.get("stats_cols") or [],
+            "files": carried + new_files,
+        },
+    )
+    return version
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    partitions: list | None = None,
+) -> int:
+    """Bin-pack each selected partition's files into ONE file and
+    commit as a new snapshot — the small-file maintenance pass every
+    streaming-ingested table needs (at 100 TB, footer+task overhead of
+    millions of KB-files dominates scan time long before data volume
+    does). The rewrite hash-distributes rows by the partition column
+    across one task per partition (each dir's rows land in exactly one
+    task → exactly one output file), so compaction parallelism scales
+    with partition count. Pure rewrite: logical content is unchanged
+    (test-asserted), untouched partitions carry forward by path, and
+    because compaction is its own snapshot it composes with time
+    travel and incremental reads like any other commit."""
+    prev = load_manifest(root)
+    pcol = prev["partition_col"]
+    version = prev["version"] + 1
+    if partitions is None:
+        partitions = sorted({str(f["partition"]) for f in prev["files"]})
+    data = read_table(
+        spark, root, version=prev["version"], partitions=partitions
+    ).repartition(max(len(partitions), 1), pcol)
+    new_files = _stage_and_collect(
+        data, root, pcol, version, prev.get("stats_cols") or []
+    )
+    want = {str(p) for p in partitions}
+    carried = [f for f in prev["files"] if str(f["partition"]) not in want]
+    _commit(
+        root,
+        version,
+        {
+            "version": version,
+            "parent": prev["version"],
+            "partition_col": pcol,
+            "partition_type": prev["partition_type"],
+            "stats_cols": prev.get("stats_cols") or [],
             "files": carried + new_files,
         },
     )

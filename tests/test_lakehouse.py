@@ -158,3 +158,52 @@ def test_vacuum_gc_and_retention(spark):
     assert read_table(spark, root).count() == n_latest
     with pytest.raises(FileNotFoundError):
         read_table(spark, root, version=0)
+
+
+def test_file_stats_skipping_and_compact(spark):
+    """Footer min/max stats land in the manifest; between=(col,lo,hi)
+    prunes FILES driver-side (fewer inputFiles, same filtered answer);
+    compact() bin-packs each partition to one file with identical
+    logical content."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.operators.lakehouse import (
+        compact,
+        create_table,
+    )
+    from flink_streaming_kmeans_spark.plans.scans import _tmp_out
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+
+    c = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .repartitionByRange(6, "custkey")  # range layout → tight stats
+    )
+    root = _tmp_out("lakestats", SF_SMOKE)
+    create_table(c, root, "segment", stats_cols=["custkey"])
+    m0 = load_manifest(root, 0)
+    assert all(f["rows"] > 0 and "custkey" in f["stats"] for f in m0["files"])
+    total_files = len(m0["files"])
+    assert total_files > 10  # multi-file per partition — skipping is meaningful
+
+    pruned = read_table(spark, root, between=("custkey", 0, 20))
+    assert 0 < len(pruned.inputFiles()) < total_files
+    want = c.where("custkey <= 20").count()
+    assert pruned.where("custkey <= 20").count() == want
+
+    v = compact(spark, root)
+    m1 = load_manifest(root, v)
+    per: dict = {}
+    for f in m1["files"]:
+        per.setdefault(f["partition"], []).append(f)
+    assert per and all(len(fs) == 1 for fs in per.values())
+    a = sorted((r.custkey, r.acctbal) for r in read_table(spark, root).collect())
+    b = sorted(
+        (r.custkey, r.acctbal)
+        for r in read_table(spark, root, version=0).collect()
+    )
+    assert a == b
