@@ -844,3 +844,70 @@ def q_text_concat_pack(spark, sf_dir):
             mround(F.col("total_tokens").cast("double") / 512).alias("fill"),
         )
     )
+
+
+@register(
+    "q_text_redact",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               'contact u' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com ref '
+                   || lpad(CAST(doc_id * 37 % 10000000 AS VARCHAR), 9, '0')
+                   || ' ' || text AS raw
+        FROM documents
+    ), red AS (
+        SELECT doc_id, raw,
+               regexp_replace(
+                   regexp_replace(
+                       raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                       '<EMAIL>', 'g'),
+                   '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS redacted
+        FROM aug
+    )
+    SELECT doc_id,
+           substr(redacted, 1, 40) AS head,
+           CAST(length(raw) - length(redacted) AS BIGINT) AS chars_removed,
+           CASE WHEN redacted LIKE '%<EMAIL>%' THEN 1 ELSE 0 END AS had_email,
+           CASE WHEN redacted LIKE '%<NUM>%' THEN 1 ELSE 0 END AS had_number
+    FROM red
+    """,
+)
+def q_text_redact(spark, sf_dir):
+    """PII-style redaction — the cleaning stage every shared training
+    corpus runs before release: mask email addresses and long digit
+    runs with typed placeholders, report per-doc reduction. The
+    synthetic documents carry no natural PII, so a deterministic
+    PII-bearing prefix is derived from doc_id first (same derivation
+    in the oracle) — the redaction machinery and its cross-engine
+    regex semantics are what is under test. Regexes are POSIX-basic
+    (Java ∩ RE2, determinism rule 6); Spark's regexp_replace is
+    global by default, DuckDB takes the explicit 'g' flag. Pure
+    per-row map — no shuffle, codegen-compiled, linear at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com ref "),
+        F.lpad((F.col("doc_id") * 37 % 10000000).cast("string"), 9, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            raw,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+",
+            "<EMAIL>",
+        ),
+        "[0-9][0-9][0-9][0-9][0-9][0-9]+",
+        "<NUM>",
+    )
+    aug = d.select("doc_id", raw.alias("raw"), redacted.alias("redacted"))
+    return aug.select(
+        "doc_id",
+        F.substring("redacted", 1, 40).alias("head"),
+        (F.length("raw") - F.length("redacted")).cast("bigint").alias("chars_removed"),
+        F.when(F.col("redacted").like("%<EMAIL>%"), 1).otherwise(0).alias("had_email"),
+        F.when(F.col("redacted").like("%<NUM>%"), 1).otherwise(0).alias("had_number"),
+    )
