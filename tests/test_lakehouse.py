@@ -207,3 +207,78 @@ def test_file_stats_skipping_and_compact(spark):
         for r in read_table(spark, root, version=0).collect()
     )
     assert a == b
+
+
+def test_streaming_upsert_sink(spark):
+    """foreachBatch → merge_cow per micro-batch: the streaming upsert
+    sink pattern (Delta's streaming MERGE, on our manifest format).
+    Each micro-batch commits one snapshot; the final state equals the
+    single batch merge of the same source, versions stay linear, and
+    history remains time-travelable per batch."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.plans.lakehouse import (
+        _merge_fn,
+        _merge_source,
+        _seed_table,
+    )
+
+    root = _seed_table(spark, SF_SMOKE)
+    src = _merge_source(spark, SF_SMOKE).cache()
+    try:
+        d = tempfile.mkdtemp(prefix="fsk_lake_stream_")
+        try:
+            # 3 micro-batches of DISJOINT keys (mod split) so the union
+            # of incremental merges equals one big merge.
+            src.withColumn("part", (F.col("custkey") % 3).cast("int")).write.partitionBy(
+                "part"
+            ).parquet(d + "/in_all")
+            os.makedirs(d + "/in")
+
+            def fb(batch_df, batch_id):
+                merge_cow(spark, root, batch_df.drop("part"), _merge_fn)
+
+            import glob
+
+            for p in sorted(glob.glob(d + "/in_all/part=*")):
+                for f in os.listdir(p):
+                    if f.endswith(".parquet"):
+                        shutil.copy(
+                            os.path.join(p, f),
+                            os.path.join(d, "in", os.path.basename(p) + "-" + f),
+                        )
+            stream = (
+                spark.readStream.schema(
+                    "custkey bigint, segment string, spend double"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d + "/in")
+            )
+            q = (
+                stream.writeStream.foreachBatch(fb)
+                .option("checkpointLocation", d + "/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+            assert latest_version(root) >= 2  # one commit per micro-batch
+            got = {
+                (r.custkey, round(r.acctbal, 4))
+                for r in read_table(spark, root).collect()
+            }
+            # Reference: one batch merge over a fresh seed.
+            ref_root = _seed_table(spark, SF_SMOKE)
+            merge_cow(spark, ref_root, src, _merge_fn)
+            want = {
+                (r.custkey, round(r.acctbal, 4))
+                for r in read_table(spark, ref_root).collect()
+            }
+            assert got == want
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    finally:
+        src.unpersist()
