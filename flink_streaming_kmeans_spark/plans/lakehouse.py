@@ -26,9 +26,8 @@ from ..operators.lakehouse import (
     read_changes,
     read_table,
 )
-from ..sources.loader import load_table
+from ..sources.loader import _tmp_out, load_table
 from .registry import register
-from .scans import _tmp_out
 
 # Touched partitions for the merge — BUILDING + AUTOMOBILE; the other
 # three segments' files must survive byte-identical (asserted in

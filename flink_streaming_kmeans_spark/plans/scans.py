@@ -10,13 +10,9 @@ touches).
 
 from __future__ import annotations
 
-import os
-import tempfile
-import uuid
-
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table
+from ..sources.loader import _tmp_out, load_table
 from .registry import register
 
 
@@ -96,32 +92,6 @@ def q_sink_partitioned(spark, sf_dir):
     return back.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
-    )
-
-
-def _tmp_out(prefix: str, sf_dir: str) -> str:
-    """Unique per-invocation sink dir + age-based GC of old siblings.
-
-    Uniqueness keeps concurrent runs from clobbering each other between
-    write and re-read; the GC (anything older than 30 min) bounds the
-    disk these round-trip queries consume across repeated bench/test
-    runs — a lazily-evaluated result can still be reading its input, so
-    same-run dirs must survive, but half-hour-old ones are dead."""
-    import shutil
-    import time
-
-    root = os.path.join(tempfile.gettempdir(), "fsk_spark_sink")
-    try:
-        cutoff = time.time() - 1800
-        for name in os.listdir(root):
-            p = os.path.join(root, name)
-            if os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
-    except OSError:
-        pass
-    return os.path.join(
-        root,
-        f"{prefix}-{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}-{uuid.uuid4().hex}",
     )
 
 

@@ -171,7 +171,7 @@ def test_file_stats_skipping_and_compact(spark):
         compact,
         create_table,
     )
-    from flink_streaming_kmeans_spark.plans.scans import _tmp_out
+    from flink_streaming_kmeans_spark.sources.loader import _tmp_out
     from flink_streaming_kmeans_spark.sources.loader import load_table
 
     c = (
