@@ -40,11 +40,25 @@ TABLES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table; normalizes events.ts (bigint ns → timestamp µs)."""
+    """Load one test table; normalizes events.ts to TIMESTAMP (µs).
+
+    Generated data has shipped ts as INT64 TIMESTAMP(NANOS) (reads as
+    bigint ns under nanosAsLong → exact integer truncation to µs) and
+    as timestamp[us] with isAdjustedToUTC=false (reads as
+    timestamp_ntz → cast to ltz, identity under the UTC session).
+    Normalizing HERE matters for more than hygiene: an ntz column
+    makes every downstream timestamp comparison insert a per-row
+    cast(ntz→ltz) — measured 10× on q_join_range's nested-loop
+    condition (72M evaluations) — and ntz/ltz schema drift would break
+    result-schema stability across data regenerations."""
     ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
