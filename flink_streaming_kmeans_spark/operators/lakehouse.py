@@ -366,6 +366,7 @@ def compact(
     spark: SparkSession,
     root: str,
     partitions: list | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Bin-pack each selected partition's files into ONE file and
     commit as a new snapshot — the small-file maintenance pass every
@@ -377,15 +378,30 @@ def compact(
     with partition count. Pure rewrite: logical content is unchanged
     (test-asserted), untouched partitions carry forward by path, and
     because compaction is its own snapshot it composes with time
-    travel and incremental reads like any other commit."""
+    travel and incremental reads like any other commit.
+
+    ``sort_by``: cluster each rewritten partition BY KEY RANGE across
+    several files instead of bin-packing to one (Z-order-lite):
+    repartitionByRange on (partition, sort keys) gives each output
+    file a tight, near-disjoint key range, which the manifest's
+    per-file min/max then exposes to ``between=`` skipping — a point
+    or range read touches ~one file per partition instead of all of
+    them. Clustering + stats is the whole data-skipping story; neither
+    works without the other (one packed file per partition would carry
+    the partition's FULL range in its stats)."""
     prev = load_manifest(root)
     pcol = prev["partition_col"]
     version = prev["version"] + 1
     if partitions is None:
         partitions = sorted({str(f["partition"]) for f in prev["files"]})
-    data = read_table(
-        spark, root, version=prev["version"], partitions=partitions
-    ).repartition(max(len(partitions), 1), pcol)
+    base = read_table(spark, root, version=prev["version"], partitions=partitions)
+    n_parts = max(len(partitions), 1)
+    if sort_by:
+        data = base.repartitionByRange(
+            n_parts * 4, F.col(pcol), *[F.col(c) for c in sort_by]
+        ).sortWithinPartitions(pcol, *sort_by)
+    else:
+        data = base.repartition(n_parts, pcol)
     new_files = _stage_and_collect(
         data, root, pcol, version, prev.get("stats_cols") or []
     )

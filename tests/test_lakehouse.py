@@ -8,7 +8,7 @@ import json
 import os
 
 import pytest
-from conftest import SF_SMOKE
+from conftest import SF_SMOKE, SF_T2
 
 from flink_streaming_kmeans_spark.operators.lakehouse import (
     create_table,
@@ -282,3 +282,64 @@ def test_streaming_upsert_sink(spark):
             shutil.rmtree(d, ignore_errors=True)
     finally:
         src.unpersist()
+
+
+def test_compact_sort_by_clusters_for_skipping(spark):
+    """compact(sort_by=...) must produce a range-clustered layout:
+    several files per partition with near-disjoint custkey ranges, so
+    a between= point/range read touches ~one file per partition where
+    the unsorted layout touches most of them."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.operators.lakehouse import (
+        compact,
+        create_table,
+    )
+    from flink_streaming_kmeans_spark.sources.loader import _tmp_out, load_table
+
+    c = (
+        load_table(spark, SF_T2, "customer")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .repartition(6)  # RANDOM layout: every file spans ~full range
+    )
+    root = _tmp_out("lakesort", SF_T2)
+    create_table(c, root, "segment", stats_cols=["custkey"])
+    files_v0 = load_manifest(root, 0)["files"]
+    kept_v0 = [
+        f
+        for f in files_v0
+        if "custkey" in f["stats"]
+        and not (f["stats"]["custkey"][1] < 0 or f["stats"]["custkey"][0] > 100)
+    ]
+    # random layout: nearly every file intersects [0, 10]
+    assert len(kept_v0) > len(files_v0) * 0.7
+
+    v = compact(spark, root, sort_by=["custkey"])
+    files_v1 = load_manifest(root, v)["files"]
+    per: dict = {}
+    for f in files_v1:
+        per.setdefault(f["partition"], []).append(f)
+    assert all(len(fs) > 1 for fs in per.values())  # clustered, not packed
+    kept_v1 = [
+        f
+        for f in files_v1
+        if "custkey" in f["stats"]
+        and not (f["stats"]["custkey"][1] < 0 or f["stats"]["custkey"][0] > 100)
+    ]
+    # clustered layout: ~1-2 files per partition intersect (range
+    # boundaries fall where they fall), vs nearly all before
+    assert len(kept_v1) <= 2 * len(per), (
+        [(f["path"], f["stats"]) for f in kept_v1]
+    )
+    assert len(kept_v1) < len(kept_v0) * 0.5
+    # content unchanged
+    a = sorted((r.custkey, r.acctbal) for r in read_table(spark, root).collect())
+    b = sorted(
+        (r.custkey, r.acctbal)
+        for r in read_table(spark, root, version=0).collect()
+    )
+    assert a == b
