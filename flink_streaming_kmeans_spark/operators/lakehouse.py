@@ -181,6 +181,7 @@ def read_table(
     version: int | None = None,
     partitions: list | None = None,
     between: tuple | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read snapshot ``version`` (default: latest). ``partitions``
     prunes the file list driver-side from manifest metadata — the scan
@@ -209,7 +210,17 @@ def read_table(
         # merging into an empty selection union against this.
         raise ValueError(f"no files for version={m['version']} partitions={partitions}")
     paths = [os.path.join(root, f["path"]) for f in files]
-    df = spark.read.option("basePath", os.path.join(root, _DATA)).parquet(*paths)
+    reader = spark.read.option("basePath", os.path.join(root, _DATA))
+    if merge_schema:
+        # Schema evolution: a later commit may have ADDED columns, and
+        # carried-forward files predate them. mergeSchema unions the
+        # file footers (extra footer read per file — opt-in) and fills
+        # missing columns with NULL, the standard parquet
+        # add-column-with-null-default evolution Delta/Iceberg expose.
+        # Dropping/renaming/retyping would need column-id indirection
+        # in the manifest — out of scope, as is Iceberg's.
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*paths)
     # Partition-dir inference types the column from path strings; cast
     # back to the declared type so snapshots round-trip schema-stable.
     return df.withColumn(pcol, F.col(pcol).cast(ptype))

@@ -343,3 +343,28 @@ def test_compact_sort_by_clusters_for_skipping(spark):
         for r in read_table(spark, root, version=0).collect()
     )
     assert a == b
+
+
+def test_schema_evolution_add_column(spark):
+    """A merge whose output adds a column commits normally; reading
+    the new snapshot with merge_schema=True yields the union schema
+    with NULLs for carried-forward (untouched) partitions' rows, and
+    time travel to v0 still returns the original schema."""
+    from pyspark.sql import functions as F
+
+    root = _seed_table(spark, SF_SMOKE)
+
+    def add_col_merge(target, src):
+        return _merge_fn(target, src).withColumn(
+            "touched_at", F.lit("v1-merge")
+        )
+
+    merge_cow(spark, root, _merge_source(spark, SF_SMOKE), add_col_merge)
+
+    t = read_table(spark, root, merge_schema=True)
+    assert "touched_at" in t.columns
+    touched = t.where(t.segment.isin(*_SEGMENTS))
+    untouched = t.where(~t.segment.isin(*_SEGMENTS))
+    assert touched.where(t.touched_at.isNull()).count() == 0
+    assert untouched.where(t.touched_at.isNotNull()).count() == 0
+    assert "touched_at" not in read_table(spark, root, version=0).columns
