@@ -368,3 +368,84 @@ def test_schema_evolution_add_column(spark):
     assert touched.where(t.touched_at.isNull()).count() == 0
     assert untouched.where(t.touched_at.isNotNull()).count() == 0
     assert "touched_at" not in read_table(spark, root, version=0).columns
+
+
+def test_model_based_commit_sequence(spark):
+    """Model-based check of the commit machinery: a seeded sequence of
+    upsert / delete / compact commits over a tiny table, with the
+    expected state tracked in a plain dict. After EVERY commit the
+    snapshot read must equal the model exactly, and at the end every
+    historical version must still replay its recorded state — commit
+    isolation, COW carry-forward, and compaction's content-neutrality
+    exercised together rather than one at a time."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.operators.lakehouse import compact
+    from flink_streaming_kmeans_spark.sources.loader import _tmp_out
+
+    rng = random.Random(42)
+    segs = ["A", "B", "C"]
+    model = {i: (float(i * 10), segs[i % 3]) for i in range(30)}
+    df = spark.createDataFrame(
+        [(k, v, s) for k, (v, s) in model.items()],
+        "k bigint, val double, seg string",
+    )
+    root = _tmp_out("lakemodel", SF_SMOKE)
+    create_table(df, root, "seg")
+    history = {0: dict(model)}
+
+    def mk_src(rows):
+        return spark.createDataFrame(rows, "k bigint, val double, seg string")
+
+    def upsert_fn(target, src):
+        t, s = target.alias("t"), src.alias("s")
+        j = t.join(s, F.col("t.k") == F.col("s.k"), "full_outer")
+        return j.select(
+            F.coalesce("t.k", "s.k").alias("k"),
+            F.coalesce("s.val", "t.val").alias("val"),
+            F.coalesce("t.seg", "s.seg").alias("seg"),
+        )
+
+    def delete_fn(target, src):
+        t, s = target.alias("t"), src.alias("s")
+        j = t.join(s, F.col("t.k") == F.col("s.k"), "left_anti")
+        return j.select("k", "val", "seg")
+
+    next_key = 100
+    for step in range(6):
+        op = rng.choice(["upsert", "delete", "compact"])
+        if op == "upsert":
+            rows = []
+            for _ in range(rng.randint(1, 4)):
+                if model and rng.random() < 0.5:
+                    k = rng.choice(sorted(model))
+                    seg = model[k][1]
+                else:
+                    k, seg = next_key, rng.choice(segs)
+                    next_key += 1
+                v = float(rng.randint(0, 999))
+                rows.append((k, v, seg))
+                model[k] = (v, seg)
+            ver = merge_cow(spark, root, mk_src(rows), upsert_fn)
+        elif op == "delete" and model:
+            ks = rng.sample(sorted(model), min(2, len(model)))
+            rows = [(k, 0.0, model[k][1]) for k in ks]
+            for k in ks:
+                del model[k]
+            ver = merge_cow(spark, root, mk_src(rows), delete_fn)
+        else:
+            ver = compact(spark, root)
+        got = {
+            r.k: (r.val, r.seg) for r in read_table(spark, root).collect()
+        }
+        assert got == model, (step, op, ver)
+        history[ver] = dict(model)
+
+    for ver, want in history.items():
+        got = {
+            r.k: (r.val, r.seg)
+            for r in read_table(spark, root, version=ver).collect()
+        }
+        assert got == want, f"time travel to v{ver} diverged"
