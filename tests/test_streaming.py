@@ -429,3 +429,64 @@ def test_streaming_kmeans_macqueen(spark):
         assert np.abs(skm.C - init).max() > 1e-3
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_etl_to_parquet_sink(spark):
+    """The streaming ETL shape every event pipeline runs: file stream →
+    watermarked tumbling-window aggregate → APPEND-mode parquet sink.
+    Append emits a window only once its watermark closes it, so with
+    availableNow over a finite input the sink must hold every window
+    except (at most) the ones the final watermark left open — and each
+    emitted row must match the batch recomputation exactly. This
+    closes the gap between the memory-sink parity tests and what a
+    user actually deploys (files in, files out, restartable)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="fsk_setl_")
+    try:
+        stream = _events_stream(spark, SF_SMOKE, maxFilesPerTrigger="1")
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", d + "/out")
+            .option("checkpointLocation", d + "/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {
+            r.win_start: (r.n_events, round(r.sum_value, 4))
+            for r in spark.read.parquet(d + "/out").collect()
+        }
+        from flink_streaming_kmeans_spark.sources.loader import load_table
+
+        ev = load_table(spark, SF_SMOKE, "events")
+        want = {
+            r.win_start: (r.n_events, round(r.sum_value, 4))
+            for r in ev.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(30,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+            .collect()
+        }
+        assert len(got) >= len(want) - 2  # ≤ the final open window(s) missing
+        for k, v in got.items():
+            assert want[k] == v, k  # every emitted window is batch-exact
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
