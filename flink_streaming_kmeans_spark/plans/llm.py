@@ -702,3 +702,71 @@ def q_pipeline_clean(spark, sf_dir):
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
         davg("n_tok", "avg_tokens"),
     )
+
+
+@register(
+    "q_dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_PAIRS_CTE},
+    edges AS (
+        SELECT doc_id1 AS src, doc_id2 AS dst FROM near
+        UNION ALL
+        SELECT doc_id2, doc_id1 FROM near
+    ),
+    walk(doc_id, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    comp AS (
+        SELECT doc_id, MIN(node) AS cluster_id FROM walk GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT c.cluster_id, d.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+           CAST(MAX(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+               AS kept_chars,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def q_dedup_canonical(spark, sf_dir):
+    """Canonical-document selection — the DECISION step after dedup
+    clustering that every corpus pipeline actually ships: within each
+    near-dup component keep exactly one representative (longest doc,
+    doc_id tie-break — the common keep-richest heuristic) and count
+    what gets dropped. Composition of the registered pieces: shingle
+    near-dup graph → connected components (auto-switching label
+    propagation) → broadcast quality attribute → per-cluster top-1
+    window. Scale shape: the window partitions by cluster_id (high
+    cardinality, tiny partitions), everything upstream is the
+    q_dedup_cluster plan; at 100 TB the kept-set join back to the
+    corpus is a semi-join on kept_doc. Oracle: recursive-CTE closure +
+    the same ranked reduction."""
+    from ..operators.graph import connected_components
+
+    pairs = _near_pairs(spark, sf_dir).select("doc_id1", "doc_id2")
+    edges = pairs.select(
+        F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    labels = connected_components(nodes, edges)
+    scored = labels.join(
+        docs.select("doc_id", "n_chars"),
+        labels.id == F.col("doc_id"),
+    ).select(F.col("label").alias("cluster_id"), "doc_id", "n_chars")
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+        .cast("bigint")
+        .alias("kept_chars"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+    )

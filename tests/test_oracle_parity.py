@@ -70,12 +70,13 @@ def test_contract_is_complete(registry):
     string agg, struct round-trip, decontamination, token chunking,
     repetition filter, embedding normalize, concat packing, SCD2
     intervals, merge upsert, end-to-end clean pipeline, CDC snapshot
-    diff), all hash-checked. Round 3 adds 6 more: the lakehouse
+    diff), all hash-checked. Round 3 adds 7 more: the lakehouse
     quartet (COW merge, time travel, incremental changeset, MERGE
-    delete), the re-keyed ntile twin, and PII redaction."""
+    delete), the re-keyed ntile twin, PII redaction, and
+    canonical-doc selection."""
     queries, oracles = registry
-    assert len(queries) == 116, sorted(queries)
-    assert len(oracles) == 114
+    assert len(queries) == 117, sorted(queries)
+    assert len(oracles) == 115
     # Exactly the two contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
