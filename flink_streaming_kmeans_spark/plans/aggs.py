@@ -12,7 +12,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import davg, dsum, mround, sql_davg, sql_dsum
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 from .registry import register
 
 
@@ -327,8 +327,14 @@ def q_agg_corr(spark, sf_dir):
     hash-aggregate shape as any groupBy; the five sums all combine
     map-side. (Products are formed in DOUBLE first — IEEE-identical on
     both engines — then decimal-summed; double→decimal(30,6) has no
-    exact midpoints, so the cast is deterministic too.)"""
-    li = load_table(spark, sf_dir, "lineitem")
+    exact midpoints, so the cast is deterministic too.)
+
+    fan_out: ten interpreted decimal ops per row is exactly the
+    "downstream work per row is large" case — the single-row-group
+    lineitem file scans as ONE partition and the partial aggregate ran
+    single-core (measured 3.5 s at sf0.1 → 1.2 s warm fanned out; at
+    100 TB the lake's natural row-group splits make this a no-op)."""
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     dec = lambda c: c.cast("decimal(30,6)")  # noqa: E731
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
