@@ -66,15 +66,21 @@ def q_dedup_simhash(spark, sf_dir):
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).dropDuplicates(["doc_id", "tok"])
-    bits = toks.select(
+    # md5 BEFORE the 32-way bit explode: hashed once per (doc, token),
+    # not once per (doc, token, bit) — the hash is ~all the per-row
+    # cost, so recomputing it under the explode was a 32× overspend
+    # (the explode's projection re-evaluates every expression that
+    # references the exploded column's row).
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    bits = hashed.select(
         "doc_id",
-        "tok",
+        "h",
         F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"),
     ).select(
         "doc_id",
         "j",
         F.expr(
-            "((instr('0123456789abcdef', substr(md5(tok), 1 + CAST(j / 4 AS INT), 1)) - 1)"
+            "((instr('0123456789abcdef', substr(h, 1 + CAST(j / 4 AS INT), 1)) - 1)"
             " >> (3 - j % 4)) & 1"
         ).alias("bit"),
     )

@@ -312,3 +312,15 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compute_heavy_scans_fan_out(spark, registry):
+    """Single-row-group fixture files scan as ONE partition; the
+    compute-heavy queries must restore parallelism via fan_out or the
+    per-row work (decimal moments, per-token md5) runs one-core — a
+    silent 3-30x local regression if someone drops the repartition."""
+    queries, _ = registry
+    for name in ("q_agg_corr", "q_dedup_simhash", "q_join_range"):
+        df = queries[name](spark, SF_T2)
+        p = plan_of(df, "formatted")
+        assert "RoundRobinPartitioning" in p, f"{name} lost its fan_out"
