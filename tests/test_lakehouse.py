@@ -449,3 +449,79 @@ def test_model_based_commit_sequence(spark):
             for r in read_table(spark, root, version=ver).collect()
         }
         assert got == want, f"time travel to v{ver} diverged"
+
+
+def test_streaming_join_against_evolving_dim(spark):
+    """Lakehouse table as a LIVE dimension under a stream: foreachBatch
+    re-resolves the latest snapshot per micro-batch (read_table pins
+    files at plan time, so resolution must happen inside the batch
+    function — the streaming pattern for slowly-changing dims), and a
+    merge committed between batches is visible to subsequent batches
+    but not earlier ones."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.operators.lakehouse import (
+        create_table,
+        merge_cow,
+        read_table,
+    )
+    from flink_streaming_kmeans_spark.sources.loader import _tmp_out
+
+    root = _tmp_out("lakedim", SF_SMOKE)
+    dim = spark.createDataFrame(
+        [(i, f"v0-{i}", "X") for i in range(10)],
+        "k bigint, label string, seg string",
+    )
+    create_table(dim, root, "seg")
+
+    d = tempfile.mkdtemp(prefix="fsk_lakedim_")
+    try:
+        # Two fact micro-batches (one file each).
+        for b in range(2):
+            spark.createDataFrame(
+                [(b * 10 + j, j % 10) for j in range(10)], "fid bigint, k bigint"
+            ).coalesce(1).write.parquet(f"{d}/in/b{b}")
+
+        seen: dict = {}
+
+        def fb(batch_df, batch_id):
+            cur = read_table(spark, root)  # re-resolve LATEST per batch
+            joined = batch_df.join(cur, "k").select("fid", "label")
+            seen[int(batch_id)] = {(r.fid, r.label) for r in joined.collect()}
+            if int(batch_id) == 0:
+                # Commit a dim update BETWEEN batches.
+                upd = spark.createDataFrame(
+                    [(i, f"v1-{i}", "X") for i in range(10)],
+                    "k bigint, label string, seg string",
+                )
+
+                def fn(target, src):
+                    t, s = target.alias("t"), src.alias("s")
+                    j = t.join(s, F.col("t.k") == F.col("s.k"), "full_outer")
+                    return j.select(
+                        F.coalesce("t.k", "s.k").alias("k"),
+                        F.coalesce("s.label", "t.label").alias("label"),
+                        F.coalesce("t.seg", "s.seg").alias("seg"),
+                    )
+
+                merge_cow(spark, root, upd, fn)
+
+        q = (
+            spark.readStream.schema("fid bigint, k bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d + "/in/*")
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", d + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        assert len(seen) == 2
+        assert all(lab.startswith("v0-") for _, lab in seen[0])
+        assert all(lab.startswith("v1-") for _, lab in seen[1])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
