@@ -48,6 +48,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--max-iters", type=int, default=20)
+    p.add_argument(
+        "--init",
+        choices=["first-k", "kmeans||"],
+        default="first-k",
+        help="centroid init: deterministic first-k ids (reference-"
+        "faithful) or scalable k-means|| oversampling (Bahmani)",
+    )
     p.add_argument("--output", required=True, help="output parquet dir")
     p.add_argument(
         "--parallelism",
@@ -83,7 +90,7 @@ def load_points(spark, path: str, fmt: str, header: bool = True):
 
 
 def main(argv: list[str] | None = None) -> int:
-    from .operators.kmeans import lloyd_iterate
+    from .operators.kmeans import kmeans_parallel_init, lloyd_iterate
     from .session import get_spark
 
     args = build_arg_parser().parse_args(argv)
@@ -92,7 +99,12 @@ def main(argv: list[str] | None = None) -> int:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
 
     pts = load_points(spark, args.input, args.format, header=not args.no_header)
-    assigned = lloyd_iterate(spark, pts, k=args.k, max_iter=args.max_iters)
+    init = (
+        kmeans_parallel_init(pts, k=args.k) if args.init == "kmeans||" else None
+    )
+    assigned = lloyd_iterate(
+        spark, pts, k=args.k, max_iter=args.max_iters, init=init
+    )
     assigned.write.mode("overwrite").parquet(args.output)
 
     back = spark.read.parquet(args.output)
