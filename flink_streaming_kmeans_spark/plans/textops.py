@@ -917,3 +917,76 @@ def q_text_redact(spark, sf_dir):
         F.when(F.col("redacted").like("%<EMAIL>%"), 1).otherwise(0).alias("had_email"),
         F.when(F.col("redacted").like("%<NUM>%"), 1).otherwise(0).alias("had_number"),
     )
+
+
+@register(
+    "q_sample_mixture",
+    oracle="""
+    WITH wts AS (
+        SELECT source, COUNT(*) AS n_total,
+               CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                         THEN 3 ELSE 1 END AS BIGINT) AS wt
+        FROM documents GROUP BY source
+    ), wa AS (
+        SELECT CAST(SUM(wt) AS BIGINT) AS w_all FROM wts
+    ), lim AS (
+        SELECT MIN(n_total * w_all // wt) AS n_target, MAX(w_all) AS w_all
+        FROM wts, wa
+    ), ranked AS (
+        SELECT d.doc_id, d.source, w.wt,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                           d.doc_id) AS rn
+        FROM documents d JOIN wts w ON d.source = w.source
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r, lim
+    WHERE r.rn <= (lim.n_target * r.wt) // lim.w_all
+    """,
+)
+def q_sample_mixture(spark, sf_dir):
+    """Deterministic data-mixture sampling — the pretraining 'mixing
+    weights' step: given per-source target weights (here 3:1 favoring
+    even-indexed sources), keep the LARGEST corpus achievable at
+    exactly those proportions. All arithmetic is integer-exact
+    (weights, feasible total N = min_s floor(n_s*W/wt_s), per-source
+    quota floor(N*wt_s/W)) and row selection is a per-source rank on
+    md5(doc_id) — the kept SET is reproducible run-to-run and
+    engine-to-engine, which is what makes a training mix auditable,
+    and rank stability means later-added documents perturb the sample
+    minimally (the q_sample_hash property). Scale shape: one tiny
+    count-aggregate, one window rank partitioned by source
+    (high-cardinality at real scale), no data-dependent driver
+    logic."""
+    d = load_table(spark, sf_dir, "documents")
+    wts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total")).select(
+        "source",
+        "n_total",
+        F.when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(3)
+        )
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("wt"),
+    )
+    w_all = wts.agg(F.sum("wt").alias("w_all"))
+    lim = (
+        wts.crossJoin(F.broadcast(w_all))
+        .agg(
+            F.min(F.expr("n_total * w_all DIV wt")).alias("n_target"),
+            F.first("w_all").alias("w_all"),
+        )
+    )
+    win = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = (
+        d.join(F.broadcast(wts), "source")
+        .select("doc_id", "source", "wt")
+        .withColumn("rn", F.row_number().over(win))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(lim))
+        .where(F.col("rn") <= F.expr("n_target * wt DIV w_all"))
+        .select("doc_id", "source")
+    )

@@ -72,11 +72,11 @@ def test_contract_is_complete(registry):
     intervals, merge upsert, end-to-end clean pipeline, CDC snapshot
     diff), all hash-checked. Round 3 adds 7 more: the lakehouse
     quartet (COW merge, time travel, incremental changeset, MERGE
-    delete), the re-keyed ntile twin, PII redaction, and
-    canonical-doc selection."""
+    delete), the re-keyed ntile twin, PII redaction, canonical-doc
+    selection, and mixture sampling."""
     queries, oracles = registry
-    assert len(queries) == 117, sorted(queries)
-    assert len(oracles) == 115
+    assert len(queries) == 118, sorted(queries)
+    assert len(oracles) == 116
     # Exactly the two contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
