@@ -97,6 +97,11 @@ def _file_stats(path: str, cols: list[str]) -> tuple[int, dict]:
             lo = s.min if lo is None else min(lo, s.min)
             hi = s.max if hi is None else max(hi, s.max)
         if lo is not None:
+            # pyarrow returns bytes for binary-physical columns; the
+            # manifest is JSON, so only JSON-native stats are recorded
+            # (a skipped stat only disables skipping for that column).
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue
             stats[c] = [lo, hi]
     return md.num_rows, stats
 
