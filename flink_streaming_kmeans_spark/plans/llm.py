@@ -581,8 +581,11 @@ def q_text_decontaminate(spark, sf_dir):
     )
     SELECT vec_id,
            {sql_mround('norm_raw')} AS norm,
-           list_transform(embedding::DOUBLE[],
-                          x -> {sql_mround('x / norm_raw')}) AS unit
+           array_to_string(
+               list_transform(embedding,
+                   x -> CAST(CAST(floor(CAST(x AS DOUBLE) / norm_raw * 10000
+                                        + 0.5) AS BIGINT) AS VARCHAR)),
+               ',') AS unit
     FROM n
     """,
 )
@@ -601,7 +604,14 @@ def q_emb_normalize(spark, sf_dir):
     components; integer quantization does, at a 1e-6 norm error far
     below the 1e-4 output round. Pure map pass, no shuffle; the HOF
     transform is per-row over 64 elements (the interpreted-HOF hazard
-    is lambda chains recomputed across join sides, not a single map)."""
+    is lambda chains recomputed across join sides, not a single map).
+
+    The unit vector is emitted as a comma-joined string of 1e-4-scaled
+    BIGINT components, NOT a raw ARRAY<DOUBLE>: hash harnesses that
+    canonicalize by sorting columns (pandas) cannot sort an ndarray
+    cell (r3 driver: "unhashable type: numpy.ndarray"), and integer
+    formatting is byte-identical across engines where double
+    formatting is not."""
     e = load_table(spark, sf_dir, "embeddings")
     qi = F.transform(
         "embedding",
@@ -624,8 +634,14 @@ def q_emb_normalize(spark, sf_dir):
     return n.select(
         "vec_id",
         mround("norm_raw").alias("norm"),
-        F.transform(
-            "embedding", lambda x: mround(x.cast("double") / F.col("norm_raw"))
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") / F.col("norm_raw") * 10000 + F.lit(0.5)
+                ).cast("string"),
+            ),
+            ",",
         ).alias("unit"),
     )
 
