@@ -97,10 +97,16 @@ def _file_stats(path: str, cols: list[str]) -> tuple[int, dict]:
             lo = s.min if lo is None else min(lo, s.min)
             hi = s.max if hi is None else max(hi, s.max)
         if lo is not None:
-            # pyarrow returns bytes for binary-physical columns; the
-            # manifest is JSON, so only JSON-native stats are recorded
-            # (a skipped stat only disables skipping for that column).
-            if isinstance(lo, bytes) or isinstance(hi, bytes):
+            # The manifest is JSON, so only JSON-native stat values are
+            # recorded — pyarrow returns bytes for binary-physical
+            # columns and datetime.date / datetime.datetime / Decimal
+            # for date, timestamp, and decimal logical types, all of
+            # which json.dumps rejects. A skipped stat only disables
+            # file-skipping for that column, never correctness.
+            if not (
+                isinstance(lo, (int, float, str, bool))
+                and isinstance(hi, (int, float, str, bool))
+            ):
                 continue
             stats[c] = [lo, hi]
     return md.num_rows, stats
@@ -209,11 +215,21 @@ def read_table(
             or not (f["stats"][col][1] < lo or f["stats"][col][0] > hi)
         ]
     pcol, ptype = m["partition_col"], m["partition_type"]
+    empty_selection = False
     if not files:
-        # Preserve schema for the empty snapshot: no files ⇒ build an
-        # empty frame is not derivable without a sample file; callers
-        # merging into an empty selection union against this.
-        raise ValueError(f"no files for version={m['version']} partitions={partitions}")
+        # A pruned-to-nothing selection is legitimate (an all-INSERT
+        # merge whose source partitions are new to the table; a CDF
+        # read over a churn-free interval). The table schema is only
+        # derivable from data files, so read the FULL snapshot's file
+        # list and filter to lit(False): Catalyst's
+        # PropagateEmptyRelation folds the scan away, so no data pages
+        # are ever read — this is a schema-only operation.
+        files = m["files"]
+        empty_selection = True
+        if not files:
+            raise ValueError(
+                f"table at {root} has no data files in version={m['version']}"
+            )
     paths = [os.path.join(root, f["path"]) for f in files]
     reader = spark.read.option("basePath", os.path.join(root, _DATA))
     if merge_schema:
@@ -228,7 +244,10 @@ def read_table(
     df = reader.parquet(*paths)
     # Partition-dir inference types the column from path strings; cast
     # back to the declared type so snapshots round-trip schema-stable.
-    return df.withColumn(pcol, F.col(pcol).cast(ptype))
+    df = df.withColumn(pcol, F.col(pcol).cast(ptype))
+    if empty_selection:
+        df = df.where(F.lit(False))
+    return df
 
 
 def changed_partitions(root: str, from_v: int, to_v: int) -> list:
@@ -362,6 +381,17 @@ def merge_cow(
         merged, root, pcol, version, prev.get("stats_cols") or []
     )
     want = {str(t) for t in touched}
+    # merge_fn must not move rows into partitions outside the touched
+    # set: those partitions' old files are carried forward unreplaced,
+    # so extra merged files there would commit duplicate rows. Checked
+    # from the staged manifest entries (no extra Spark job); failing
+    # before _commit leaves orphan stage files but a consistent table.
+    stray = sorted({str(f["partition"]) for f in new_files} - want)
+    if stray:
+        raise ValueError(
+            f"merge_fn produced rows in untouched partitions {stray}; "
+            f"touched set from source was {sorted(want)}"
+        )
     carried = [f for f in prev["files"] if str(f["partition"]) not in want]
     _commit(
         root,

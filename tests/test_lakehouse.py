@@ -525,3 +525,97 @@ def test_streaming_join_against_evolving_dim(spark):
         assert all(lab.startswith("v1-") for _, lab in seen[1])
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_empty_selection_preserves_schema(spark):
+    """A pruned-to-nothing selection is a legitimate read (all-INSERT
+    merge source, churn-free CDF interval) and must return an EMPTY
+    frame with the table schema, not raise."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    root = _seed_table(spark, SF_SMOKE)
+    full = read_table(spark, root)
+    none = read_table(spark, root, partitions=["NO_SUCH_SEGMENT"])
+    assert none.count() == 0
+    assert none.schema == full.schema
+    assert read_table(spark, root, partitions=[]).count() == 0
+
+
+def test_merge_all_insert_new_partition(spark):
+    """MERGE whose source holds only partition values NEW to the table:
+    the touched target selection is empty, every source row inserts,
+    and every pre-existing partition carries forward untouched."""
+    from pyspark.sql import functions as F
+
+    root = _seed_table(spark, SF_SMOKE)
+    n_before = read_table(spark, root).count()
+    src = spark.createDataFrame(
+        [(9000001, 77.5, "BRAND_NEW_SEG"), (9000002, 12.25, "BRAND_NEW_SEG")],
+        "custkey bigint, spend double, segment string",
+    )
+    v = merge_cow(spark, root, src, _merge_fn)
+    after = read_table(spark, root, version=v)
+    assert after.count() == n_before + 2
+    new = after.where(F.col("segment") == "BRAND_NEW_SEG")
+    assert new.count() == 2
+    assert new.where(F.col("name") != "NEW").count() == 0
+    # Every old file carried forward by path (no partition was touched).
+    m0, m1 = load_manifest(root, 0), load_manifest(root, v)
+    assert {f["path"] for f in m0["files"]} <= {f["path"] for f in m1["files"]}
+
+
+def test_read_changes_no_churn_returns_empty(spark):
+    """CDF over an interval with zero churned partitions is an empty
+    changeset, not a crash."""
+    from flink_streaming_kmeans_spark.operators.lakehouse import read_changes
+
+    root = _seed_table(spark, SF_SMOKE)
+    merge_cow(spark, root, _merge_source(spark, SF_SMOKE), _merge_fn)
+    ch = read_changes(spark, root, "custkey", ["acctbal"], 1, 1)
+    assert ch.count() == 0
+
+
+def test_merge_stray_partition_rejected(spark):
+    """merge_fn moving rows into a partition outside the touched set
+    would commit duplicates (old files there are carried forward);
+    merge_cow must refuse before the commit point."""
+    from pyspark.sql import functions as F
+
+    root = _seed_table(spark, SF_SMOKE)
+    src = spark.createDataFrame(
+        [(1, 1.0, "BUILDING")], "custkey bigint, spend double, segment string"
+    )
+
+    def bad_fn(target, s):
+        return s.select(
+            "custkey",
+            F.lit("X").alias("name"),
+            F.col("spend").alias("acctbal"),
+            F.lit("MACHINERY").alias("segment"),  # != touched BUILDING
+        )
+
+    with pytest.raises(ValueError, match="untouched partitions"):
+        merge_cow(spark, root, src, bad_fn)
+    # The failed merge must not have moved the table pointer.
+    assert latest_version(root) == 0
+
+
+def test_stats_skip_non_json_native_types(spark):
+    """stats_cols naming a DATE column must not crash the JSON commit:
+    pyarrow returns datetime.date min/max, which are skipped (that
+    column just gets no file-skipping), while BIGINT stats record."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.sources.loader import _tmp_out, load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.to_date("o_orderdate").alias("d"),
+        (F.col("o_orderkey") % 4).cast("int").alias("p"),
+    )
+    root = _tmp_out("lakedatestats", SF_SMOKE)
+    create_table(o, root, "p", stats_cols=["k", "d"])
+    m = load_manifest(root, 0)
+    assert m["files"]
+    for f in m["files"]:
+        assert "k" in f["stats"] and "d" not in f["stats"]
