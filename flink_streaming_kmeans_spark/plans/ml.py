@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import mround, sql_davg, sql_mround
 from ..operators.kmeans import assign, init_centroids, lloyd_iterate, update
-from ..sources.loader import fan_out, load_table
+from ..sources.loader import _tmp_out, fan_out, load_table
 from .registry import register
 
 # Shared oracle CTE: one Lloyd assignment step in DuckDB. The dot
@@ -98,3 +98,71 @@ def q_ml_kmeans_iter(spark, sf_dir):
     # iteration costs more than it buys (measured 2.9 s → 4.5 s). At
     # real scale the lake's natural splits provide the parallelism.
     return lloyd_iterate(spark, e, k=10, max_iter=20)
+
+
+@register("q_kmeans_stream")  # rows-only: streaming state, not SQL-expressible
+def q_kmeans_stream(spark, sf_dir):
+    """Streaming MacQueen k-means, driven end-to-end through a REAL
+    Structured Streaming query — the reference demo's core behavior
+    (continuous feature arrival, per-arrival incremental centroid
+    motion) promoted from test-tier to a driver-recorded query.
+
+    Deterministic drive: the embeddings table is split into 5 fixed
+    micro-batch files by ``vec_id mod 5``, copied into the source dir
+    in batch order with increasing mtimes; a file-source readStream
+    with ``maxFilesPerTrigger=1`` + ``availableNow`` delivers exactly
+    5 micro-batches to ``foreachBatch(StreamingKMeans)`` (one narrow
+    mapInPandas combine-assign per batch, k×P partial rows to the
+    driver, MacQueen batch update — streaming/kmeans.py). Output: one
+    row per centroid (cluster_id, n_points, centroid_norm) — k rows
+    always, the rows-tier contract. No SQL oracle: iterative streaming
+    state is outside DuckDB's model (SURVEY §2 rows-tier rule); Lloyd
+    parity and checkpoint-restart are asserted in tests/test_streaming.
+    """
+    import os
+    import shutil
+
+    import numpy as np
+
+    from ..streaming.kmeans import StreamingKMeans
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = init_centroids(e).collect()
+    skm = StreamingKMeans(
+        [list(r.cemb) for r in cent], [int(r.cid) for r in cent]
+    )
+
+    d = _tmp_out("kstream", sf_dir)
+    os.makedirs(os.path.join(d, "in"), exist_ok=True)
+    for b in range(5):
+        stage = os.path.join(d, f"stage{b}")
+        e.where(F.pmod("vec_id", F.lit(5)) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        src = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
+        shutil.copy(os.path.join(stage, src), dst)
+        # Monotone mtimes pin the FileStreamSource delivery order.
+        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+
+    q = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "in"))
+        .writeStream.foreachBatch(skm.foreach_batch())
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = [
+        (int(c), int(n), float(np.linalg.norm(C_row)))
+        for c, n, C_row in zip(skm.cids, skm.n, skm.C)
+    ]
+    out = spark.createDataFrame(
+        rows, "cluster_id int, n_points bigint, centroid_norm double"
+    )
+    return out.select(
+        "cluster_id", "n_points", mround("centroid_norm").alias("centroid_norm")
+    ).orderBy("cluster_id")

@@ -73,12 +73,15 @@ def test_contract_is_complete(registry):
     diff), all hash-checked. Round 3 adds 7 more: the lakehouse
     quartet (COW merge, time travel, incremental changeset, MERGE
     delete), the re-keyed ntile twin, PII redaction, canonical-doc
-    selection, and mixture sampling."""
+    selection, and mixture sampling. Round 4 adds q_kmeans_stream —
+    the streaming MacQueen k-means promoted to a driver-recorded
+    rows-tier query."""
     queries, oracles = registry
-    assert len(queries) == 118, sorted(queries)
+    assert len(queries) == 119, sorted(queries)
     assert len(oracles) == 116
-    # Exactly the two contract rows-tier queries lack oracles.
+    # Exactly the three contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
+        "q_kmeans_stream",
         "q_ml_kmeans_iter",
     ]
