@@ -74,6 +74,7 @@ _MODULES = [
     "joins",
     "aggs",
     "setops",
+    "training",  # round-4 additions — MUST stay after the window block
 ]
 
 

@@ -1,0 +1,328 @@
+"""§2.12 round-4 extensions — training-data pipeline operators.
+
+Reference analog: none directly (the Flink demo stops at clustering —
+SURVEY.md §1.1 [PK]; checkout was empty); these are the north-star
+brief's "operations a large-scale training-data pipeline would need":
+deterministic sharding, curriculum ordering WITHOUT a global sort,
+second-moment (Gram) statistics over the embedding corpus, cohort
+retention analytics, and a value histogram — plus the streaming twin
+of the tumbling-window aggregate promoted to a driver-recorded query.
+
+Registered AFTER the correctness window (registry._MODULES appends
+this module last) so round-4's window rotation stays pinned; every
+hash query here follows the repo determinism discipline
+(registry.py:10-14): integer bucketing, decimal sums, matched rounds,
+md5-based hashing shared with textops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import davg, dsum, mround, sql_davg, sql_dsum, sql_mround
+from ..sources.loader import _tmp_out, load_table
+from .registry import register
+
+# 60-bit md5 prefix as BIGINT — same primitive as textops._SPARK_H60.
+_SPARK_H60 = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+@register(
+    "q_shard_assign",
+    oracle=f"""
+    WITH sharded AS (
+        SELECT doc_id, n_chars, source,
+               CAST({_DUCK_H60.format(x='CAST(doc_id AS VARCHAR)')} % 16
+                    AS INT) AS shard
+        FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT source) AS n_sources
+    FROM sharded
+    GROUP BY shard
+    """,
+)
+def q_shard_assign(spark, sf_dir):
+    """Deterministic hash sharding: every doc lands in md5(doc_id)%16,
+    independent of partitioning, ordering, cluster size, or reruns —
+    the shard-assignment step every training run needs to be auditable
+    and resumable. Output: per-shard occupancy (count, bytes, source
+    spread) — the skew report that validates hash uniformity.
+
+    Scale: per-row hash + one 16-group hash-agg with map-side combine;
+    the shard column is also exactly what a DataFrameWriter
+    .partitionBy/.bucketBy would consume, making the write
+    embarrassingly parallel at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    h = _SPARK_H60.format(x="CAST(doc_id AS STRING)")
+    sharded = d.select(
+        "n_chars", "source", F.expr(f"CAST({h} % 16 AS INT)").alias("shard")
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "q_curriculum_order",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               CAST(LEAST(n_chars // 40, 9) AS INT) AS band,
+               {_DUCK_H60.format(x='text')} AS h
+        FROM documents
+    ), r AS (
+        SELECT doc_id, band,
+               ROW_NUMBER() OVER (PARTITION BY band ORDER BY h, doc_id) AS rn
+        FROM b
+    ), o AS (
+        SELECT band, COUNT(*) AS c FROM b GROUP BY band
+    ), oo AS (
+        SELECT band,
+               COALESCE(SUM(c) OVER (ORDER BY band
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS off
+        FROM o
+    )
+    SELECT r.doc_id, r.band, CAST(oo.off + r.rn AS BIGINT) AS global_pos
+    FROM r JOIN oo USING (band)
+    """,
+)
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum ordering (short docs first, hash-shuffled within a
+    band) producing a GLOBAL position WITHOUT a global sort: rank
+    within each length band in parallel, then add broadcast per-band
+    offsets (cumulative counts of earlier bands). A single
+    ``ORDER BY`` over 100 TB funnels the world through one task chain;
+    this construction keeps every shuffle band-parallel and the only
+    serial state is the 10-row offset table.
+
+    Determinism: bands are integer division of n_chars, intra-band
+    order is (md5(text), doc_id) — rerun- and partitioning-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        F.expr("CAST(LEAST(n_chars div 40, 9) AS INT)").alias("band"),
+        F.expr(_SPARK_H60.format(x="text")).alias("h"),
+    )
+    r = b.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("band").orderBy(F.asc("h"), F.asc("doc_id"))
+        ),
+    )
+    o = b.groupBy("band").agg(F.count(F.lit(1)).alias("c"))
+    oo = o.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("c").over(
+                W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("band", "off")
+    return r.join(F.broadcast(oo), "band").select(
+        "doc_id",
+        "band",
+        (F.col("off") + F.col("rn")).cast("bigint").alias("global_pos"),
+    )
+
+
+@register(
+    "q_emb_gram",
+    oracle=f"""
+    SELECT CAST(r1.range AS INT) AS i, CAST(r2.range AS INT) AS j,
+           {sql_davg(
+               'embedding[CAST(r1.range AS INT) + 1]::DOUBLE'
+               ' * embedding[CAST(r2.range AS INT) + 1]::DOUBLE',
+               'm_ij',
+           )}
+    FROM embeddings CROSS JOIN range(64) r1 CROSS JOIN range(64) r2
+    WHERE r1.range <= r2.range
+    GROUP BY r1.range, r2.range
+    """,
+)
+def q_emb_gram(spark, sf_dir):
+    """Second-moment (Gram / uncentered covariance) matrix of the
+    embedding corpus — the statistic behind PCA whitening, IVF/OPQ
+    codebook training, and drift monitoring: m_ij = mean(e_i * e_j)
+    over all vectors, upper triangle (2,080 of 64×64 entries).
+
+    Scale shape: each row flat-maps to its 2,080 upper-triangle
+    products (a per-row transform, no join — the self-join-on-vec_id
+    formulation would shuffle the corpus TWICE), and the d²-group
+    hash-agg combines map-side, so the shuffle carries 2,080 partial
+    rows per partition regardless of corpus size. Exact decimal
+    summation keeps the mean order-independent; products of the same
+    two floats are bit-identical on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = F.expr(
+        "flatten(transform(sequence(0, 63), i ->"
+        " transform(sequence(i, 63), j -> struct("
+        " i AS i, j AS j,"
+        " CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS p"
+        "))))"
+    )
+    x = e.select(F.explode(pairs).alias("x")).select(
+        F.col("x.i").cast("int").alias("i"),
+        F.col("x.j").cast("int").alias("j"),
+        "x.p",
+    )
+    return x.groupBy("i", "j").agg(davg("p", "m_ij"))
+
+
+@register(
+    "q_evt_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), acts AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events
+    )
+    SELECT f.cohort_day, a.act_day,
+           CAST(date_diff('day', f.cohort_day, a.act_day) AS INT) AS day_n,
+           COUNT(*) AS n_users
+    FROM firsts f JOIN acts a USING (user_id)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_evt_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, counted on
+    each later active day — the (cohort × day-N) matrix every product
+    analytics stack computes.
+
+    Scale: one user-keyed agg (first-seen), one (user, day) distinct,
+    then a join co-partitioned on user_id (both sides already shuffled
+    by user) and a tiny final agg — two data-sized shuffles total, no
+    broadcast needed but AQE can pick one if the cohort side shrinks."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    acts = ev.select("user_id", day.alias("act_day")).distinct()
+    j = acts.join(firsts, "user_id")
+    return (
+        j.groupBy("cohort_day", "act_day")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "cohort_day",
+            "act_day",
+            F.datediff("act_day", "cohort_day").cast("int").alias("day_n"),
+            "n_users",
+        )
+    )
+
+
+@register(
+    "q_evt_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT CAST(FLOOR(value / 5.0) AS INT) AS bucket, value FROM events
+    )
+    SELECT bucket, COUNT(*) AS n,
+           {sql_dsum('value', 'sum_value')},
+           {sql_mround('MIN(value)')} AS min_value,
+           {sql_mround('MAX(value)')} AS max_value
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def q_evt_histogram(spark, sf_dir):
+    """Fixed-width value histogram (bucket = floor(value/5)) with
+    per-bucket count/sum/min/max — the profiling pass that sizes skew
+    salts and chooses range-join bins. Bucketing is one IEEE division
+    + floor of identical doubles (deterministic cross-engine); MIN/MAX
+    select existing values, so only the matched round touches them.
+
+    Scale: per-row map + low-cardinality hash-agg with map-side
+    combine — the cheapest possible full-scan statistic."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.floor(F.col("value") / 5.0).cast("int").alias("bucket"), "value"
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "sum_value"),
+        mround(F.min("value")).alias("min_value"),
+        mround(F.max("value")).alias("max_value"),
+    )
+
+
+@register("q_stream_tumble")  # rows-only: stateful streaming aggregation
+def q_stream_tumble(spark, sf_dir):
+    """The streaming twin of q_win_tumble run through a REAL stateful
+    Structured Streaming aggregation: events replayed as 3 fixed file
+    micro-batches (event_id mod 3, monotone mtimes) into
+    ``groupBy(window(ts, '1 hour'))`` with a 2-hour watermark,
+    foreachBatch appending each batch's update-mode output; the final
+    state (one row per hour window) is returned. Row count equals the
+    batch twin's group count, so the recorded rows-tier evidence pins
+    the streaming agg to the hash-checked batch semantics.
+
+    Scale: the streaming agg keeps one state row per open window in
+    the state store; the watermark bounds state growth — the standard
+    production shape for continuous rollups."""
+    import os
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    d = _tmp_out("stream_tumble", sf_dir)
+    os.makedirs(os.path.join(d, "in"), exist_ok=True)
+    for b in range(3):
+        stage = os.path.join(d, f"stage{b}")
+        ev.where(F.pmod("event_id", F.lit(3)) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        src = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+        dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
+        shutil.copy(os.path.join(stage, src), dst)
+        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+
+    # Update-mode sink: keep the latest emitted row per window; the
+    # final dict IS the aggregate state at stream end.
+    state: dict = {}
+
+    def sink(batch_df, _batch_id):
+        for r in batch_df.collect():
+            state[r.win_start] = (r.n_events, float(r.sum_value))
+
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "in"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = [
+        (w, int(n), float(s)) for w, (n, s) in sorted(state.items())
+    ]
+    out = spark.createDataFrame(
+        rows, "win_start timestamp, n_events bigint, sum_value double"
+    )
+    return out.select(
+        "win_start", "n_events", mround("sum_value").alias("sum_value")
+    ).orderBy("win_start")
