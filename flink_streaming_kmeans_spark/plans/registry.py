@@ -50,31 +50,36 @@ def register(name: str, oracle: str | None = None):
 # The driver's correctness run records the first 50 registration-ordered
 # queries only, so each round rotates the front of this list to the
 # queries that most need a driver-recorded row (the round-3 judge
-# explicitly ordered this rotation). Round-4 window (50 slots):
-#   relational(9) + scalars(9) + windows(9): the 18 queries no driver
-#     round has ever recorded, plus their D2-stale module-mates;
-#   ml(4): the flagship k-means trio + the new streaming rows-tier row;
-#   llm(13) + textops(first 6): keeps the two r3-red queries
-#     (q_emb_normalize pos 42, q_text_quality pos 48) inside the window
-#     so their fixes get driver-confirmed.
+# explicitly ordered this rotation; the round-4 verdict task 1 dictates
+# this round's exact window). Round-5 window (50 slots):
+#   training(6): the round-4 additions that were parked AFTER the
+#     window and so have zero driver evidence;
+#   quality(2): the twice-driver-red q_text_quality (rewritten to emit
+#     BIGINT quality_e4 — plans/quality.py) + the new hash-tier
+#     q_ml_kmeans_iter2 (verdict task 7);
+#   scans(6) + filters(3) + joins(13) + aggs(15) + setops(4): the 41
+#     r2-only queries whose green rows predate two testdata
+#     regenerations — the oldest evidence in the ledger;
+#   events(first 1): q_json_extract takes the last slot (D3-stale).
 # Order changes registration sequence only — no query semantics depend
 # on it (verified by the full preflight sweep each round).
 _MODULES = [
-    "relational",
-    "scalars",
-    "windows",
-    "ml",
-    "llm",
-    "textops",
-    "events",
-    "udf",
-    "lakehouse",
+    "training",
+    "quality",
     "scans",
     "filters",
     "joins",
     "aggs",
     "setops",
-    "training",  # round-4 additions — MUST stay after the window block
+    "events",
+    "udf",
+    "lakehouse",
+    "windows",
+    "relational",
+    "scalars",
+    "ml",
+    "llm",
+    "textops",
 ]
 
 

@@ -223,65 +223,8 @@ def q_sim_ann(spark, sf_dir):
     )
 
 
-@register(
-    "q_text_quality",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS tok
-        FROM documents
-    ), feat AS (
-        SELECT doc_id,
-               ANY_VALUE(n_chars) AS n_chars,
-               COUNT(*) AS n_tokens,
-               COUNT(DISTINCT tok) AS n_distinct,
-               SUM(CASE WHEN tok IN ('the', 'a', 'value', 'data') THEN 1 ELSE 0 END) AS n_stop
-        FROM toks GROUP BY doc_id
-    )
-    SELECT doc_id, n_tokens, n_distinct, n_stop,
-           (50 * LEAST(n_tokens, 100)
-            + FLOOR((2 * (3000 * (n_tokens - n_stop) + 2000 * n_distinct)
-                     + n_tokens) / (2.0 * n_tokens))) / 10000.0 AS quality
-    FROM feat
-    """,
-)
-def q_text_quality(spark, sf_dir):
-    """Document quality scoring: length credit + (1 - stopword ratio)
-    + type/token ratio, the standard cheap pre-filter features of a
-    training-data pipeline. One explode + one hash-aggregate keyed by
-    doc_id — linear, uniform, scales.
-
-    The score 0.5*min(t/100,1) + 0.3*(1-s/t) + 0.2*(d/t), rounded to
-    1e-4, is computed ENTIRELY in scaled-integer space: score*1e4 =
-    50*min(t,100) + (3000*(t-s) + 2000*d)/t, and the half-up round of
-    the fractional part is floor((2b+t)/(2t)) — one double division of
-    exact small integers whose quotient is never within 1/(2t) of an
-    integer unless exactly one, so the floor cannot flip cross-engine.
-    The r3 driver run proved the raw-double multiply-add version sits
-    on floor(x*1e4+0.5) midpoints for >=5/500 docs (1-ulp flips the
-    rounded value); this is the q_emb_normalize integer-quantization
-    pattern applied to the scoring arithmetic."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "n_chars", F.explode(F.split("text", " ")).alias("tok")
-    )
-    feat = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("tok").alias("n_distinct"),
-        F.sum(
-            F.when(F.col("tok").isin("the", "a", "value", "data"), 1).otherwise(0)
-        ).alias("n_stop"),
-    )
-    t = F.col("n_tokens").cast("bigint")
-    s = F.col("n_stop").cast("bigint")
-    d = F.col("n_distinct").cast("bigint")
-    frac = F.floor(
-        (2 * (3000 * (t - s) + 2000 * d) + t) / (2 * t)
-    )
-    scaled = 50 * F.least(t, F.lit(100).cast("bigint")) + frac
-    return feat.select(
-        "doc_id", "n_tokens", "n_distinct", "n_stop",
-        (scaled.cast("double") / F.lit(10000.0)).alias("quality"),
-    )
+# q_text_quality moved to plans/quality.py (round-5 window rotation +
+# the BIGINT quality_e4 rewrite — see that module's docstring).
 
 
 @register(
