@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import davg, dsum, mround, sql_davg, sql_dsum, sql_mround
-from ..sources.loader import _tmp_out, load_table
+from ..sources.loader import _tmp_out, fan_out, load_table
 from .registry import register
 
 # 60-bit md5 prefix as BIGINT — same primitive as textops._SPARK_H60.
@@ -160,21 +160,37 @@ def q_emb_gram(spark, sf_dir):
     hash-agg combines map-side, so the shuffle carries 2,080 partial
     rows per partition regardless of corpus size. Exact decimal
     summation keeps the mean order-independent; products of the same
-    two floats are bit-identical on both engines."""
-    e = load_table(spark, sf_dir, "embeddings")
-    pairs = F.expr(
-        "flatten(transform(sequence(0, 63), i ->"
-        " transform(sequence(i, 63), j -> struct("
-        " i AS i, j AS j,"
-        " CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE) AS p"
-        "))))"
+    two floats are bit-identical on both engines.
+
+    Hot path: TWO chained posexplodes (the second over slice(emb,
+    i+1, 64), so only the upper triangle is ever generated) — Generate
+    runs inside whole-stage codegen, unlike the round-4
+    flatten(transform(…transform(…struct…))) formulation whose nested
+    interpreted higher-order functions allocated 2,080 structs per row
+    in the interpreter (the exact pattern this repo measured 24× slow
+    on shingles and banned, plans/llm.py) and made this the suite's
+    slowest query (9.0 s; r4 verdict task 4). Same rows, same
+    arithmetic, same oracle — only the generation strategy changed.
+    fan_out restores parallelism over the single-file local scan (the
+    2,080-products-per-row compute is exactly its use case); decimal
+    summation keeps the result partition-count-independent."""
+    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    x = e.select(
+        F.posexplode("embedding").alias("i0", "vi"), "embedding"
+    ).select(
+        "i0",
+        "vi",
+        F.expr("posexplode(slice(embedding, i0 + 1, 64))").alias("j0", "vj"),
     )
-    x = e.select(F.explode(pairs).alias("x")).select(
-        F.col("x.i").cast("int").alias("i"),
-        F.col("x.j").cast("int").alias("j"),
-        "x.p",
+    p = (
+        F.col("vi").cast("double") * F.col("vj").cast("double")
+    ).alias("p")
+    z = x.select(
+        F.col("i0").cast("int").alias("i"),
+        (F.col("i0") + F.col("j0")).cast("int").alias("j"),
+        p,
     )
-    return x.groupBy("i", "j").agg(davg("p", "m_ij"))
+    return z.groupBy("i", "j").agg(davg("p", "m_ij"))
 
 
 @register(
