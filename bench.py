@@ -137,6 +137,23 @@ def main() -> int:
         line = json.dumps(compact)
         if len(line) < 1500:
             break
+    if len(line) >= 1500:
+        # Even the top-0 preview is oversized (e.g. a long failure
+        # list): fall back to a minimal object that ALWAYS fits the
+        # driver's 2000-char tail — silent mid-line truncation would
+        # otherwise break the parse with no signal (r4 ADVICE).
+        print("[bench] WARNING: compact line oversized, emitting minimal "
+              f"fallback (full map in {sidecar})", file=sys.stderr)
+        line = json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": full["sf"],
+                "n_queries": full["n_queries"],
+                "queries_note": f"full map in {sidecar}",
+            }
+        )
     print(line)
     return 0
 

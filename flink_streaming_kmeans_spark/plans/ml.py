@@ -154,7 +154,11 @@ def q_kmeans_stream(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # Timed-out query: stop and FAIL rather than silently emitting
+        # partial centroid state (r4 ADVICE: the ignored boolean).
+        q.stop()
+        raise RuntimeError("q_kmeans_stream: streaming query exceeded 300 s")
 
     rows = [
         (int(c), int(n), float(np.linalg.norm(C_row)))

@@ -270,33 +270,55 @@ def q_evt_histogram(spark, sf_dir):
     )
 
 
-@register("q_stream_tumble")  # rows-only: stateful streaming aggregation
+@register(
+    "q_stream_tumble",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS win_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
 def q_stream_tumble(spark, sf_dir):
     """The streaming twin of q_win_tumble run through a REAL stateful
     Structured Streaming aggregation: events replayed as 3 fixed file
-    micro-batches (event_id mod 3, monotone mtimes) into
-    ``groupBy(window(ts, '1 hour'))`` with a 2-hour watermark,
-    foreachBatch appending each batch's update-mode output; the final
-    state (one row per hour window) is returned. Row count equals the
-    batch twin's group count, so the recorded rows-tier evidence pins
-    the streaming agg to the hash-checked batch semantics.
+    micro-batches into ``groupBy(window(ts, '1 hour'))`` with a 2-hour
+    watermark, foreachBatch keeping the latest update-mode emission per
+    window; the final state (one row per hour window) is returned.
+
+    Batches are CONTIGUOUS TIME RANGES (ntile(3) over ts order), so the
+    watermark — which advances to max(ts)-2h only between batches —
+    never drops a row: batch b's earliest ts is >= batch b-1's latest.
+    (The round-4 event_id-mod-3 split made every batch span the full
+    30-day range, so after batch 0 the watermark sat near max(ts) and
+    late-dropped nearly all later rows — the r4 ADVICE catch.) With no
+    late drops the streaming state is exactly the batch aggregate: the
+    state accumulates the same order-independent DECIMAL(30,6) sum the
+    batch twin computes, so this query now carries q_win_tumble's
+    FULL-VALUE hash oracle — driver-recorded proof that the streaming
+    path equals batch semantics, upgraded from the rows-tier claim.
 
     Scale: the streaming agg keeps one state row per open window in
     the state store; the watermark bounds state growth — the standard
-    production shape for continuous rollups."""
+    production shape for continuous rollups. (The ntile split is
+    drive-side scaffolding, not the operator.)"""
     import os
     import shutil
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "value"
     )
+    batched = ev.withColumn(
+        "bno", F.ntile(3).over(W.orderBy("ts", "event_id")) - 1
+    )
     d = _tmp_out("stream_tumble", sf_dir)
     os.makedirs(os.path.join(d, "in"), exist_ok=True)
     for b in range(3):
         stage = os.path.join(d, f"stage{b}")
-        ev.where(F.pmod("event_id", F.lit(3)) == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
+        batched.where(F.col("bno") == b).select(
+            "event_id", "ts", "value"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
         src = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
         dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
         shutil.copy(os.path.join(stage, src), dst)
@@ -331,7 +353,12 @@ def q_stream_tumble(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # Timed-out query: stop it and FAIL — silently returning the
+        # partial streaming state as the result would be a wrong answer
+        # (r4 ADVICE: the ignored boolean return).
+        q.stop()
+        raise RuntimeError("q_stream_tumble: streaming query exceeded 300 s")
 
     rows = [
         (w, int(n), float(s)) for w, (n, s) in sorted(state.items())
