@@ -53,7 +53,11 @@ def test_parity_t2_risky(spark, duck_t2, registry, name):
 def test_rows_only_queries_run(spark, registry):
     queries, oracles = registry
     rows_only = sorted(set(queries) - set(oracles))
-    assert rows_only == ["q_agg_approx_cd", "q_ml_kmeans_iter"]
+    assert rows_only == [
+        "q_agg_approx_cd",
+        "q_kmeans_stream",
+        "q_ml_kmeans_iter",
+    ]
     for name in rows_only:
         assert queries[name](spark, SF_SMOKE).count() > 0
 
@@ -75,10 +79,15 @@ def test_contract_is_complete(registry):
     delete), the re-keyed ntile twin, PII redaction, canonical-doc
     selection, and mixture sampling. Round 4 adds q_kmeans_stream —
     the streaming MacQueen k-means promoted to a driver-recorded
-    rows-tier query."""
+    rows-tier query — plus the training-pipeline six (q_shard_assign,
+    q_curriculum_order, q_emb_gram, q_evt_retention, q_evt_histogram,
+    q_stream_tumble). Round 5 adds q_ml_kmeans_iter2 (two unrolled
+    hash-checked Lloyd steps) and PROMOTES q_stream_tumble to
+    hash-tier (contiguous-time batches make the streaming state
+    exactly the batch aggregate): 126 = 123 hash + 3 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 119, sorted(queries)
-    assert len(oracles) == 116
+    assert len(queries) == 126, sorted(queries)
+    assert len(oracles) == 123
     # Exactly the three contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
