@@ -241,6 +241,79 @@ def _partial_stats_fn(C, cids):
     return fn
 
 
+def _reassign_delta_fn(C, cids, assign_bc):
+    """Per-partition combiner for REASSIGNMENT-aware streaming k-means
+    (the reference co-operator's Feature add/remove arithmetic,
+    SURVEY.md §1.1/§3.1 [PK]): each arriving point is assigned to the
+    argmax-dot centroid; if the broadcast assignment memory says it was
+    previously assigned to a DIFFERENT cluster, its vector is
+    subtracted from that cluster's delta (remove) as it is added to the
+    new one. Emits two row kinds in one pass:
+
+      kind=0 — per-cluster delta partials (cid, psum, n), k rows per
+               partition, where psum/n may be negative (removals);
+      kind=1 — per-point new assignments (vec_id, cid), so the driver
+               can update its assignment memory.
+
+    Assumes a point arrives at most once per micro-batch partition
+    overlap-free (re-arrivals happen ACROSS batches — the reference's
+    pattern, where the same immutable Feature re-enters the loop as
+    centroids move); a within-batch duplicate in the same partition is
+    handled sequentially via a local overlay."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(batches):
+        k, d = C.shape
+        pos = {int(c): j for j, c in enumerate(cids)}
+        amap = assign_bc.value
+        overlay: dict = {}
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype="int64")
+        out_ids: list = []
+        out_cids: list = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            best = np.argmax(X @ C.T, axis=1)  # ties → lowest index/cid
+            for i in range(len(ids)):
+                vid = int(ids[i])
+                j = int(best[i])
+                sums[j] += X[i]
+                counts[j] += 1
+                old = overlay.get(vid, amap.get(vid))
+                if old is not None:
+                    jo = pos[int(old)]
+                    sums[jo] -= X[i]
+                    counts[jo] -= 1
+                overlay[vid] = int(cids[j])
+                out_ids.append(vid)
+                out_cids.append(int(cids[j]))
+        yield pd.DataFrame(
+            {
+                "kind": np.zeros(k, dtype="int32"),
+                "vec_id": np.zeros(k, dtype="int64"),
+                "cid": cids.astype("int32"),
+                "psum": list(sums),
+                "n": counts,
+            }
+        )
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "kind": np.ones(len(out_ids), dtype="int32"),
+                    "vec_id": np.array(out_ids, dtype="int64"),
+                    "cid": np.array(out_cids, dtype="int32"),
+                    "psum": [None] * len(out_ids),
+                    "n": np.zeros(len(out_ids), dtype="int64"),
+                }
+            )
+
+    return fn
+
+
 def lloyd_iterate(
     spark: SparkSession,
     embeddings: DataFrame,

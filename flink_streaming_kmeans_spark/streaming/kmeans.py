@@ -20,15 +20,28 @@ so centroids move once per micro-batch instead of once per record —
 the standard mini-batch relaxation of the reference's per-record
 update (identical in the limit of 1-row batches).
 
+``track_assignments=True`` adds the OTHER half of the reference
+semantics (the r4-verdict gap): per-point assignment memory across
+batches, so a re-arriving point that the moved centroids now place in
+a different cluster is SUBTRACTED from its old cluster as it is added
+to the new one — Feature add/remove arithmetic. State is held as
+per-cluster running sums (S, n) with C = S/n, which makes removal
+exact (each centroid is always the exact mean of its current members)
+and conserves mass: Σn == #distinct points seen. Assumes re-arrivals
+carry the same vector (the reference's loop re-circulates immutable
+Features); value-updating re-arrivals would need per-point vector
+state (N×d), out of scope.
+
 Scale: per batch, work is one scan + a k×P-row collect; state is the
-k×d matrix + k counts on the driver. No shuffle, no growing lineage.
+k×d matrix + k counts on the driver (+ the vec_id→cid map when
+tracking — ids only; its production home is the state store).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from ..operators.kmeans import _partial_stats_fn
+from ..operators.kmeans import _partial_stats_fn, _reassign_delta_fn
 
 
 class StreamingKMeans:
@@ -46,12 +59,31 @@ class StreamingKMeans:
     idempotence pattern.
     """
 
-    def __init__(self, init_centroids, cids, state_path: str | None = None):
+    def __init__(
+        self,
+        init_centroids,
+        cids,
+        state_path: str | None = None,
+        track_assignments: bool = False,
+    ):
         import numpy as np
 
         self.C = np.array(init_centroids, dtype="float64")  # k×d
         self.cids = np.array(cids)
         self.n = np.zeros(len(cids), dtype="int64")
+        # Running per-cluster vector sums: C == S/n wherever n>0 (a
+        # cluster with no members keeps its init/last centroid). Using
+        # (S, n) as the state — the reference Feature add/subtract
+        # arithmetic — is numerically IDENTICAL to the previous
+        # C'=(C*n+sum)/(n+cnt) form when no point is ever removed, and
+        # is what makes removal exact when one is.
+        self.S = np.zeros_like(self.C)
+        # vec_id -> cid assignment memory (the analog of the reference
+        # co-operator's keyed state; production home would be the
+        # transformWithState state store — blocked in this container,
+        # streaming/stateful.py:8-14 — so it is driver-held here, ids
+        # only, no vectors).
+        self.assign_of: dict | None = {} if track_assignments else None
         self.batches_seen = 0
         self.last_batch_id = -1
         self.state_path = state_path
@@ -68,13 +100,22 @@ class StreamingKMeans:
 
         import numpy as np
 
+        amap = self.assign_of
         buf = io.BytesIO()
         np.savez(
             buf,
             C=self.C,
+            S=self.S,
             cids=self.cids,
             n=self.n,
             meta=np.array([self.batches_seen, self.last_batch_id], dtype="int64"),
+            track=np.array([amap is not None], dtype="int64"),
+            assign_ids=np.array(
+                sorted(amap) if amap else [], dtype="int64"
+            ),
+            assign_cids=np.array(
+                [amap[i] for i in sorted(amap)] if amap else [], dtype="int64"
+            ),
         )
         tmp = f"{self.state_path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "wb") as f:
@@ -88,30 +129,71 @@ class StreamingKMeans:
             self.C = d["C"]
             self.cids = d["cids"]
             self.n = d["n"]
+            # Older state files predate (S, assignment) persistence.
+            self.S = d["S"] if "S" in d.files else self.C * self.n[:, None]
+            if "track" in d.files and bool(d["track"][0]):
+                self.assign_of = dict(
+                    zip(
+                        (int(i) for i in d["assign_ids"]),
+                        (int(c) for c in d["assign_cids"]),
+                    )
+                )
             self.batches_seen, self.last_batch_id = (int(x) for x in d["meta"])
 
     def update_batch(self, batch_df: DataFrame) -> None:
         """foreachBatch body: combine-assign against current centroids,
-        then apply the batch MacQueen update."""
+        then apply the batch MacQueen update.
+
+        With ``track_assignments``, a re-arriving point that the moved
+        centroids now place elsewhere is REMOVED from its old cluster
+        (vector subtracted, count decremented) as it is added to the
+        new one — the reference co-operator's add/remove arithmetic —
+        so every centroid stays the exact mean of its CURRENT members
+        and total mass equals the number of distinct points seen."""
         import numpy as np
 
-        partials = batch_df.select("vec_id", "embedding").mapInPandas(
-            _partial_stats_fn(self.C, self.cids),
-            "cid int, psum array<double>, n bigint",
-        ).collect()
-        if not partials:
-            return
         sums = np.zeros_like(self.C)
         counts = np.zeros(len(self.cids), dtype="int64")
         pos = {int(c): j for j, c in enumerate(self.cids)}
-        for r in partials:
-            j = pos[int(r.cid)]
-            sums[j] += np.array(r.psum)
-            counts[j] += int(r.n)
-        nz = counts > 0
-        denom = (self.n + counts)[nz, None]
-        self.C[nz] = (self.C[nz] * self.n[nz, None] + sums[nz]) / denom
+        if self.assign_of is None:
+            partials = batch_df.select("vec_id", "embedding").mapInPandas(
+                _partial_stats_fn(self.C, self.cids),
+                "cid int, psum array<double>, n bigint",
+            ).collect()
+            if not partials:
+                return
+            for r in partials:
+                j = pos[int(r.cid)]
+                sums[j] += np.array(r.psum)
+                counts[j] += int(r.n)
+        else:
+            sc = batch_df.sparkSession.sparkContext
+            assign_bc = sc.broadcast(self.assign_of)
+            try:
+                rows = batch_df.select("vec_id", "embedding").mapInPandas(
+                    _reassign_delta_fn(self.C, self.cids, assign_bc),
+                    "kind int, vec_id bigint, cid int,"
+                    " psum array<double>, n bigint",
+                ).collect()
+            finally:
+                assign_bc.unpersist()
+            if not rows:
+                return
+            moved = False
+            for r in rows:
+                if r.kind == 0:
+                    j = pos[int(r.cid)]
+                    sums[j] += np.array(r.psum)
+                    counts[j] += int(r.n)
+                else:
+                    moved = True
+                    self.assign_of[int(r.vec_id)] = int(r.cid)
+            if not moved:
+                return
+        self.S += sums
         self.n += counts
+        nz = self.n > 0
+        self.C[nz] = self.S[nz] / self.n[nz, None]
         self.batches_seen += 1
 
     def foreach_batch(self):
