@@ -72,6 +72,9 @@ _MODULES = [
     "aggs",
     "setops",
     "events",
+    "streams",  # r5 streaming-evidence additions — OUT of the r5
+    #   window (it was verdict-dictated and full); the r6 rotation
+    #   plan in plans/streams.py puts them first next round.
     "udf",
     "lakehouse",
     "windows",

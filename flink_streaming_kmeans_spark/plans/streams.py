@@ -1,0 +1,287 @@
+"""Round-5 streaming-evidence queries — the reference's continuous
+behaviors driven through REAL Structured Streaming queries and
+recorded by the driver, not just test-tier.
+
+Reference analog: the Flink demo is a streaming engine end-to-end
+(SURVEY.md §1.1 [PK]; checkout was empty) — its pipeline is a
+continuous source → stateful operators → continuous sink. The batch
+registry proves operator SEMANTICS; this module proves the streaming
+EXECUTION of three of them equals those semantics, each with the
+strongest oracle tier its state shape admits:
+
+- q_stream_dedup    (hash): stateful dropDuplicatesWithinWatermark
+- q_stream_join     (hash): stream-stream event-time interval join
+- q_kmeans_stream_reassign (rows): online k-means under RE-DELIVERY,
+  exercising the per-point remove/add arithmetic of the reference
+  co-operator (streaming/kmeans.py track_assignments)
+
+WINDOW NOTE (r4 verdict task 8): these register AFTER the round-5
+correctness window, which was dictated query-by-query by the r4
+verdict (task 1) and is full. Rotation plan, to execute in round 6:
+put this module FIRST in registry._MODULES (3 slots), then events'
+remaining 8 + udf(4) + lakehouse(4) + windows(9) + relational(9) +
+scalars(9) (D3/D4-stale by then) ≈ 46 — one 50-slot window. Do NOT
+add further out-of-window queries without extending this plan.
+
+All three drives replay the events/embeddings tables as CONTIGUOUS
+TIME-RANGE micro-batch files (monotone mtimes pin FileStreamSource
+order) so watermarks advance monotonically and never late-drop — the
+q_stream_tumble lesson (r4 ADVICE).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vector import mround, sql_mround
+from ..sources.loader import _tmp_out, load_table
+from .registry import register
+
+
+def _write_time_batches(df, d, n_batches, order_cols=("ts", "event_id")):
+    """Split df into n_batches CONTIGUOUS ranges of order_cols order and
+    write them as one parquet file each under d/in, batch order pinned
+    by monotone mtimes. Returns the input dir path."""
+    batched = df.withColumn(
+        "bno", F.ntile(n_batches).over(W.orderBy(*[F.col(c) for c in order_cols])) - 1
+    )
+    os.makedirs(os.path.join(d, "in"), exist_ok=True)
+    for b in range(n_batches):
+        stage = os.path.join(d, f"stage{b}")
+        batched.where(F.col("bno") == b).drop("bno").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        src = next(
+            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
+        shutil.copy(os.path.join(stage, src), dst)
+        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    return os.path.join(d, "in")
+
+
+def _run_available_now(writer, name: str):
+    """Start an availableNow streaming query and fail loudly on
+    timeout instead of returning partial state (r4 ADVICE)."""
+    q = writer.trigger(availableNow=True).start()
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"{name}: streaming query exceeded 300 s")
+
+
+@register(
+    "q_stream_dedup",
+    oracle=f"""
+    SELECT event_id, date_trunc('second', ts) AS ts_s,
+           {sql_mround('value')} AS value
+    FROM events
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Stateful streaming deduplication: the events table is replayed
+    as 3 contiguous-time micro-batches with EXACT duplicate rows
+    injected (every event_id % 7 == 0 row appears twice in its batch);
+    ``dropDuplicatesWithinWatermark(["event_id"])`` under a 2-hour
+    watermark emits each event exactly once, so the collected stream
+    output equals the plain events table — the batch semantics the
+    hash oracle states. Duplicates are bit-exact copies, so whichever
+    copy survives carries identical values (no arrival-order surface).
+
+    Scale: dedup state is one entry per event_id inside the watermark
+    horizon; the watermark evicts state continuously — the standard
+    exactly-once ingestion shape for at-least-once sources at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    dups = ev.where(F.col("event_id") % 7 == 0)
+    d = _tmp_out("stream_dedup", sf_dir)
+    in_dir = _write_time_batches(ev.unionAll(dups), d, 3)
+
+    out: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            out[int(r.event_id)] = (r.ts, float(r.value))
+
+    deduped = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    _run_available_now(
+        deduped.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", os.path.join(d, "ckpt")
+        ),
+        "q_stream_dedup",
+    )
+
+    rows = [(k, t, v) for k, (t, v) in sorted(out.items())]
+    res = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, value double"
+    )
+    return res.select(
+        "event_id",
+        F.date_trunc("second", "ts").alias("ts_s"),
+        mround("value").alias("value"),
+    )
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def q_stream_join(spark, sf_dir):
+    """Stream-stream INNER join with an event-time interval condition
+    (each purchase joined to the same user's clicks in the preceding
+    hour), both sides watermarked — the canonical enrichment join of a
+    continuous pipeline. Inner-join results emit eagerly on match;
+    the 2-hour watermark (> the 1-hour join window) only bounds state,
+    so with contiguous-time batches the append-mode output equals the
+    batch interval join exactly — the hash oracle. Output is integer
+    triples (user_id, p_id, c_id): no float surface at all.
+
+    Scale: join state is each side's rows inside watermark+interval;
+    eviction is continuous. The equivalent batch plan at 100 TB is the
+    binned range join (q_join_range_binned); this is its streaming
+    face."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    d = _tmp_out("stream_join", sf_dir)
+    in_dir = _write_time_batches(ev, d, 3)
+
+    def src():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+    p = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+    ).select("user_id", "p_id", "c_id")
+
+    got: list = []
+
+    def sink(batch_df, _bid):
+        got.extend(
+            (int(r.user_id), int(r.p_id), int(r.c_id))
+            for r in batch_df.collect()
+        )
+
+    _run_available_now(
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt")),
+        "q_stream_join",
+    )
+    return spark.createDataFrame(
+        sorted(got), "user_id bigint, p_id bigint, c_id bigint"
+    )
+
+
+@register("q_kmeans_stream_reassign")  # rows-only: streaming state
+def q_kmeans_stream_reassign(spark, sf_dir):
+    """The reference co-operator's FULL semantics driver-recorded:
+    online k-means where re-arriving points are REASSIGNED — removed
+    from their old cluster, added to the new one (Feature add/subtract
+    arithmetic, streaming/kmeans.py ``track_assignments``). The
+    embeddings table arrives as 5 vec_id-mod micro-batches, then
+    batches 0-1's vectors are RE-DELIVERED as batches 6-7; by then the
+    centroids have moved, so a fraction of the re-seen points flip
+    clusters and their old contributions are subtracted. Output: one
+    row per centroid (cluster_id, n_points, centroid_norm) + a
+    mass-conservation proof column — Σ n_points equals the DISTINCT
+    point count (500 at sf0.01) although 700 rows were delivered,
+    which is exactly the invariant plain MacQueen cannot produce.
+
+    Rows-tier: iterative streaming state is outside DuckDB's model
+    (SURVEY §2 rows-tier rule); Lloyd parity, flip arithmetic, and
+    restart are asserted in tests/test_streaming.py."""
+    import numpy as np
+
+    from ..operators.kmeans import init_centroids
+    from ..streaming.kmeans import StreamingKMeans
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = init_centroids(e).collect()
+    skm = StreamingKMeans(
+        [list(r.cemb) for r in cent],
+        [int(r.cid) for r in cent],
+        track_assignments=True,
+    )
+
+    d = _tmp_out("kstream_reassign", sf_dir)
+    os.makedirs(os.path.join(d, "in"), exist_ok=True)
+    # 5 primary batches (vec_id mod 5) + re-delivery of batches 0-1.
+    for b in range(7):
+        stage = os.path.join(d, f"stage{b}")
+        e.where(F.pmod("vec_id", F.lit(5)) == b % 5).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        src = next(
+            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
+        shutil.copy(os.path.join(stage, src), dst)
+        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+
+    _run_available_now(
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "in"))
+        .writeStream.foreachBatch(skm.foreach_batch())
+        .option("checkpointLocation", os.path.join(d, "ckpt")),
+        "q_kmeans_stream_reassign",
+    )
+
+    n_distinct = len(skm.assign_of)
+    rows = [
+        (int(c), int(n), float(np.linalg.norm(C_row)), int(n_distinct))
+        for c, n, C_row in zip(skm.cids, skm.n, skm.C)
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "cluster_id int, n_points bigint, centroid_norm double,"
+        " n_distinct_seen bigint",
+    )
+    return out.select(
+        "cluster_id",
+        "n_points",
+        mround("centroid_norm").alias("centroid_norm"),
+        "n_distinct_seen",
+    ).orderBy("cluster_id")

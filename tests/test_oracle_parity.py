@@ -56,6 +56,7 @@ def test_rows_only_queries_run(spark, registry):
     assert rows_only == [
         "q_agg_approx_cd",
         "q_kmeans_stream",
+        "q_kmeans_stream_reassign",
         "q_ml_kmeans_iter",
     ]
     for name in rows_only:
@@ -82,15 +83,20 @@ def test_contract_is_complete(registry):
     rows-tier query — plus the training-pipeline six (q_shard_assign,
     q_curriculum_order, q_emb_gram, q_evt_retention, q_evt_histogram,
     q_stream_tumble). Round 5 adds q_ml_kmeans_iter2 (two unrolled
-    hash-checked Lloyd steps) and PROMOTES q_stream_tumble to
-    hash-tier (contiguous-time batches make the streaming state
-    exactly the batch aggregate): 126 = 123 hash + 3 rows-only."""
+    hash-checked Lloyd steps), PROMOTES q_stream_tumble to hash-tier
+    (contiguous-time batches make the streaming state exactly the
+    batch aggregate), and adds the streaming-evidence trio
+    (plans/streams.py): q_stream_dedup + q_stream_join (both hash)
+    and q_kmeans_stream_reassign (rows — re-delivery exercising the
+    reference co-operator's remove/add arithmetic):
+    129 = 125 hash + 4 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 126, sorted(queries)
-    assert len(oracles) == 123
-    # Exactly the three contract rows-tier queries lack oracles.
+    assert len(queries) == 129, sorted(queries)
+    assert len(oracles) == 125
+    # Exactly the four contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
         "q_kmeans_stream",
+        "q_kmeans_stream_reassign",
         "q_ml_kmeans_iter",
     ]

@@ -554,3 +554,46 @@ def test_streaming_kmeans_reassignment_mass_conservation(spark):
     assert skm2.n.tolist() == skm.n.tolist()
     np.testing.assert_array_equal(skm2.C, skm.C)
     np.testing.assert_array_equal(skm2.S, skm.S)
+
+
+def test_streaming_kmeans_reassignment_property(spark):
+    """Property: under arbitrary re-delivery patterns, reassignment
+    tracking keeps (a) Σn == #distinct points, (b) per-cluster n equal
+    to the assignment-map occupancy, and (c) every centroid equal to
+    the exact mean of the vectors currently assigned to it (up to
+    float addition/removal order, ~1e-9)."""
+    import numpy as np
+
+    from flink_streaming_kmeans_spark.streaming.kmeans import StreamingKMeans
+
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        n_pts, dim, k = 20, 3, 3
+        X = rng.randn(n_pts, dim)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        init = rng.randn(k, dim)
+        init = init / np.linalg.norm(init, axis=1, keepdims=True)
+        skm = StreamingKMeans(init.tolist(), list(range(k)),
+                              track_assignments=True)
+
+        delivered: set = set()
+        for bid in range(4):
+            ids = rng.choice(n_pts, size=rng.randint(3, n_pts), replace=False)
+            delivered.update(int(i) for i in ids)
+            batch = spark.createDataFrame(
+                [(int(i), [float(v) for v in X[i]]) for i in ids],
+                "vec_id bigint, embedding array<float>",
+            )
+            skm.foreach_batch()(batch, bid)
+
+        assert set(skm.assign_of) == delivered
+        assert int(skm.n.sum()) == len(delivered)
+        # Per-cluster occupancy matches the assignment map.
+        Xf = X.astype(np.float32).astype(np.float64)  # array<float> round-trip
+        for j, cid in enumerate(skm.cids):
+            members = [v for v, c in skm.assign_of.items() if c == int(cid)]
+            assert int(skm.n[j]) == len(members)
+            if members:
+                expected = Xf[sorted(members)].mean(axis=0)
+                np.testing.assert_allclose(skm.C[j], expected, rtol=1e-9,
+                                           atol=1e-12)
