@@ -62,6 +62,27 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default=None,
         help="shuffle partitions (default: session setting)",
     )
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="run the STREAMING topology (the reference KMeansTool's "
+        "shape): replay the input as micro-batch files through a "
+        "Structured Streaming query with online MacQueen updates "
+        "(streaming/kmeans.py) instead of batch Lloyd iterations",
+    )
+    p.add_argument(
+        "--stream-batches",
+        type=int,
+        default=5,
+        help="number of micro-batches for --stream (default 5)",
+    )
+    p.add_argument(
+        "--reassign",
+        action="store_true",
+        help="with --stream: keep per-point assignment memory and "
+        "subtract a reassigned point's old contribution (the "
+        "reference co-operator's Feature add/remove arithmetic)",
+    )
     return p
 
 
@@ -102,9 +123,13 @@ def main(argv: list[str] | None = None) -> int:
     init = (
         kmeans_parallel_init(pts, k=args.k) if args.init == "kmeans||" else None
     )
-    assigned = lloyd_iterate(
-        spark, pts, k=args.k, max_iter=args.max_iters, init=init
-    )
+    extra: dict = {}
+    if args.stream:
+        assigned, extra = _run_streaming(spark, pts, args, init)
+    else:
+        assigned = lloyd_iterate(
+            spark, pts, k=args.k, max_iter=args.max_iters, init=init
+        )
     assigned.write.mode("overwrite").parquet(args.output)
 
     back = spark.read.parquet(args.output)
@@ -119,11 +144,92 @@ def main(argv: list[str] | None = None) -> int:
                 "k": args.k,
                 "clusters": sizes,
                 "output": args.output,
+                **extra,
             },
             sort_keys=True,
         )
     )
     return 0
+
+
+def _run_streaming(spark, pts, args, init):
+    """KMeansTool's streaming topology: micro-batch replay through a
+    file-source Structured Streaming query + online MacQueen state
+    (streaming/kmeans.py). Returns (assignments DataFrame, summary)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.kmeans import assign, init_centroids
+    from .streaming.kmeans import StreamingKMeans
+
+    if init is not None:
+        C, cids = init
+        skm = StreamingKMeans(
+            C.tolist(), [int(c) for c in cids],
+            track_assignments=args.reassign,
+        )
+    else:
+        cent = init_centroids(pts, k=args.k).collect()
+        skm = StreamingKMeans(
+            [list(r.cemb) for r in cent],
+            [int(r.cid) for r in cent],
+            track_assignments=args.reassign,
+        )
+
+    d = tempfile.mkdtemp(prefix="fsk_tool_stream_")
+    try:
+        os.makedirs(os.path.join(d, "in"), exist_ok=True)
+        n_b = max(1, args.stream_batches)
+        for b in range(n_b):
+            stage = os.path.join(d, f"stage{b}")
+            pts.where(F.pmod("vec_id", F.lit(n_b)) == b).coalesce(
+                1
+            ).write.mode("overwrite").parquet(stage)
+            src = next(
+                f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+            )
+            dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
+            shutil.copy(os.path.join(stage, src), dst)
+            os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+
+        q = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(d, "in"))
+            .writeStream.foreachBatch(skm.foreach_batch())
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise SystemExit("--stream: streaming query exceeded 600 s")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    if args.reassign:
+        # Assignment memory IS the result (reference keyed state).
+        assigned = spark.createDataFrame(
+            sorted((int(v), int(c)) for v, c in skm.assign_of.items()),
+            "vec_id bigint, cluster_id int",
+        )
+    else:
+        cdf = spark.createDataFrame(
+            [
+                (int(c), [float(x) for x in row])
+                for c, row in zip(skm.cids, skm.C)
+            ],
+            "cid int, cemb array<float>",
+        )
+        assigned = assign(pts, cdf).select(
+            "vec_id", F.col("cid").alias("cluster_id")
+        )
+    return assigned, {
+        "mode": "stream",
+        "batches_seen": skm.batches_seen,
+        "reassign": bool(args.reassign),
+    }
 
 
 if __name__ == "__main__":

@@ -84,3 +84,33 @@ def test_tool_headerless_csv(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["n_points"] == 30, summary
+
+
+def test_tool_stream_mode(spark, capsys):
+    """--stream drives the KMeansTool topology through a real
+    Structured Streaming query; --reassign emits the assignment
+    memory (one row per distinct point, mass conserved)."""
+    from flink_streaming_kmeans_spark.tool import main
+
+    d = tempfile.mkdtemp(prefix="fsk_tool_s_")
+    try:
+        rc = main(
+            [
+                "--input", f"{SF_SMOKE}/embeddings.parquet",
+                "--k", "10", "--stream", "--stream-batches", "4",
+                "--reassign",
+                "--output", d + "/out",
+            ]
+        )
+        assert rc == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["mode"] == "stream"
+        assert summary["batches_seen"] == 4
+        assert summary["reassign"] is True
+        assert summary["n_points"] == 500  # mass conserved
+        back = spark.read.parquet(d + "/out")
+        assert back.columns == ["vec_id", "cluster_id"]
+        assert back.count() == 500
+        assert back.select("vec_id").distinct().count() == 500
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
