@@ -18,10 +18,11 @@ strongest oracle tier its state shape admits:
 WINDOW NOTE (r4 verdict task 8): these register AFTER the round-5
 correctness window, which was dictated query-by-query by the r4
 verdict (task 1) and is full. Rotation plan, to execute in round 6:
-put this module FIRST in registry._MODULES (3 slots), then events'
-remaining 8 + udf(4) + lakehouse(4) + windows(9) + relational(9) +
-scalars(9) (D3/D4-stale by then) ≈ 46 — one 50-slot window. Do NOT
-add further out-of-window queries without extending this plan.
+put this module FIRST in registry._MODULES (4 slots, incl.
+q_stream_upsert), then events' remaining 8 + udf(4) + lakehouse(4) +
+windows(9) + relational(9) + scalars(8 of 9) (D3/D4-stale by then) =
+46 — one 50-slot window. Do NOT add further out-of-window queries
+without extending this plan.
 
 All three drives replay the events/embeddings tables as CONTIGUOUS
 TIME-RANGE micro-batch files (monotone mtimes pin FileStreamSource
@@ -211,6 +212,95 @@ def q_stream_join(spark, sf_dir):
     )
     return spark.createDataFrame(
         sorted(got), "user_id bigint, p_id bigint, c_id bigint"
+    )
+
+
+@register(
+    "q_stream_upsert",
+    # Oracle: identical to q_merge_cow's — incremental disjoint-key
+    # merges compose to the single logical MERGE (kept inline so this
+    # module's oracles read standalone; lockstep with plans/lakehouse).
+    oracle="""
+    WITH src AS (
+        SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS custkey,
+               c_mktsegment AS segment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                   AS spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT COALESCE(t.c_custkey, s.custkey) AS custkey,
+               COALESCE(t.c_name, 'NEW') AS name,
+               CASE WHEN s.custkey IS NULL THEN CAST(t.c_acctbal AS DOUBLE)
+                    ELSE s.spend END AS acctbal,
+               COALESCE(t.c_mktsegment, s.segment) AS segment
+        FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.custkey
+    )
+    SELECT custkey, name,
+           (CASE WHEN (acctbal) IS NULL OR isnan(acctbal)
+                      OR abs(acctbal) > 1e12 THEN (acctbal)
+                 ELSE floor((acctbal) * 10000 + 0.5) / 10000 END) AS acctbal,
+           segment
+    FROM merged
+    """,
+)
+def q_stream_upsert(spark, sf_dir):
+    """Streaming CDC upsert sink: the merge source replayed as 3
+    micro-batches of DISJOINT keys (custkey mod 3), each foreachBatch
+    committing one copy-on-write MERGE snapshot on the manifest
+    lakehouse (operators/lakehouse.merge_cow — Delta's streaming MERGE
+    pattern on our format). Because the key sets are disjoint, the
+    composition of incremental merges equals the single logical MERGE,
+    so the final snapshot read carries q_merge_cow's FULL-VALUE hash
+    oracle — driver-recorded proof that continuous ingestion converges
+    to batch semantics, with per-batch snapshots time-travelable.
+
+    Scale: each micro-batch commit rewrites only its touched
+    partitions (O(churn)); commit is an atomic pointer swap; readers
+    prune files from the manifest. This is the standard continuous
+    lake-ingestion shape at 100 TB."""
+    # Lazy import: plans modules must not import each other at module
+    # scope (registration-order discipline, registry.py).
+    from .lakehouse import _merge_fn, _merge_source, _seed_table
+
+    root = _seed_table(spark, sf_dir)
+    src = _merge_source(spark, sf_dir)
+
+    d = _tmp_out("stream_upsert", sf_dir)
+    os.makedirs(os.path.join(d, "in"), exist_ok=True)
+    for b in range(3):
+        stage = os.path.join(d, f"stage{b}")
+        src.where(F.pmod("custkey", F.lit(3)) == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        f = next(
+            x for x in sorted(os.listdir(stage)) if x.endswith(".parquet")
+        )
+        dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
+        shutil.copy(os.path.join(stage, f), dst)
+        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+
+    from ..operators.lakehouse import merge_cow, read_table
+
+    def fb(batch_df, _bid):
+        if batch_df.count() > 0:
+            merge_cow(spark, root, batch_df, _merge_fn)
+
+    _run_available_now(
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(d, "in"))
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", os.path.join(d, "ckpt")),
+        "q_stream_upsert",
+    )
+
+    t = read_table(spark, root)
+    return t.select(
+        "custkey", "name", mround("acctbal").alias("acctbal"), "segment"
     )
 
 

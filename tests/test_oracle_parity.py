@@ -88,11 +88,13 @@ def test_contract_is_complete(registry):
     batch aggregate), and adds the streaming-evidence trio
     (plans/streams.py): q_stream_dedup + q_stream_join (both hash)
     and q_kmeans_stream_reassign (rows — re-delivery exercising the
-    reference co-operator's remove/add arithmetic):
-    129 = 125 hash + 4 rows-only."""
+    reference co-operator's remove/add arithmetic), plus
+    q_stream_upsert (hash — foreachBatch CDC merge into the manifest
+    lakehouse converging to q_merge_cow's single-merge oracle):
+    130 = 126 hash + 4 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 129, sorted(queries)
-    assert len(oracles) == 125
+    assert len(queries) == 130, sorted(queries)
+    assert len(oracles) == 126
     # Exactly the four contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
