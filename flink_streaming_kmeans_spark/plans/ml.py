@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import mround, sql_davg, sql_mround
 from ..operators.kmeans import assign, init_centroids, lloyd_iterate, update
+from ..session import scoped_shuffle_partitions
 from ..sources.loader import _tmp_out, fan_out, load_table
 from .registry import register
 
@@ -145,20 +146,24 @@ def q_kmeans_stream(spark, sf_dir):
         # Monotone mtimes pin the FileStreamSource delivery order.
         os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
 
-    q = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(d, "in"))
-        .writeStream.foreachBatch(skm.foreach_batch())
-        .option("checkpointLocation", os.path.join(d, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        # Timed-out query: stop and FAIL rather than silently emitting
-        # partial centroid state (r4 ADVICE: the ignored boolean).
-        q.stop()
-        raise RuntimeError("q_kmeans_stream: streaming query exceeded 300 s")
+    # Bounded evidence drive on a fresh checkpoint: scope the state
+    # partition count down (session.scoped_shuffle_partitions — sizing
+    # note + measurement there).
+    with scoped_shuffle_partitions(spark, 4):
+        q = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(d, "in"))
+            .writeStream.foreachBatch(skm.foreach_batch())
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            # Timed-out query: stop and FAIL rather than silently emitting
+            # partial centroid state (r4 ADVICE: the ignored boolean).
+            q.stop()
+            raise RuntimeError("q_kmeans_stream: streaming query exceeded 300 s")
 
     rows = [
         (int(c), int(n), float(np.linalg.norm(C_row)))

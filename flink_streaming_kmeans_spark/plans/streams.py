@@ -39,6 +39,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import mround, sql_mround
+from ..session import scoped_shuffle_partitions
 from ..sources.loader import _tmp_out, load_table
 from .registry import register
 
@@ -65,9 +66,22 @@ def _write_time_batches(df, d, n_batches, order_cols=("ts", "event_id")):
     return os.path.join(d, "in")
 
 
-def _run_available_now(writer, name: str):
+def _run_available_now(writer, name: str, spark=None):
     """Start an availableNow streaming query and fail loudly on
-    timeout instead of returning partial state (r4 ADVICE)."""
+    timeout instead of returning partial state (r4 ADVICE).
+
+    When ``spark`` is given, the query starts (and thus creates its
+    state-store layout) under a scoped shuffle-partition count sized
+    for these bounded evidence drives — see
+    session.scoped_shuffle_partitions for the measurement and the
+    production-sizing note."""
+    if spark is not None:
+        with scoped_shuffle_partitions(spark, 4):
+            q = writer.trigger(availableNow=True).start()
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(f"{name}: streaming query exceeded 300 s")
+        return
     q = writer.trigger(availableNow=True).start()
     if not q.awaitTermination(300):
         q.stop()
@@ -119,6 +133,7 @@ def q_stream_dedup(spark, sf_dir):
             "checkpointLocation", os.path.join(d, "ckpt")
         ),
         "q_stream_dedup",
+        spark,
     )
 
     rows = [(k, t, v) for k, (t, v) in sorted(out.items())]
@@ -209,6 +224,7 @@ def q_stream_join(spark, sf_dir):
         .outputMode("append")
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_stream_join",
+        spark,
     )
     return spark.createDataFrame(
         sorted(got), "user_id bigint, p_id bigint, c_id bigint"
@@ -296,6 +312,7 @@ def q_stream_upsert(spark, sf_dir):
         .writeStream.foreachBatch(fb)
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_stream_upsert",
+        spark,
     )
 
     t = read_table(spark, root)
@@ -357,6 +374,7 @@ def q_kmeans_stream_reassign(spark, sf_dir):
         .writeStream.foreachBatch(skm.foreach_batch())
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_kmeans_stream_reassign",
+        spark,
     )
 
     n_distinct = len(skm.assign_of)

@@ -21,6 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import davg, dsum, mround, sql_davg, sql_dsum, sql_mround
+from ..session import scoped_shuffle_partitions
 from ..sources.loader import _tmp_out, fan_out, load_table
 from .registry import register
 
@@ -346,19 +347,24 @@ def q_stream_tumble(spark, sf_dir):
         )
         .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
     )
-    q = (
-        agg.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(d, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        # Timed-out query: stop it and FAIL — silently returning the
-        # partial streaming state as the result would be a wrong answer
-        # (r4 ADVICE: the ignored boolean return).
-        q.stop()
-        raise RuntimeError("q_stream_tumble: streaming query exceeded 300 s")
+    # Bounded evidence drive on a fresh checkpoint: scope the state
+    # partition count down (session.scoped_shuffle_partitions).
+    with scoped_shuffle_partitions(spark, 4):
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            # Timed-out query: stop it and FAIL — silently returning the
+            # partial streaming state as the result would be a wrong
+            # answer (r4 ADVICE: the ignored boolean return).
+            q.stop()
+            raise RuntimeError(
+                "q_stream_tumble: streaming query exceeded 300 s"
+            )
 
     rows = [
         (w, int(n), float(s)) for w, (n, s) in sorted(state.items())
