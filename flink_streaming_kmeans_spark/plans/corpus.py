@@ -1,0 +1,292 @@
+"""Round-5 corpus-statistics + storage-layout operators.
+
+Four more training-data-pipeline primitives over the documents /
+embeddings / events tables, all hash-tier:
+
+- q_text_heavy_hitters: corpus-level frequent-token top-k — the
+  vocabulary head every tokenizer/quality pipeline starts from.
+- q_text_surprisal: per-document unigram LM score (quantized
+  integer surprisal) — the cheap perplexity proxy used to rank
+  documents for curriculum/filtering.
+- q_emb_quantize: int8 scalar quantization of the embedding column
+  (per-dimension min/max codebook) — 4x storage cut for ANN shipping.
+- q_zorder_cluster: Morton (Z-order) interleaving of two key columns
+  — the multi-column clustering key that keeps BOTH columns' file
+  min/max tight for parquet skipping.
+
+WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
+correctness window. Round-6 rotation plan (supersedes the one in
+plans/streams.py, keeping the 50-slot sum exact): corpus(4) +
+streams(4) + events(8) + udf(4) + lakehouse(4) + windows(9) +
+relational(9) + scalars(first 8) = 50. Do NOT add further
+out-of-window queries without extending this plan.
+
+Reference analog: the reference demo ships no corpus tooling (it is a
+streaming k-means demo — SURVEY.md §1.1 [PK]); these extend the
+engine along the training-pipeline axis the build brief makes
+first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .registry import register
+from ..sources.loader import load_table
+
+# ---------------------------------------------------------------------------
+# q_text_heavy_hitters
+
+
+@register(
+    "q_text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    )
+    SELECT tok, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+    FROM c ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def q_text_heavy_hitters(spark, sf_dir):
+    """Corpus-level frequent tokens (exact top-20 with rank, tok as
+    tie-break).
+
+    Shape: explode -> hash-aggregate keyed by token (partial map-side
+    combine collapses each partition to its local vocabulary before
+    the shuffle) -> global top-k. Spark compiles orderBy().limit(20)
+    to TakeOrderedAndProject: each partition keeps a 20-element heap
+    and the driver merges P*20 rows — no global sort, no single-task
+    ordering of the vocabulary. That is the 100 TB shape; the final
+    20-row rank window is driver-trivial by construction.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = cnt.orderBy(F.desc("n"), "tok").limit(20)
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n"), "tok"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_text_surprisal
+
+
+@register(
+    "q_text_surprisal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT SUM(n) AS tot FROM freq
+    ), scored AS (
+        SELECT t.doc_id,
+               length(bin(tot)) - length(bin(f.n)) AS s
+        FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_toks,
+           CAST((2 * 10000 * SUM(s) + COUNT(*)) // (2 * COUNT(*))
+                AS BIGINT) AS surprisal_e4
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_text_surprisal(spark, sf_dir):
+    """Per-document unigram language-model score: mean token
+    surprisal, the cheap perplexity proxy used to rank documents for
+    quality filtering and curriculum.
+
+    Surprisal is QUANTIZED to integers so the hash oracle has no
+    transcendental surface: s(tok) = bitlen(total) - bitlen(count) =
+    floor(log2 total) - floor(log2 count) ~ -log2 p(tok) +/- 1, with
+    bitlen computed as length(bin(n)) — pure integer/string ops that
+    both engines evaluate identically (native LOG2 is log(x)/log(2)
+    on the JVM and lands on 52.999... at exact powers of two). The
+    per-doc mean is the half-up integer division
+    (2*10^4*sum + n) div (2n) — every intermediate a BIGINT.
+
+    Shape: one explode; token-frequency hash-aggregate (map-side
+    combine); a join of occurrences to frequencies keyed on token —
+    at 100 TB you broadcast the head of the vocabulary and default
+    the tail (Zipf: the head covers ~all occurrences); the 1-row
+    total crossJoin is broadcast by construction. Final per-doc
+    hash-aggregate. No float anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(F.sum("n").alias("tot"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (F.length(F.bin("tot")) - F.length(F.bin("n"))).alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.expr(
+            "CAST((2 * 10000 * SUM(s) + COUNT(*)) DIV (2 * COUNT(*))"
+            " AS BIGINT)"
+        ).alias("surprisal_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_emb_quantize
+
+
+@register(
+    "q_emb_quantize",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, CAST(r.range AS INT) AS dim,
+               CAST(floor(embedding[CAST(r.range AS INT) + 1]::DOUBLE
+                          * 1000000 + 0.5) AS BIGINT) AS qi
+        FROM embeddings CROSS JOIN range(64) r
+    ), st AS (
+        SELECT dim, MIN(qi) AS lo, MAX(qi) AS hi FROM ex GROUP BY dim
+    )
+    SELECT vec_id,
+           string_agg(
+               CAST(CASE WHEN hi = lo THEN 0
+                         ELSE (2 * 255 * (qi - lo) + (hi - lo))
+                              // (2 * (hi - lo)) END AS VARCHAR),
+               ',' ORDER BY dim) AS q8
+    FROM ex JOIN st USING (dim)
+    GROUP BY vec_id
+    """,
+)
+def q_emb_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column: per-dimension
+    min/max codebook, each value mapped half-up to 0..255 — the
+    standard 4x storage/bandwidth cut applied before shipping vectors
+    into an ANN index.
+
+    Determinism: the float32 values are first quantized to BIGINT
+    micro-units (floor(x*1e6+0.5), the q_emb_normalize pattern), so
+    the codebook (per-dim integer min/max) and the half-up scaling
+    (2*255*(qi-lo) + (hi-lo)) div (2*(hi-lo)) are pure integer
+    arithmetic on both engines.
+
+    Shape at 100 TB: one posexplode pass; the codebook is a
+    64-row aggregate — broadcast back to the second pass (explicitly
+    F.broadcast'ed below); per-vector regroup is keyed on vec_id (the
+    table's natural partitioning, so AQE sees a shuffle both sides
+    already share). Nothing quadratic, nothing single-node.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("qi"),
+    )
+    st = ex.groupBy("dim").agg(F.min("qi").alias("lo"), F.max("qi").alias("hi"))
+    qb = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.expr("(2 * 255 * (qi - lo) + (hi - lo)) DIV (2 * (hi - lo))")
+    )
+    j = ex.join(F.broadcast(st), "dim").select("vec_id", "dim", qb.alias("qb"))
+    return j.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "qb"))),
+                lambda s: s["qb"].cast("string"),
+            ),
+            ",",
+        ).alias("q8")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_zorder_cluster
+
+
+def _interleave_terms(xcol: str, ycol: str, bits: int, div: str) -> str:
+    """Morton-interleave expression from pure integer div/mod/mul —
+    the SAME arithmetic emitted for Spark (div='DIV') and DuckDB
+    (div='//'), so the two engines structurally cannot diverge
+    (shift operators/functions differ between the dialects; div+mod
+    does not)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} {div} {2**i}) % 2) * {2 ** (2 * i)}")
+        terms.append(f"(({ycol} {div} {2**i}) % 2) * {2 ** (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "q_zorder_cluster",
+    oracle=f"""
+    WITH k AS (
+        SELECT event_id,
+               user_id % 256 AS x,
+               (CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600)
+                   % 256 AS y
+        FROM events
+    )
+    SELECT event_id, x, y,
+           CAST({_interleave_terms('x', 'y', 8, '//')} AS BIGINT) AS zkey,
+           CAST(({_interleave_terms('x', 'y', 8, '//')}) // 4096
+                AS BIGINT) AS bucket
+    FROM k
+    """,
+)
+def q_zorder_cluster(spark, sf_dir):
+    """Z-order (Morton) clustering key over two event dimensions
+    (user bucket x = user_id mod 256, time bucket y = hour-of-epoch
+    mod 256): interleave their bits so that sorting by the single
+    zkey keeps file-level min/max ranges tight on BOTH columns —
+    multi-column parquet skipping from one sort order, the standard
+    lakehouse layout optimization (Delta/Iceberg OPTIMIZE ZORDER).
+
+    The interleave is emitted as identical integer div/mod/mul
+    arithmetic on both engines (no shift operators — dialects differ;
+    no floats anywhere). bucket = zkey div 4096 partitions the 16-bit
+    Morton space into 16 range buckets — the repartitionByRange file
+    boundaries a writer would use.
+
+    Shape at 100 TB: per-row integer expression inside whole-stage
+    codegen + a range partition on zkey before write; no shuffle
+    beyond the one the write layout itself demands. The file-skipping
+    payoff is asserted in tests/test_storage.py: after a zkey-range
+    write, per-file spans of x AND y shrink vs the unsorted layout.
+
+    DuckDB's integer `/` is float division pre-0.10 and its `//` is
+    not Spark syntax, so both engines get their own div token from the
+    same generator (_interleave_terms); epoch(date_trunc('hour')) is
+    an exact integer so the seconds->hours division has no fractional
+    surface."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).alias("x"),
+        (
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / F.lit(3600))
+            .cast("bigint")
+            % 256
+        ).alias("y"),
+    )
+    z = F.expr(f"CAST({_interleave_terms('x', 'y', 8, 'DIV')} AS BIGINT)")
+    return k.select(
+        "event_id",
+        "x",
+        "y",
+        z.alias("zkey"),
+        F.expr(
+            f"CAST(({_interleave_terms('x', 'y', 8, 'DIV')}) DIV 4096"
+            " AS BIGINT)"
+        ).alias("bucket"),
+    )

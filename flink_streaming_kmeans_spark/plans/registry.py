@@ -74,7 +74,10 @@ _MODULES = [
     "events",
     "streams",  # r5 streaming-evidence additions — OUT of the r5
     #   window (it was verdict-dictated and full); the r6 rotation
-    #   plan in plans/streams.py puts them first next round.
+    #   plan (kept current in plans/corpus.py) puts them first next
+    #   round.
+    "corpus",  # r5 corpus/storage-layout additions — OUT of the r5
+    #   window; covered by the same r6 rotation plan.
     "udf",
     "lakehouse",
     "windows",

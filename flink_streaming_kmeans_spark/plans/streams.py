@@ -17,12 +17,10 @@ strongest oracle tier its state shape admits:
 
 WINDOW NOTE (r4 verdict task 8): these register AFTER the round-5
 correctness window, which was dictated query-by-query by the r4
-verdict (task 1) and is full. Rotation plan, to execute in round 6:
-put this module FIRST in registry._MODULES (4 slots, incl.
-q_stream_upsert), then events' remaining 8 + udf(4) + lakehouse(4) +
-windows(9) + relational(9) + scalars(8 of 9) (D3/D4-stale by then) =
-46 — one 50-slot window. Do NOT add further out-of-window queries
-without extending this plan.
+verdict (task 1) and is full. The round-6 rotation plan lives in
+plans/corpus.py (the later r5 additions extended it; the 50-slot sum
+stays exact there). Do NOT add further out-of-window queries without
+extending that plan.
 
 All three drives replay the events/embeddings tables as CONTIGUOUS
 TIME-RANGE micro-batch files (monotone mtimes pin FileStreamSource

@@ -90,11 +90,15 @@ def test_contract_is_complete(registry):
     and q_kmeans_stream_reassign (rows — re-delivery exercising the
     reference co-operator's remove/add arithmetic), plus
     q_stream_upsert (hash — foreachBatch CDC merge into the manifest
-    lakehouse converging to q_merge_cow's single-merge oracle):
-    130 = 126 hash + 4 rows-only."""
+    lakehouse converging to q_merge_cow's single-merge oracle).
+    Later in round 5, plans/corpus.py adds four more hash-tier
+    training-pipeline/storage operators: q_text_heavy_hitters,
+    q_text_surprisal (quantized-integer unigram LM score),
+    q_emb_quantize (int8 scalar quantization), and q_zorder_cluster
+    (Morton clustering key): 134 = 130 hash + 4 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 130, sorted(queries)
-    assert len(oracles) == 126
+    assert len(queries) == 134, sorted(queries)
+    assert len(oracles) == 130
     # Exactly the four contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",

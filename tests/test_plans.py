@@ -324,3 +324,28 @@ def test_compute_heavy_scans_fan_out(spark, registry):
         df = queries[name](spark, SF_T2)
         p = plan_of(df, "formatted")
         assert "RoundRobinPartitioning" in p, f"{name} lost its fan_out"
+
+
+def test_heavy_hitters_take_ordered_after_partial_agg(plans):
+    # corpus top-k: map-side partial vocabulary aggregate, then
+    # TakeOrderedAndProject (per-partition heaps) — never a global
+    # sort of the vocabulary
+    p = plans("q_text_heavy_hitters")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_emb_quantize_codebook_broadcasts(plans):
+    # the 64-row per-dimension min/max codebook must come back as a
+    # broadcast, not a shuffled join against the exploded fact side
+    p = plans("q_emb_quantize")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_zorder_key_is_codegen_only(plans):
+    # the Morton interleave is a per-row integer expression: one scan,
+    # no exchange, fully inside whole-stage codegen
+    p = plans("q_zorder_cluster")
+    assert "Exchange" not in p
+    assert "[codegen id :" in p  # starred (whole-stage-compiled) projects

@@ -80,3 +80,53 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS fsk_orders_b")
         spark.sql("DROP TABLE IF EXISTS fsk_customer_b")
+
+
+def test_zorder_layout_tightens_both_column_spans(spark, registry):
+    """The q_zorder_cluster payoff, asserted on real files: range-
+    partitioning by the Morton zkey yields per-file spans on BOTH
+    x (user bucket) and y (hour bucket) that are a fraction of the
+    full domain, so a predicate on EITHER column prunes most files
+    via parquet min/max — while sorting by x alone leaves y's
+    per-file span at ~the full domain. This is the multi-column
+    data-skipping property a single-column sort cannot provide."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    queries, _ = registry
+    df = queries["q_zorder_cluster"](spark, SF_SMOKE)
+
+    def avg_spans(sorted_df, d):
+        sorted_df.write.mode("overwrite").parquet(d)
+        spans = {"x": [], "y": []}
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = {"x": None, "y": None}
+            hi = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        smin, smax = col.statistics.min, col.statistics.max
+                        lo[name] = smin if lo[name] is None else min(lo[name], smin)
+                        hi[name] = smax if hi[name] is None else max(hi[name], smax)
+            for c in ("x", "y"):
+                spans[c].append(hi[c] - lo[c])
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    base = tempfile.mkdtemp(prefix="fsk_zorder_")
+    try:
+        z = avg_spans(df.repartitionByRange(8, "zkey"), os.path.join(base, "z"))
+        x = avg_spans(df.repartitionByRange(8, "x"), os.path.join(base, "x"))
+        # z-order: both dimensions' per-file spans shrink well below
+        # the 0..255 domain
+        assert z["x"] < 128 and z["y"] < 128, z
+        # single-column sort: x is tight but y stays ~unclustered
+        assert x["x"] < 64, x
+        assert x["y"] > z["y"], (x, z)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
