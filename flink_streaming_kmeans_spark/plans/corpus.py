@@ -1,7 +1,7 @@
 """Round-5 corpus-statistics + storage-layout operators.
 
-Four more training-data-pipeline primitives over the documents /
-embeddings / events tables, all hash-tier:
+Six more training-data-pipeline primitives over the documents /
+embeddings / events / lineitem tables, all hash-tier:
 
 - q_text_heavy_hitters: corpus-level frequent-token top-k — the
   vocabulary head every tokenizer/quality pipeline starts from.
@@ -13,12 +13,17 @@ embeddings / events tables, all hash-tier:
 - q_zorder_cluster: Morton (Z-order) interleaving of two key columns
   — the multi-column clustering key that keeps BOTH columns' file
   min/max tight for parquet skipping.
+- q_graph_pagerank: two unrolled PageRank iterations over the
+  customer<->supplier trade graph — iterated join-aggregate with
+  full-value oracle parity.
+- q_evt_markov: first-order Markov transition matrix over per-user
+  event sequences — all-integer probabilities (p_e4).
 
 WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
 correctness window. Round-6 rotation plan (supersedes the one in
-plans/streams.py, keeping the 50-slot sum exact): corpus(4) +
+plans/streams.py, keeping the 50-slot sum exact): corpus(6) +
 streams(4) + events(8) + udf(4) + lakehouse(4) + windows(9) +
-relational(9) + scalars(first 8) = 50. Do NOT add further
+relational(9) + scalars(first 6) = 50. Do NOT add further
 out-of-window queries without extending this plan.
 
 Reference analog: the reference demo ships no corpus tooling (it is a
@@ -32,8 +37,9 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from .registry import register
+from ..functions.vector import mround
 from ..sources.loader import load_table
+from .registry import register
 
 # ---------------------------------------------------------------------------
 # q_text_heavy_hitters
@@ -289,4 +295,177 @@ def q_zorder_cluster(spark, sf_dir):
             f"CAST(({_interleave_terms('x', 'y', 8, 'DIV')}) DIV 4096"
             " AS BIGINT)"
         ).alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_graph_pagerank
+
+
+@register(
+    "q_graph_pagerank",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), edges AS (
+        SELECT c AS src, 1000000 + s AS dst FROM e0
+        UNION ALL
+        SELECT 1000000 + s AS src, c AS dst FROM e0
+    ), deg AS (
+        SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), pr1 AS (
+        SELECT e.dst AS node,
+               0.15 + 0.85 * CAST(SUM(CAST(1.0 / d AS DECIMAL(30,6)))
+                                  AS DOUBLE) AS pr
+        FROM edges e JOIN deg USING (src)
+        GROUP BY e.dst
+    ), pr2 AS (
+        SELECT e.dst AS node,
+               0.15 + 0.85 * CAST(SUM(CAST(p.pr / g.d AS DECIMAL(30,6)))
+                                  AS DOUBLE) AS pr
+        FROM edges e
+        JOIN deg g USING (src)
+        JOIN pr1 p ON p.node = e.src
+        GROUP BY e.dst
+    )
+    SELECT p2.node, g.d AS degree,
+           (CASE WHEN (p2.pr) IS NULL OR isnan(p2.pr)
+                      OR abs(p2.pr) > 1e12 THEN (p2.pr)
+                 ELSE floor((p2.pr) * 10000 + 0.5) / 10000 END) AS pr_2
+    FROM pr2 p2 JOIN deg g ON g.src = p2.node
+    """,
+)
+def q_graph_pagerank(spark, sf_dir):
+    """Two unrolled PageRank iterations (damping 0.85) over the
+    bipartite customer<->supplier trade graph (distinct pairs from
+    lineitem x orders, symmetrized) — the canonical iterated
+    join-aggregate of graph analytics, with FULL-VALUE oracle parity
+    because the iteration count is fixed and the float discipline is
+    the repo's dsum pattern (per-contribution DECIMAL(30,6) cast,
+    exact order-independent decimal sum, one double cast, matched
+    round only on output).
+
+    Every rank value flows through identical IEEE ops on both engines:
+    1.0/d and pr/d are single double divisions of identical operands,
+    the decimal cast quantizes identically, and 0.15 + 0.85*s is the
+    same two-op double expression.
+
+    Shape at 100 TB: each iteration is one shuffle of contributions
+    keyed by dst plus a hash-aggregate — the same edge partitioning is
+    reusable across iterations (co-partition edges and ranks on src),
+    degrees are a one-time aggregate, and nothing is quadratic; the
+    driver holds no graph state (contrast operators/graph.py connected
+    components, which collects only cluster labels). Fixed-point
+    iteration to convergence is the same plan in a loop (the
+    q_ml_kmeans_iter pattern: constant-size plans + localCheckpoint).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    ).unionAll(
+        e0.select(
+            (F.lit(1000000) + F.col("l_suppkey")).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+
+    def step(ranks):
+        """ranks: (node, pr) -> next (node, pr); one shuffle on dst."""
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("d")).alias("x"),
+            )
+        )
+        return contrib.groupBy("node").agg(
+            (
+                F.lit(0.15)
+                + F.lit(0.85)
+                * F.sum(F.col("x").cast("decimal(30,6)")).cast("double")
+            ).alias("pr")
+        )
+
+    init = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("pr"))
+    pr2 = step(step(init))
+    return pr2.join(deg, pr2.node == deg.src).select(
+        "node", F.col("d").alias("degree"), mround("pr").alias("pr_2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_evt_markov
+
+
+@register(
+    "q_evt_markov",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+    ), trans AS (
+        SELECT prev, event_type AS next, COUNT(*) AS n
+        FROM seq WHERE prev IS NOT NULL
+        GROUP BY prev, event_type
+    ), tot AS (
+        SELECT prev, SUM(n) AS t FROM trans GROUP BY prev
+    )
+    SELECT trans.prev, next, n,
+           CAST((2 * 10000 * n + t) // (2 * t) AS BIGINT) AS p_e4
+    FROM trans JOIN tot USING (prev)
+    """,
+)
+def q_evt_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event-type
+    sequences (ts order, event_id tie-break): the n-gram transition
+    statistics behind sequence featurization, bot detection, and
+    next-event modeling in a behavioral training pipeline.
+
+    Transition probability emitted as the half-up scaled BIGINT
+    p_e4 = round(10^4 * n/t) = (2*10^4*n + t) div (2t) — counts and
+    divisions stay in integer space end-to-end (the q_text_quality
+    lesson: no float representation survives to be canonicalized).
+
+    Shape at 100 TB: one window (lag) over the user-partitioned,
+    time-ordered stream — the partition key is high-cardinality
+    user_id, so no single window partition is hot — then two
+    hash-aggregates on (prev,next) / prev with map-side combine, and
+    a join on prev against the per-prev totals (a |event_type|-sized
+    table: broadcast). The same lag-window shape already scales
+    q_win_lag and the funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    trans = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("prev").agg(F.sum("n").alias("t"))
+    return (
+        trans.join(F.broadcast(tot), "prev")
+        .select(
+            "prev",
+            "next",
+            "n",
+            F.expr("CAST((2 * 10000 * n + t) DIV (2 * t) AS BIGINT)").alias(
+                "p_e4"
+            ),
+        )
     )

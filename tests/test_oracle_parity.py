@@ -94,11 +94,13 @@ def test_contract_is_complete(registry):
     Later in round 5, plans/corpus.py adds four more hash-tier
     training-pipeline/storage operators: q_text_heavy_hitters,
     q_text_surprisal (quantized-integer unigram LM score),
-    q_emb_quantize (int8 scalar quantization), and q_zorder_cluster
-    (Morton clustering key): 134 = 130 hash + 4 rows-only."""
+    q_emb_quantize (int8 scalar quantization), q_zorder_cluster
+    (Morton clustering key), q_graph_pagerank (two unrolled PageRank
+    iterations, full-value parity), and q_evt_markov (all-integer
+    Markov transition matrix): 136 = 132 hash + 4 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 134, sorted(queries)
-    assert len(oracles) == 130
+    assert len(queries) == 136, sorted(queries)
+    assert len(oracles) == 132
     # Exactly the four contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",

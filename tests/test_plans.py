@@ -349,3 +349,21 @@ def test_zorder_key_is_codegen_only(plans):
     p = plans("q_zorder_cluster")
     assert "Exchange" not in p
     assert "[codegen id :" in p  # starred (whole-stage-compiled) projects
+
+
+def test_markov_totals_broadcast(plans):
+    # the per-prev totals table is |event_type|-sized: must broadcast,
+    # and the lag window must partition by user_id (no global window)
+    p = plans("q_evt_markov")
+    assert "BroadcastHashJoin" in p
+    ext = plans("q_evt_markov", "extended")
+    m = re.search(r"windowspecdefinition\(([^)]*)", ext)
+    assert m and "user_id" in m.group(1), m
+
+
+def test_pagerank_no_cartesian_constant_shape(plans):
+    # each iteration is join + hash-aggregate; never a cartesian
+    # product, and degree/contribution joins stay equi-joins
+    p = plans("q_graph_pagerank")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "HashAggregate" in p
