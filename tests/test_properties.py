@@ -249,3 +249,27 @@ def test_label_prop_autoswitches_to_star_on_long_chain(spark):
     got = connected_components(nodes, edf, max_rounds=12, star_after=4).collect()
     assert len(got) == n
     assert all(r.label == 0 for r in got)
+
+
+def test_pagerank_mass_and_degree_monotonicity(spark, registry):
+    """Two invariants of PageRank on the symmetrized trade graph:
+    (1) rank mass is (approximately) conserved — at the damped
+    stationary point sum(pr) == N exactly, and two iterations from
+    the uniform init stay within a few percent of N; (2) rank follows
+    degree on average — the mean rank of top-decile-degree nodes must
+    exceed the mean rank of bottom-decile nodes (that is what the
+    random-surfer model pays hubs for)."""
+    queries, _ = registry
+    rows = (
+        queries["q_graph_pagerank"](spark, "/root/testdata/sf0.001")
+        .select("node", "degree", "pr_2")
+        .collect()
+    )
+    n = len(rows)
+    total = sum(r.pr_2 for r in rows)
+    assert abs(total - n) / n < 0.05, (total, n)
+    by_deg = sorted(rows, key=lambda r: r.degree)
+    k = max(1, n // 10)
+    lo = sum(r.pr_2 for r in by_deg[:k]) / k
+    hi = sum(r.pr_2 for r in by_deg[-k:]) / k
+    assert hi > lo, (hi, lo)
