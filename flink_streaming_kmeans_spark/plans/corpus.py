@@ -1,6 +1,6 @@
 """Round-5 corpus-statistics + storage-layout operators.
 
-Six more training-data-pipeline primitives over the documents /
+Seven more training-data-pipeline primitives over the documents /
 embeddings / events / lineitem tables, all hash-tier:
 
 - q_text_heavy_hitters: corpus-level frequent-token top-k — the
@@ -18,12 +18,14 @@ embeddings / events / lineitem tables, all hash-tier:
   full-value oracle parity.
 - q_evt_markov: first-order Markov transition matrix over per-user
   event sequences — all-integer probabilities (p_e4).
+- q_evt_anomaly: per-user 3-sigma outlier detection — float math only
+  in the (bit-identical) filter threshold; output is integers + tag.
 
 WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
 correctness window. Round-6 rotation plan (supersedes the one in
-plans/streams.py, keeping the 50-slot sum exact): corpus(6) +
+plans/streams.py, keeping the 50-slot sum exact): corpus(7) +
 streams(4) + events(8) + udf(4) + lakehouse(4) + windows(9) +
-relational(9) + scalars(first 6) = 50. Do NOT add further
+relational(9) + scalars(first 5) = 50. Do NOT add further
 out-of-window queries without extending this plan.
 
 Reference analog: the reference demo ships no corpus tooling (it is a
@@ -475,5 +477,85 @@ def q_evt_markov(spark, sf_dir):
             F.expr("CAST((2 * 10000 * n + t) DIV (2 * t) AS BIGINT)").alias(
                 "p_e4"
             ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_evt_anomaly
+
+
+@register(
+    "q_evt_anomaly",
+    oracle="""
+    WITH st AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+                   AS s2,
+               COUNT(*) AS n
+        FROM events GROUP BY user_id
+    ), th AS (
+        SELECT user_id, n,
+               s1 / n AS mean,
+               sqrt(greatest(0.0, s2 / n - (s1 / n) * (s1 / n))) AS std
+        FROM st
+    )
+    SELECT e.event_id, e.user_id,
+           CASE WHEN e.value > t.mean + 3 * t.std THEN 'hi'
+                ELSE 'lo' END AS side
+    FROM events e JOIN th t USING (user_id)
+    WHERE t.n >= 20
+      AND (e.value > t.mean + 3 * t.std OR e.value < t.mean - 3 * t.std)
+    """,
+)
+def q_evt_anomaly(spark, sf_dir):
+    """Per-user 3-sigma anomaly detection over event values — the
+    standard data-quality / fraud pre-filter of a behavioral pipeline.
+    Users with fewer than 20 events are skipped (a 3-sigma rule over a
+    handful of points is noise).
+
+    Determinism without emitting any float: the OUTPUT is integer ids
+    plus a 'hi'/'lo' side tag; the float threshold only decides the
+    FILTER, and it is built so both engines compute bit-identical
+    doubles — per-value DECIMAL(30,6) casts, exact decimal sums
+    (order-independent), then the identical IEEE op sequence
+    mean = s1/n, var = s2/n - mean*mean clamped at 0 (1-ulp negatives
+    under constant-valued users), std = sqrt (correctly rounded by
+    IEEE 754 on both engines). Identical doubles compare identically,
+    so the boundary rows agree.
+
+    Shape at 100 TB: one hash-aggregate on user_id (map-side combine)
+    + one equi-join back on the same key — the aggregate output is
+    already partitioned the way the join needs it, so AQE plans a
+    single effective shuffle of the fact side. Nothing quadratic, no
+    window over a hot key, no driver state."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(30,6)")
+    dec2 = (F.col("value") * F.col("value")).cast("decimal(30,6)")
+    st = ev.groupBy("user_id").agg(
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec2).cast("double").alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(
+        F.lit(0.0), F.col("s2") / F.col("n") - mean * mean
+    )
+    th = st.select(
+        "user_id",
+        "n",
+        mean.alias("mean"),
+        F.sqrt(var).alias("std"),
+    )
+    j = ev.join(th, "user_id")
+    hi = F.col("value") > F.col("mean") + F.lit(3.0) * F.col("std")
+    lo = F.col("value") < F.col("mean") - F.lit(3.0) * F.col("std")
+    return (
+        j.where((F.col("n") >= 20) & (hi | lo))
+        .select(
+            "event_id",
+            "user_id",
+            F.when(hi, F.lit("hi")).otherwise(F.lit("lo")).alias("side"),
         )
     )

@@ -96,11 +96,12 @@ def test_contract_is_complete(registry):
     q_text_surprisal (quantized-integer unigram LM score),
     q_emb_quantize (int8 scalar quantization), q_zorder_cluster
     (Morton clustering key), q_graph_pagerank (two unrolled PageRank
-    iterations, full-value parity), and q_evt_markov (all-integer
-    Markov transition matrix): 136 = 132 hash + 4 rows-only."""
+    iterations, full-value parity), q_evt_markov (all-integer
+    Markov transition matrix), and q_evt_anomaly (3-sigma outliers,
+    integer output): 137 = 133 hash + 4 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 136, sorted(queries)
-    assert len(oracles) == 132
+    assert len(queries) == 137, sorted(queries)
+    assert len(oracles) == 133
     # Exactly the four contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
