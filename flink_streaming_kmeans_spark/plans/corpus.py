@@ -1,7 +1,7 @@
 """Round-5 corpus-statistics + storage-layout operators.
 
-Seven more training-data-pipeline primitives over the documents /
-embeddings / events / lineitem tables, all hash-tier:
+Ten more training-data-pipeline / OLAP primitives over the documents /
+embeddings / events / TPC-H tables, all hash-tier:
 
 - q_text_heavy_hitters: corpus-level frequent-token top-k — the
   vocabulary head every tokenizer/quality pipeline starts from.
@@ -20,12 +20,17 @@ embeddings / events / lineitem tables, all hash-tier:
   event sequences — all-integer probabilities (p_e4).
 - q_evt_anomaly: per-user 3-sigma outlier detection — float math only
   in the (bit-identical) filter threshold; output is integers + tag.
+- q_tpch_q3 / q_tpch_q5: the classic TPC-H shipping-priority and
+  local-supplier-volume join trees adapted to this schema — selective
+  fact joins, dim broadcasts, decimal-exact revenue.
+- q_evt_basket: market-basket co-occurrence lift between event types,
+  all-integer lift_e4.
 
 WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
 correctness window. Round-6 rotation plan (supersedes the one in
-plans/streams.py, keeping the 50-slot sum exact): corpus(7) +
+plans/streams.py, keeping the 50-slot sum exact): corpus(10) +
 streams(4) + events(8) + udf(4) + lakehouse(4) + windows(9) +
-relational(9) + scalars(first 5) = 50. Do NOT add further
+relational(9) + scalars(first 2) = 50. Do NOT add further
 out-of-window queries without extending this plan.
 
 Reference analog: the reference demo ships no corpus tooling (it is a
@@ -39,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import mround
+from ..functions.vector import dsum, mround, sql_dsum
 from ..sources.loader import load_table
 from .registry import register
 
@@ -557,5 +562,198 @@ def q_evt_anomaly(spark, sf_dir):
             "event_id",
             "user_id",
             F.when(hi, F.lit("hi")).otherwise(F.lit("lo")).alias("side"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_tpch_q3 / q_tpch_q5 — the classic multi-join OLAP shapes
+
+
+@register(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")},
+           CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-30'
+      AND l_shipdate > TIMESTAMP '1997-06-30'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority) adapted to this schema: top-10
+    unshipped BUILDING-segment orders by revenue as of a cutoff date —
+    the canonical selective fact⋈fact⋈dim join + aggregate + top-k.
+
+    Plan shape the 100 TB deploy wants, and gets: both date predicates
+    push down to the parquet scans (orders and lineitem each
+    pre-filtered before the join), customer (dim, further thinned by
+    the segment filter) broadcasts, the orders⋈lineitem fact join
+    shuffles on the shared orderkey, revenue aggregates through the
+    exact-decimal dsum, and the top-10 is TakeOrderedAndProject on the
+    (bit-identical, tie-broken by l_orderkey) rounded revenue — never
+    a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1997-06-30"
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1997-06-30"
+    )
+    j = (
+        F.broadcast(c)
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = j.groupBy(
+        "l_orderkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        "o_orderpriority",
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    return agg.select(
+        "l_orderkey", "revenue", "odate", "o_orderpriority"
+    ).orderBy(F.desc("revenue"), "l_orderkey").limit(10)
+
+
+@register(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume) adapted to this schema: the
+    six-table join chain (customer⋈orders⋈lineitem⋈supplier⋈nation⋈
+    region) with the local-supplier constraint c_nationkey =
+    s_nationkey, grouped per nation — the widest join tree in the
+    registry and the classic test of join ORDERING.
+
+    At 100 TB: region/nation/supplier are dims (broadcast — supplier
+    explicitly, the two tiny ones Catalyst broadcasts on its own);
+    the o_orderdate year predicate pushes to the orders scan so the
+    fact⋈fact shuffle carries one year, not seven; the only
+    shuffle-partitioned joins are orders⋈customer (custkey) and
+    lineitem⋈orders (orderkey) — exactly the two whose inputs are
+    big. Revenue goes through the exact-decimal dsum.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    j = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_evt_basket
+
+
+@register(
+    "q_evt_basket",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ), pairs AS (
+        SELECT a.event_type AS t1, b.event_type AS t2,
+               COUNT(*) AS n_ab
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+                           AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    ), singles AS (
+        SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+    ), tot AS (
+        SELECT COUNT(DISTINCT user_id) AS u FROM ut
+    )
+    SELECT t1, t2, n_ab, s1.n AS n_1, s2.n AS n_2,
+           CAST((2 * 10000 * n_ab * u + s1.n * s2.n)
+                // (2 * s1.n * s2.n) AS BIGINT) AS lift_e4
+    FROM pairs
+    JOIN singles s1 ON s1.event_type = t1
+    JOIN singles s2 ON s2.event_type = t2
+    CROSS JOIN tot
+    """,
+)
+def q_evt_basket(spark, sf_dir):
+    """Market-basket co-occurrence lift between event types:
+    lift(a,b) = P(a,b) / (P(a)·P(b)) over per-user presence sets —
+    the association-rule statistic behind recommendation and
+    feature-crossing pipelines. Emitted as the half-up scaled BIGINT
+    lift_e4 = (2·10⁴·n_ab·U + n_a·n_b) div (2·n_a·n_b): counts and
+    division stay integer end-to-end (the q_text_quality lesson).
+
+    Shape at 100 TB: the per-user presence set is one distinct on
+    (user, type); the pair generation self-joins ON user_id — each
+    user contributes at most |types|² pairs and |types| is a small
+    enum, so the join output is ≤ U·|types|²/2 rows, aggregated with
+    map-side combine down to |types|²/2. The singles/total tables are
+    |types|- and 1-row — broadcast. Nothing depends on event volume
+    beyond the first distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("t1"))
+    b = ut.select("user_id", F.col("event_type").alias("t2"))
+    pairs = (
+        a.join(b, ["user_id"])
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = ut.agg(F.countDistinct("user_id").alias("u"))
+    return (
+        pairs.join(
+            F.broadcast(singles.select(F.col("event_type").alias("t1"),
+                                       F.col("n").alias("n_1"))), "t1"
+        )
+        .join(
+            F.broadcast(singles.select(F.col("event_type").alias("t2"),
+                                       F.col("n").alias("n_2"))), "t2"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1", "t2", "n_ab", "n_1", "n_2",
+            F.expr(
+                "CAST((2 * 10000 * n_ab * u + n_1 * n_2)"
+                " DIV (2 * n_1 * n_2) AS BIGINT)"
+            ).alias("lift_e4"),
         )
     )

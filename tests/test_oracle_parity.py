@@ -97,11 +97,13 @@ def test_contract_is_complete(registry):
     q_emb_quantize (int8 scalar quantization), q_zorder_cluster
     (Morton clustering key), q_graph_pagerank (two unrolled PageRank
     iterations, full-value parity), q_evt_markov (all-integer
-    Markov transition matrix), and q_evt_anomaly (3-sigma outliers,
-    integer output): 137 = 133 hash + 4 rows-only."""
+    Markov transition matrix), q_evt_anomaly (3-sigma outliers,
+    integer output), q_tpch_q3/q_tpch_q5 (the classic selective and
+    six-table TPC-H join trees), and q_evt_basket (co-occurrence
+    lift, integer lift_e4): 140 = 136 hash + 4 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 137, sorted(queries)
-    assert len(oracles) == 133
+    assert len(queries) == 140, sorted(queries)
+    assert len(oracles) == 136
     # Exactly the four contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",

@@ -367,3 +367,23 @@ def test_pagerank_no_cartesian_constant_shape(plans):
     p = plans("q_graph_pagerank")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "HashAggregate" in p
+
+
+def test_tpch_q5_dims_broadcast_facts_shuffle(plans):
+    # the six-table chain: region/nation/supplier come in as broadcast
+    # hash joins; only the two genuinely-big joins may shuffle; and the
+    # year predicate must reach the orders scan as a pushed filter
+    p = plans("q_tpch_q5")
+    assert p.count("BroadcastHashJoin") >= 3, p.count("BroadcastHashJoin")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "o_orderdate" in p.split("PushedFilters")[1][:300] or \
+        "PushedFilters: [IsNotNull(o_orderdate)" in p
+
+
+def test_tpch_q3_predicates_push_to_both_fact_scans(plans):
+    p = plans("q_tpch_q3")
+    assert "TakeOrderedAndProject" in p
+    # both date predicates pushed into their scans
+    seg = [s[:400] for s in p.split("PushedFilters")[1:]]
+    assert any("o_orderdate" in x for x in seg), seg
+    assert any("l_shipdate" in x for x in seg), seg
