@@ -1,7 +1,7 @@
 """Round-5 corpus-statistics + storage-layout operators.
 
-Ten more training-data-pipeline / OLAP primitives over the documents /
-embeddings / events / TPC-H tables, all hash-tier:
+Eleven more training-data-pipeline / OLAP primitives over the
+documents / embeddings / events / TPC-H tables, all hash-tier:
 
 - q_text_heavy_hitters: corpus-level frequent-token top-k — the
   vocabulary head every tokenizer/quality pipeline starts from.
@@ -25,12 +25,14 @@ embeddings / events / TPC-H tables, all hash-tier:
   fact joins, dim broadcasts, decimal-exact revenue.
 - q_evt_basket: market-basket co-occurrence lift between event types,
   all-integer lift_e4.
+- q_profile_table: per-column null/distinct/min-max profiling (the
+  deequ/dbt-test class) in one multi-distinct scan.
 
 WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
 correctness window. Round-6 rotation plan (supersedes the one in
-plans/streams.py, keeping the 50-slot sum exact): corpus(10) +
+plans/streams.py, keeping the 50-slot sum exact): corpus(11) +
 streams(4) + events(8) + udf(4) + lakehouse(4) + windows(9) +
-relational(9) + scalars(first 2) = 50. Do NOT add further
+relational(9) + scalars(first 1) = 50. Do NOT add further
 out-of-window queries without extending this plan.
 
 Reference analog: the reference demo ships no corpus tooling (it is a
@@ -755,5 +757,98 @@ def q_evt_basket(spark, sf_dir):
                 "CAST((2 * 10000 * n_ab * u + n_1 * n_2)"
                 " DIV (2 * n_1 * n_2) AS BIGINT)"
             ).alias("lift_e4"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_profile_table
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n,
+           COUNT(*) - COUNT(o_orderkey) AS n_null,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           MIN(o_orderkey) AS min_i, MAX(o_orderkey) AS max_i
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey), MIN(o_custkey), MAX(o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), NULL, NULL
+    FROM orders
+    """,
+)
+def q_profile_table(spark, sf_dir):
+    """Column profiling of the orders table (the deequ/dbt-test class
+    of operator): per-column row count, null count, distinct count,
+    and — for integer key columns — min/max. The first thing a
+    pipeline runs on a new 100 TB drop to catch schema rot, null
+    storms, and key-range anomalies before training ever starts.
+
+    Emitted long-format (one row per column). min/max are reported
+    only for BIGINT columns: min/max of a double would have to be
+    stringified to share a column with other types, and double→string
+    formatting is engine-specific (Spark '1.0E4' vs DuckDB '10000.0')
+    — the one cross-engine surface this profile deliberately refuses
+    to emit. Distinct counts are exact here; at 100 TB swap in
+    approx_count_distinct per column (the q_agg_approx_cd pattern) to
+    keep the profile one cheap pass.
+
+    Shape: ONE scan; Spark compiles the multi-distinct aggregate via
+    Expand (one shuffle, counted in tests/test_plans.py for
+    q_agg_multi_distinct); the long format is a literal 5-way stack
+    of the single aggregate row — no per-column rescans (contrast the
+    oracle, which DuckDB is free to write as 5 scans of a tiny
+    table)."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            x
+            for c in [
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderpriority",
+            ]
+            for x in (
+                F.count(F.col(c)).alias(f"cnt_{c}"),
+                F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+            )
+        ],
+        F.min("o_orderkey").alias("min_o_orderkey"),
+        F.max("o_orderkey").alias("max_o_orderkey"),
+        F.min("o_custkey").alias("min_o_custkey"),
+        F.max("o_custkey").alias("max_o_custkey"),
+    )
+    return agg.select(
+        F.expr(
+            """stack(5,
+            'o_orderkey', n, n - cnt_o_orderkey, nd_o_orderkey,
+                min_o_orderkey, max_o_orderkey,
+            'o_custkey', n, n - cnt_o_custkey, nd_o_custkey,
+                min_o_custkey, max_o_custkey,
+            'o_orderstatus', n, n - cnt_o_orderstatus, nd_o_orderstatus,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+            'o_totalprice', n, n - cnt_o_totalprice, nd_o_totalprice,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+            'o_orderpriority', n, n - cnt_o_orderpriority,
+                nd_o_orderpriority,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+            ) AS (col, n, n_null, n_distinct, min_i, max_i)"""
         )
     )
