@@ -619,3 +619,36 @@ def test_stats_skip_non_json_native_types(spark):
     assert m["files"]
     for f in m["files"]:
         assert "k" in f["stats"] and "d" not in f["stats"]
+
+
+def test_batch_replay_is_exactly_once(spark):
+    """The at-least-once → exactly-once story of the streaming upsert
+    sink (q_stream_upsert): if a micro-batch is REPLAYED — foreachBatch
+    ran, the merge committed, but the checkpoint write failed so the
+    source redelivers the same batch — re-applying the identical merge
+    must leave the table's LOGICAL state unchanged (a new version
+    commits, but with identical rows), because the merge keys the
+    update on custkey rather than appending. Without this property a
+    retry double-applies."""
+    from pyspark.sql import functions as F
+
+    root = _seed_table(spark, SF_SMOKE)
+    src = _merge_source(spark, SF_SMOKE)
+    batch = src.where(F.pmod("custkey", F.lit(3)) == 1)
+
+    merge_cow(spark, root, batch, _merge_fn)
+    v1 = latest_version(root)
+    state1 = sorted(
+        (r.custkey, r.name, round(float(r.acctbal), 6), r.segment)
+        for r in read_table(spark, root).collect()
+    )
+
+    merge_cow(spark, root, batch, _merge_fn)  # the replay
+    v2 = latest_version(root)
+    state2 = sorted(
+        (r.custkey, r.name, round(float(r.acctbal), 6), r.segment)
+        for r in read_table(spark, root).collect()
+    )
+
+    assert v2 == v1 + 1  # versions stay linear (audit trail keeps both)
+    assert state1 == state2  # but the logical state is exactly-once
