@@ -1,6 +1,6 @@
 """Round-5 corpus-statistics + storage-layout operators.
 
-Eleven more training-data-pipeline / OLAP primitives over the
+Thirteen more training-data-pipeline / OLAP primitives over the
 documents / embeddings / events / TPC-H tables, all hash-tier:
 
 - q_text_heavy_hitters: corpus-level frequent-token top-k — the
@@ -27,12 +27,16 @@ documents / embeddings / events / TPC-H tables, all hash-tier:
   all-integer lift_e4.
 - q_profile_table: per-column null/distinct/min-max profiling (the
   deequ/dbt-test class) in one multi-distinct scan.
+- q_feat_snapshot: point-in-time feature assembly per customer as of
+  a cutoff — the feature-store leakage-safe snapshot.
+- q_neg_sample: deterministic (RNG-free) negative sampling for
+  contrastive/recommendation training — integer mixing + anti-join.
 
 WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
 correctness window. Round-6 rotation plan (supersedes the one in
-plans/streams.py, keeping the 50-slot sum exact): corpus(11) +
+plans/streams.py, keeping the 50-slot sum exact): corpus(13) +
 streams(4) + events(8) + udf(4) + lakehouse(4) + windows(9) +
-relational(9) + scalars(first 1) = 50. Do NOT add further
+relational(first 8) = 50 exactly. Do NOT add further
 out-of-window queries without extending this plan.
 
 Reference analog: the reference demo ships no corpus tooling (it is a
@@ -46,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import dsum, mround, sql_dsum
+from ..functions.vector import dsum, mround, sql_dsum, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 
@@ -851,4 +855,155 @@ def q_profile_table(spark, sf_dir):
                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
             ) AS (col, n, n_null, n_distinct, min_i, max_i)"""
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_feat_snapshot
+
+
+@register(
+    "q_feat_snapshot",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                   AS spend_raw,
+               MAX(CAST(o_orderdate AS DATE)) AS last_d
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_mktsegment AS segment,
+           COALESCE(n_orders, 0) AS n_orders,
+           {sql_mround('spend_raw')} AS spend,
+           date_diff('day', last_d, DATE '1999-01-01') AS recency_days
+    FROM customer LEFT JOIN o ON c_custkey = o_custkey
+    """,
+)
+def q_feat_snapshot(spark, sf_dir):
+    """Training-feature snapshot: per customer, the feature vector AS
+    OF a cutoff date (order count, exact-decimal spend, recency in
+    days, segment) — the point-in-time feature-assembly step of every
+    feature store, with the leakage rule enforced structurally: the
+    cutoff predicate is applied at the SCAN, so no post-cutoff fact
+    can reach any aggregate.
+
+    Customers with no pre-cutoff orders stay in the snapshot (LEFT
+    join; n_orders coalesced to 0, spend/recency NULL — NULL, not 0:
+    'never ordered' and 'ordered for free today' are different
+    training signals).
+
+    Shape at 100 TB: pushed date filter → one custkey hash-aggregate
+    (map-side combine) → equi-join with the dimension on the same
+    key. The fact shuffle carries one row per (partition × customer).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1999-01-01"
+    )
+    feats = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("spend_raw"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    return (
+        c.join(feats, c.c_custkey == feats.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            mround("spend_raw").alias("spend"),
+            F.datediff(F.lit("1999-01-01").cast("date"), "last_d").alias(
+                "recency_days"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_neg_sample
+
+
+@register(
+    "q_neg_sample",
+    oracle="""
+    WITH np AS (
+        SELECT COUNT(*) AS n_parts FROM part
+    ), cand AS (
+        SELECT c_custkey AS custkey, i.range AS i,
+               ((c_custkey % 100003) * 2654435761 + i.range * 40503)
+                   % n_parts AS item
+        FROM customer CROSS JOIN range(8) i CROSS JOIN np
+    ), dedup AS (
+        SELECT custkey, item, MIN(i) AS i_min
+        FROM cand GROUP BY custkey, item
+    ), pos AS (
+        SELECT DISTINCT o_custkey AS custkey, l_partkey AS item
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), neg AS (
+        SELECT d.custkey, d.item, d.i_min
+        FROM dedup d ANTI JOIN pos p
+          ON d.custkey = p.custkey AND d.item = p.item
+    )
+    SELECT custkey, item,
+           CAST(ROW_NUMBER() OVER (PARTITION BY custkey
+                                   ORDER BY i_min, item) AS INT) AS rank
+    FROM neg
+    QUALIFY rank <= 4
+    """,
+)
+def q_neg_sample(spark, sf_dir):
+    """Deterministic negative sampling for recommendation training:
+    for each customer, up to 4 parts they have NEVER bought, drawn by
+    a fixed integer mixing function rather than a RNG — the standard
+    contrastive-pairs generator, made reproducible (same seed
+    constants → same negatives on every engine and every run, which
+    is what makes the train set auditable).
+
+    Candidates: item = ((custkey % 100003)·2654435761 + i·40503) mod
+    |parts| for i in 0..7 — pure positive-integer arithmetic, no
+    overflow (< 2^48), identical % semantics on both engines, no
+    float or RNG surface. Collisions dedup to MIN(i); the positives
+    anti-join removes real purchases; per-customer rank keeps the
+    first 4 by (i_min, item).
+
+    Shape at 100 TB: candidate generation is a constant 8× explode of
+    the customer dim; positives are one distinct over the fact join;
+    the anti-join hashes on (custkey, item) — uniform by construction
+    because the mixing function spreads items. The per-customer
+    window partitions on the high-cardinality custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    np_ = p.agg(F.count(F.lit(1)).alias("n_parts"))
+    cand = (
+        c.select(F.col("c_custkey").alias("custkey"))
+        .select("custkey", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "custkey",
+            "i",
+            F.expr(
+                "((custkey % 100003) * 2654435761 + i * 40503) % n_parts"
+            ).alias("item"),
+        )
+    )
+    dedup = cand.groupBy("custkey", "item").agg(F.min("i").alias("i_min"))
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("custkey"),
+                F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    neg = dedup.join(pos, ["custkey", "item"], "left_anti")
+    w = W.partitionBy("custkey").orderBy("i_min", "item")
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 4)
+        .select("custkey", "item", F.col("rank").cast("int").alias("rank"))
     )

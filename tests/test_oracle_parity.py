@@ -100,11 +100,13 @@ def test_contract_is_complete(registry):
     Markov transition matrix), q_evt_anomaly (3-sigma outliers,
     integer output), q_tpch_q3/q_tpch_q5 (the classic selective and
     six-table TPC-H join trees), q_evt_basket (co-occurrence
-    lift, integer lift_e4), and q_profile_table (per-column
-    null/distinct/min-max profiling): 141 = 137 hash + 4 rows-only."""
+    lift, integer lift_e4), q_profile_table (per-column
+    null/distinct/min-max profiling), q_feat_snapshot (point-in-time
+    feature assembly), and q_neg_sample (deterministic negative
+    sampling): 143 = 139 hash + 4 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 141, sorted(queries)
-    assert len(oracles) == 137
+    assert len(queries) == 143, sorted(queries)
+    assert len(oracles) == 139
     # Exactly the four contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
