@@ -34,6 +34,16 @@ CANDIDATES = [
     "q_sample_stratified",
     "q_evt_funnel",
     "q_text_tfidf",
+    # round-5 additions with nondeterminism potential: top-k over a
+    # tied vocabulary, collect_list ordering (array_sort is the
+    # guard), localCheckpointed iteration, anti-join + rank window,
+    # a float threshold deciding a filter boundary
+    "q_text_heavy_hitters",
+    "q_emb_quantize",
+    "q_graph_pagerank",
+    "q_neg_sample",
+    "q_tpch_q3",
+    "q_evt_anomaly",
 ]
 
 
@@ -60,6 +70,9 @@ PARTITION_SENSITIVE = [
     "q_dedup_lsh",
     "q_text_tfidf",
     "q_udaf_pandas",
+    # round-5: decimal rank sums across 2 iterations; threshold filter
+    "q_graph_pagerank",
+    "q_evt_anomaly",
 ]
 
 
