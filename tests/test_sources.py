@@ -93,3 +93,35 @@ def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert len(bad) == 2, rows
     assert any("not json" in r._corrupt_record for r in bad)
+
+
+def test_gzip_jsonl_ingest(spark, tmp_path):
+    """Training corpora commonly arrive as *.jsonl.gz shards; Spark
+    must ingest them transparently (codec from the extension) and the
+    result must equal the uncompressed read. Note the 100 TB caveat
+    this test documents: gzip is NOT splittable, so one shard = one
+    task — shard the corpus into many files (as producers do) or
+    recompress to a splittable layout before heavy processing."""
+    import gzip
+    import json
+
+    rows = [
+        {"doc_id": i, "text": f"tok{i} shared text", "n": i * 3}
+        for i in range(200)
+    ]
+    d = tmp_path / "jl"
+    d.mkdir()
+    # two shards, one plain + one gzipped, same schema
+    with open(d / "a.jsonl", "w") as f:
+        for r in rows[:100]:
+            f.write(json.dumps(r) + "\n")
+    with gzip.open(d / "b.jsonl.gz", "wt") as f:
+        for r in rows[100:]:
+            f.write(json.dumps(r) + "\n")
+
+    df = spark.read.schema("doc_id bigint, text string, n bigint").json(
+        str(d)
+    )
+    got = sorted((r.doc_id, r.text, r.n) for r in df.collect())
+    want = sorted((r["doc_id"], r["text"], r["n"]) for r in rows)
+    assert got == want
