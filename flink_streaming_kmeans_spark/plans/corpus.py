@@ -732,7 +732,15 @@ def q_evt_basket(spark, sf_dir):
     enum, so the join output is ≤ U·|types|²/2 rows, aggregated with
     map-side combine down to |types|²/2. The singles/total tables are
     |types|- and 1-row — broadcast. Nothing depends on event volume
-    beyond the first distinct."""
+    beyond the first distinct.
+
+    Integer envelope (cf. q_neg_sample's documented bound): the
+    numerator 2·10⁴·n_ab·U stays inside BIGINT while n_ab·U <
+    4.6·10¹⁴ — worst case (n_ab = U) that means U ≤ ~2·10⁷ distinct
+    users. Beyond that, pre-scale the counts (e.g. thousands) or move
+    the ratio into DECIMAL(38,0); under ANSI mode the overflow raises
+    rather than silently wrapping, so the bound is enforced, not
+    assumed."""
     ev = load_table(spark, sf_dir, "events")
     ut = ev.select("user_id", "event_type").distinct()
     a = ut.select("user_id", F.col("event_type").alias("t1"))

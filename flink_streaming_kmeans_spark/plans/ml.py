@@ -16,8 +16,8 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import mround, sql_davg, sql_mround
 from ..operators.kmeans import assign, init_centroids, lloyd_iterate, update
-from ..session import scoped_shuffle_partitions
 from ..sources.loader import _tmp_out, fan_out, load_table
+from ..sources.replay import batch_input_dir, run_available_now
 from .registry import register
 
 # Shared oracle CTE: one Lloyd assignment step in DuckDB. The dot
@@ -121,7 +121,6 @@ def q_kmeans_stream(spark, sf_dir):
     parity and checkpoint-restart are asserted in tests/test_streaming.
     """
     import os
-    import shutil
 
     import numpy as np
 
@@ -134,36 +133,19 @@ def q_kmeans_stream(spark, sf_dir):
     )
 
     d = _tmp_out("kstream", sf_dir)
-    os.makedirs(os.path.join(d, "in"), exist_ok=True)
-    for b in range(5):
-        stage = os.path.join(d, f"stage{b}")
-        e.where(F.pmod("vec_id", F.lit(5)) == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        src = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
-        shutil.copy(os.path.join(stage, src), dst)
-        # Monotone mtimes pin the FileStreamSource delivery order.
-        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    in_dir = batch_input_dir(
+        e.withColumn("bno", F.pmod("vec_id", F.lit(5))), d, range(5)
+    )
 
-    # Bounded evidence drive on a fresh checkpoint: scope the state
-    # partition count down (session.scoped_shuffle_partitions — sizing
-    # note + measurement there).
-    with scoped_shuffle_partitions(spark, 4):
-        q = (
-            spark.readStream.schema(e.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(os.path.join(d, "in"))
-            .writeStream.foreachBatch(skm.foreach_batch())
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            # Timed-out query: stop and FAIL rather than silently emitting
-            # partial centroid state (r4 ADVICE: the ignored boolean).
-            q.stop()
-            raise RuntimeError("q_kmeans_stream: streaming query exceeded 300 s")
+    run_available_now(
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .writeStream.foreachBatch(skm.foreach_batch())
+        .option("checkpointLocation", os.path.join(d, "ckpt")),
+        "q_kmeans_stream",
+        spark,
+    )
 
     rows = [
         (int(c), int(n), float(np.linalg.norm(C_row)))

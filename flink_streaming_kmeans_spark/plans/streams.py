@@ -31,59 +31,24 @@ q_stream_tumble lesson (r4 ADVICE).
 from __future__ import annotations
 
 import os
-import shutil
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import mround, sql_mround
-from ..session import scoped_shuffle_partitions
 from ..sources.loader import _tmp_out, load_table
+from ..sources.replay import batch_input_dir, run_available_now, time_batch_col
 from .registry import register
 
 
 def _write_time_batches(df, d, n_batches, order_cols=("ts", "event_id")):
-    """Split df into n_batches CONTIGUOUS ranges of order_cols order and
-    write them as one parquet file each under d/in, batch order pinned
-    by monotone mtimes. Returns the input dir path."""
-    batched = df.withColumn(
-        "bno", F.ntile(n_batches).over(W.orderBy(*[F.col(c) for c in order_cols])) - 1
+    """Contiguous-time micro-batch files (sources/replay.py — single
+    partitionBy pass, monotone mtimes)."""
+    return batch_input_dir(
+        time_batch_col(df, n_batches, order_cols), d, range(n_batches)
     )
-    os.makedirs(os.path.join(d, "in"), exist_ok=True)
-    for b in range(n_batches):
-        stage = os.path.join(d, f"stage{b}")
-        batched.where(F.col("bno") == b).drop("bno").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        src = next(
-            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
-        )
-        dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
-        shutil.copy(os.path.join(stage, src), dst)
-        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
-    return os.path.join(d, "in")
 
 
-def _run_available_now(writer, name: str, spark=None):
-    """Start an availableNow streaming query and fail loudly on
-    timeout instead of returning partial state (r4 ADVICE).
-
-    When ``spark`` is given, the query starts (and thus creates its
-    state-store layout) under a scoped shuffle-partition count sized
-    for these bounded evidence drives — see
-    session.scoped_shuffle_partitions for the measurement and the
-    production-sizing note."""
-    if spark is not None:
-        with scoped_shuffle_partitions(spark, 4):
-            q = writer.trigger(availableNow=True).start()
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError(f"{name}: streaming query exceeded 300 s")
-        return
-    q = writer.trigger(availableNow=True).start()
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError(f"{name}: streaming query exceeded 300 s")
+_run_available_now = run_available_now
 
 
 @register(
@@ -113,11 +78,18 @@ def q_stream_dedup(spark, sf_dir):
     d = _tmp_out("stream_dedup", sf_dir)
     in_dir = _write_time_batches(ev.unionAll(dups), d, 3)
 
-    out: dict = {}
+    # The sink must preserve MULTIPLICITY: if the stateful dedup ever
+    # emitted both copies of a duplicate, collapsing them driver-side
+    # (e.g. keying a dict by event_id) would make this evidence
+    # vacuous — the extra emission has to surface as an extra row and
+    # fail the row-count/hash compare.
+    out: list = []
 
     def sink(batch_df, _bid):
-        for r in batch_df.collect():
-            out[int(r.event_id)] = (r.ts, float(r.value))
+        out.extend(
+            (int(r.event_id), r.ts, float(r.value))
+            for r in batch_df.collect()
+        )
 
     deduped = (
         spark.readStream.schema(ev.schema)
@@ -134,9 +106,8 @@ def q_stream_dedup(spark, sf_dir):
         spark,
     )
 
-    rows = [(k, t, v) for k, (t, v) in sorted(out.items())]
     res = spark.createDataFrame(
-        rows, "event_id bigint, ts timestamp, value double"
+        sorted(out), "event_id bigint, ts timestamp, value double"
     )
     return res.select(
         "event_id",
@@ -263,7 +234,7 @@ def q_stream_join(spark, sf_dir):
 )
 def q_stream_upsert(spark, sf_dir):
     """Streaming CDC upsert sink: the merge source replayed as 3
-    micro-batches of DISJOINT keys (custkey mod 3), each foreachBatch
+    micro-batches of DISJOINT custkey ranges, each foreachBatch
     committing one copy-on-write MERGE snapshot on the manifest
     lakehouse (operators/lakehouse.merge_cow — Delta's streaming MERGE
     pattern on our format). Because the key sets are disjoint, the
@@ -284,29 +255,25 @@ def q_stream_upsert(spark, sf_dir):
     src = _merge_source(spark, sf_dir)
 
     d = _tmp_out("stream_upsert", sf_dir)
-    os.makedirs(os.path.join(d, "in"), exist_ok=True)
-    for b in range(3):
-        stage = os.path.join(d, f"stage{b}")
-        src.where(F.pmod("custkey", F.lit(3)) == b).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        f = next(
-            x for x in sorted(os.listdir(stage)) if x.endswith(".parquet")
-        )
-        dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
-        shutil.copy(os.path.join(stage, f), dst)
-        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    # 3 batches of DISJOINT, contiguous custkey ranges (the merge
+    # source's key-shift means custkey % 3 == 0 never occurs — a mod
+    # split would make batch 0 empty).
+    in_dir = batch_input_dir(
+        time_batch_col(src, 3, order_cols=("custkey",)), d, range(3)
+    )
 
     from ..operators.lakehouse import merge_cow, read_table
 
     def fb(batch_df, _bid):
-        if batch_df.count() > 0:
+        # isEmpty short-circuits at the first row; a count() here
+        # would run a full aggregation job per trigger.
+        if not batch_df.isEmpty():
             merge_cow(spark, root, batch_df, _merge_fn)
 
     _run_available_now(
         spark.readStream.schema(src.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(d, "in"))
+        .parquet(in_dir)
         .writeStream.foreachBatch(fb)
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_stream_upsert",
@@ -351,24 +318,17 @@ def q_kmeans_stream_reassign(spark, sf_dir):
     )
 
     d = _tmp_out("kstream_reassign", sf_dir)
-    os.makedirs(os.path.join(d, "in"), exist_ok=True)
     # 5 primary batches (vec_id mod 5) + re-delivery of batches 0-1.
-    for b in range(7):
-        stage = os.path.join(d, f"stage{b}")
-        e.where(F.pmod("vec_id", F.lit(5)) == b % 5).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        src = next(
-            f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
-        )
-        dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
-        shutil.copy(os.path.join(stage, src), dst)
-        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    in_dir = batch_input_dir(
+        e.withColumn("bno", F.pmod("vec_id", F.lit(5))),
+        d,
+        [0, 1, 2, 3, 4, 0, 1],
+    )
 
     _run_available_now(
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(d, "in"))
+        .parquet(in_dir)
         .writeStream.foreachBatch(skm.foreach_batch())
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_kmeans_stream_reassign",

@@ -21,8 +21,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import davg, dsum, mround, sql_davg, sql_dsum, sql_mround
-from ..session import scoped_shuffle_partitions
 from ..sources.loader import _tmp_out, fan_out, load_table
+from ..sources.replay import batch_input_dir, run_available_now, time_batch_col
 from .registry import register
 
 # 60-bit md5 prefix as BIGINT — same primitive as textops._SPARK_H60.
@@ -305,25 +305,12 @@ def q_stream_tumble(spark, sf_dir):
     production shape for continuous rollups. (The ntile split is
     drive-side scaffolding, not the operator.)"""
     import os
-    import shutil
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "value"
     )
-    batched = ev.withColumn(
-        "bno", F.ntile(3).over(W.orderBy("ts", "event_id")) - 1
-    )
     d = _tmp_out("stream_tumble", sf_dir)
-    os.makedirs(os.path.join(d, "in"), exist_ok=True)
-    for b in range(3):
-        stage = os.path.join(d, f"stage{b}")
-        batched.where(F.col("bno") == b).select(
-            "event_id", "ts", "value"
-        ).coalesce(1).write.mode("overwrite").parquet(stage)
-        src = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
-        shutil.copy(os.path.join(stage, src), dst)
-        os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
+    in_dir = batch_input_dir(time_batch_col(ev, 3), d, range(3))
 
     # Update-mode sink: keep the latest emitted row per window; the
     # final dict IS the aggregate state at stream end.
@@ -336,7 +323,7 @@ def q_stream_tumble(spark, sf_dir):
     agg = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(d, "in"))
+        .parquet(in_dir)
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
@@ -347,24 +334,13 @@ def q_stream_tumble(spark, sf_dir):
         )
         .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
     )
-    # Bounded evidence drive on a fresh checkpoint: scope the state
-    # partition count down (session.scoped_shuffle_partitions).
-    with scoped_shuffle_partitions(spark, 4):
-        q = (
-            agg.writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            # Timed-out query: stop it and FAIL — silently returning the
-            # partial streaming state as the result would be a wrong
-            # answer (r4 ADVICE: the ignored boolean return).
-            q.stop()
-            raise RuntimeError(
-                "q_stream_tumble: streaming query exceeded 300 s"
-            )
+    run_available_now(
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(d, "ckpt")),
+        "q_stream_tumble",
+        spark,
+    )
 
     rows = [
         (w, int(n), float(s)) for w, (n, s) in sorted(state.items())

@@ -131,7 +131,20 @@ class StreamingKMeans:
             self.n = d["n"]
             # Older state files predate (S, assignment) persistence.
             self.S = d["S"] if "S" in d.files else self.C * self.n[:, None]
-            if "track" in d.files and bool(d["track"][0]):
+            # The state file's tracking mode must MATCH the instance's:
+            # restoring tracked mass (n/S include every distinct point)
+            # without the assignment map would double-count every
+            # re-arrival, and restoring untracked state into a tracking
+            # instance silently flips the arithmetic. Fail loudly.
+            file_track = "track" in d.files and bool(d["track"][0])
+            if file_track != (self.assign_of is not None):
+                raise ValueError(
+                    f"state file track_assignments={file_track} does not"
+                    f" match instance track_assignments="
+                    f"{self.assign_of is not None} — refusing to resume"
+                    " with inconsistent mass accounting"
+                )
+            if file_track:
                 self.assign_of = dict(
                     zip(
                         (int(i) for i in d["assign_ids"]),
@@ -179,16 +192,18 @@ class StreamingKMeans:
                 assign_bc.unpersist()
             if not rows:
                 return
-            moved = False
+            # kind=1 rows arrive for EVERY processed point (not just
+            # cluster flips) — this flag is only an empty-batch guard.
+            saw_points = False
             for r in rows:
                 if r.kind == 0:
                     j = pos[int(r.cid)]
                     sums[j] += np.array(r.psum)
                     counts[j] += int(r.n)
                 else:
-                    moved = True
+                    saw_points = True
                     self.assign_of[int(r.vec_id)] = int(r.cid)
-            if not moved:
+            if not saw_points:
                 return
         self.S += sums
         self.n += counts

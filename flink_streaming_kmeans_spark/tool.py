@@ -177,34 +177,24 @@ def _run_streaming(spark, pts, args, init):
             track_assignments=args.reassign,
         )
 
+    from .sources.replay import batch_input_dir, run_available_now
+
     d = tempfile.mkdtemp(prefix="fsk_tool_stream_")
     try:
-        os.makedirs(os.path.join(d, "in"), exist_ok=True)
         n_b = max(1, args.stream_batches)
-        for b in range(n_b):
-            stage = os.path.join(d, f"stage{b}")
-            pts.where(F.pmod("vec_id", F.lit(n_b)) == b).coalesce(
-                1
-            ).write.mode("overwrite").parquet(stage)
-            src = next(
-                f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
-            )
-            dst = os.path.join(d, "in", f"batch-{b:05d}.parquet")
-            shutil.copy(os.path.join(stage, src), dst)
-            os.utime(dst, (1_000_000_000 + b, 1_000_000_000 + b))
-
-        q = (
+        in_dir = batch_input_dir(
+            pts.withColumn("bno", F.pmod("vec_id", F.lit(n_b))), d, range(n_b)
+        )
+        run_available_now(
             spark.readStream.schema(pts.schema)
             .option("maxFilesPerTrigger", "1")
-            .parquet(os.path.join(d, "in"))
+            .parquet(in_dir)
             .writeStream.foreachBatch(skm.foreach_batch())
-            .option("checkpointLocation", os.path.join(d, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
+            .option("checkpointLocation", os.path.join(d, "ckpt")),
+            "--stream",
+            spark,
+            timeout=600,
         )
-        if not q.awaitTermination(600):
-            q.stop()
-            raise SystemExit("--stream: streaming query exceeded 600 s")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
