@@ -1,0 +1,103 @@
+"""Micro-batch replay scaffolding for the streaming evidence drives.
+
+Every streaming drive (plans/streams.py, plans/ml.py q_kmeans_stream,
+plans/training.py q_stream_tumble, tool.py --stream) replays a bounded
+table as a sequence of parquet files consumed by a FileStreamSource
+with maxFilesPerTrigger=1. Two invariants make that a faithful drive:
+
+- one FILE per logical batch, so each trigger is exactly one batch;
+- monotone mtimes in delivery order, which pins the FileStreamSource
+  processing order (it sorts by modification time).
+
+This module is the single implementation of that scaffolding (it was
+once copy-pasted per drive) plus the shared availableNow runner with
+the fail-loudly timeout (r4 ADVICE: an ignored awaitTermination
+boolean silently returns partial state) and the scoped state-partition
+sizing (session.scoped_shuffle_partitions).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..session import scoped_shuffle_partitions
+
+
+def time_batch_col(
+    df: DataFrame, n_batches: int, order_cols: Sequence[str] = ("ts", "event_id")
+) -> DataFrame:
+    """Add a ``bno`` column splitting df into n_batches CONTIGUOUS
+    ranges of order_cols order — so event-time watermarks advance
+    monotonically across batches and never late-drop (the
+    q_stream_tumble lesson, r4 ADVICE). Drive-side scaffolding: the
+    single-partition ntile sort is over the bounded evidence table,
+    not a production path."""
+    return df.withColumn(
+        "bno",
+        F.ntile(n_batches).over(W.orderBy(*[F.col(c) for c in order_cols])) - 1,
+    )
+
+
+def batch_input_dir(
+    df: DataFrame, d: str, sequence: Sequence[int], bno_col: str = "bno"
+) -> str:
+    """Write one parquet file per entry of ``sequence`` under d/in.
+
+    ``df`` carries an integer batch-number column ``bno_col``; each
+    sequence entry names the batch whose rows that file holds, and a
+    REPEATED entry re-delivers the same batch (the at-least-once
+    replay the reassignment drive exercises). The write is a single
+    partitionBy pass (the per-batch filter-and-write loop this
+    replaces re-sorted the input once per batch); partitionBy drops
+    bno_col from the data files, so the file schema equals
+    df-minus-bno. Batch order is pinned by monotone mtimes. A batch
+    named in ``sequence`` but holding no rows is an error — silently
+    skipping a file would shift every later trigger.
+    """
+    staged = os.path.join(d, "staged")
+    df.coalesce(1).write.mode("overwrite").partitionBy(bno_col).parquet(staged)
+    in_dir = os.path.join(d, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for k, b in enumerate(sequence):
+        pdir = os.path.join(staged, f"{bno_col}={b}")
+        if not os.path.isdir(pdir):
+            raise ValueError(f"batch {b} of {bno_col} produced no rows")
+        src = next(
+            f for f in sorted(os.listdir(pdir)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"batch-{k:05d}.parquet")
+        shutil.copy(os.path.join(pdir, src), dst)
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    return in_dir
+
+
+def run_available_now(
+    writer, name: str, spark=None, partitions: int = 4, timeout: int = 300
+):
+    """Start an availableNow streaming query and fail loudly on
+    timeout instead of returning partial state.
+
+    When ``spark`` is given, the query starts (creating its
+    state-store layout) under a scoped shuffle-partition count sized
+    for these bounded drives — see session.scoped_shuffle_partitions
+    for the measurement and the production-sizing note."""
+    import contextlib
+
+    scope = (
+        scoped_shuffle_partitions(spark, partitions)
+        if spark is not None
+        else contextlib.nullcontext()
+    )
+    with scope:
+        q = writer.trigger(availableNow=True).start()
+        if not q.awaitTermination(timeout):
+            q.stop()
+            raise RuntimeError(
+                f"{name}: streaming query exceeded {timeout} s"
+            )
