@@ -35,8 +35,8 @@ documents / embeddings / events / TPC-H tables, all hash-tier:
 WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
 correctness window. Round-6 rotation plan (supersedes the one in
 plans/streams.py, keeping the 50-slot sum exact): corpus(13) +
-streams(4) + events(8) + udf(4) + lakehouse(4) + windows(9) +
-relational(first 8) = 50 exactly. Do NOT add further
+streams(5) + events(8) + udf(4) + lakehouse(4) + windows(9) +
+relational(first 7) = 50 exactly. Do NOT add further
 out-of-window queries without extending this plan.
 
 Reference analog: the reference demo ships no corpus tooling (it is a

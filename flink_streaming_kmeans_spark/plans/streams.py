@@ -11,6 +11,8 @@ strongest oracle tier its state shape admits:
 
 - q_stream_dedup    (hash): stateful dropDuplicatesWithinWatermark
 - q_stream_join     (hash): stream-stream event-time interval join
+- q_stream_upsert   (hash): foreachBatch CDC merge into the lakehouse
+- q_stream_session  (hash): session-window sessionization, append mode
 - q_kmeans_stream_reassign (rows): online k-means under RE-DELIVERY,
   exercising the per-point remove/add arithmetic of the reference
   co-operator (streaming/kmeans.py track_assignments)
@@ -351,3 +353,99 @@ def q_kmeans_stream_reassign(spark, sf_dir):
         mround("centroid_norm").alias("centroid_norm"),
         "n_distinct_seen",
     ).orderBy("cluster_id")
+
+
+@register(
+    "q_stream_session",
+    # Oracle: identical to q_win_session's (plans/events.py) — the
+    # batch gaps-and-islands sessionization the streaming state must
+    # converge to.
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark, sf_dir):
+    """Stateful streaming SESSIONIZATION: the events table replayed as
+    3 contiguous-time micro-batches through a session_window (30 min
+    gap) aggregation in APPEND mode (Spark rejects update mode for
+    session windows); each session emits exactly once when the
+    watermark passes its end — so the collected append output per
+    (user, session_start) equals the batch gaps-and-islands
+    sessionization, q_win_session's FULL-VALUE hash oracle.
+
+    Flushing the tail: in append mode the LAST session of every user
+    would sit unfinalized at stream end (its end + gap is beyond the
+    final watermark). Two sentinel batches for a sentinel user
+    (user_id −1, far in the future) advance the watermark past every
+    real session and trigger the emission batch; the sentinel's own
+    (never-finalized) session is excluded by the sink filter. With
+    contiguous time-range batches sessions only extend forward, so
+    every real session emits exactly once — the sink asserts that.
+
+    Scale: session state is per (user, open session); the watermark
+    evicts closed sessions continuously — the standard continuous
+    sessionization shape. The batch twin q_win_session proves the
+    semantics; this drive proves the streaming EXECUTION matches it.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    top = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    sentinel = spark.createDataFrame(
+        [(-1, top, -1), (-1, top, -2)], ev.schema
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 DAYS"))
+    sent1 = sentinel.where(F.col("event_id") == -1)
+    sent2 = sentinel.where(F.col("event_id") == -2).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    batched = time_batch_col(ev, 3).unionByName(
+        sent1.withColumn("bno", F.lit(3))
+    ).unionByName(sent2.withColumn("bno", F.lit(4)))
+    d = _tmp_out("stream_session", sf_dir)
+    in_dir = batch_input_dir(batched, d, range(5))
+
+    state: dict = {}
+
+    def sink(batch_df, _bid):
+        for r in batch_df.collect():
+            if r.user_id < 0:
+                continue  # sentinel watermark-driver
+            key = (int(r.user_id), r.session_start)
+            # append emits each finalized session exactly once
+            assert key not in state, f"session re-emitted: {key}"
+            state[key] = int(r.n_events)
+
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    _run_available_now(
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt")),
+        "q_stream_session",
+        spark,
+    )
+
+    rows = [(u, t, n) for (u, t), n in sorted(state.items())]
+    return spark.createDataFrame(
+        rows, "user_id bigint, session_start timestamp, n_events bigint"
+    )

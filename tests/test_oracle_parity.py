@@ -102,11 +102,13 @@ def test_contract_is_complete(registry):
     six-table TPC-H join trees), q_evt_basket (co-occurrence
     lift, integer lift_e4), q_profile_table (per-column
     null/distinct/min-max profiling), q_feat_snapshot (point-in-time
-    feature assembly), and q_neg_sample (deterministic negative
-    sampling): 143 = 139 hash + 4 rows-only."""
+    feature assembly), q_neg_sample (deterministic negative
+    sampling), and q_stream_session (append-mode streaming
+    sessionization converging to the batch gaps-and-islands): 144 =
+    140 hash + 4 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 143, sorted(queries)
-    assert len(oracles) == 139
+    assert len(queries) == 144, sorted(queries)
+    assert len(oracles) == 140
     # Exactly the four contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
