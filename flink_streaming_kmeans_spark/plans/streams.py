@@ -24,10 +24,10 @@ plans/corpus.py (the later r5 additions extended it; the 50-slot sum
 stays exact there). Do NOT add further out-of-window queries without
 extending that plan.
 
-All three drives replay the events/embeddings tables as CONTIGUOUS
-TIME-RANGE micro-batch files (monotone mtimes pin FileStreamSource
-order) so watermarks advance monotonically and never late-drop — the
-q_stream_tumble lesson (r4 ADVICE).
+The event-time drives replay their tables as CONTIGUOUS TIME-RANGE
+micro-batch files (sources/replay.py; monotone mtimes pin
+FileStreamSource order) so watermarks advance monotonically and never
+late-drop — the q_stream_tumble lesson (r4 ADVICE).
 """
 
 from __future__ import annotations

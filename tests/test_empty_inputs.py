@@ -94,6 +94,9 @@ EMPTY_CHECKED = [
     "q_graph_pagerank",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_profile_table",
+    "q_feat_snapshot",  # LEFT join semantics with an empty fact side
+    "q_neg_sample",  # anti-join with empty positives keeps all candidates
 ]
 
 
