@@ -329,14 +329,16 @@ def q_zorder_cluster(spark, sf_dir):
         SELECT src, COUNT(*) AS d FROM edges GROUP BY src
     ), pr1 AS (
         SELECT e.dst AS node,
-               0.15 + 0.85 * CAST(SUM(CAST(1.0 / d AS DECIMAL(30,6)))
-                                  AS DOUBLE) AS pr
+               0.15 + 0.85 * (CAST(SUM(CAST(floor(1.0 / d * 1000000 + 0.5)
+                                            AS BIGINT)) AS DOUBLE)
+                              / 1000000) AS pr
         FROM edges e JOIN deg USING (src)
         GROUP BY e.dst
     ), pr2 AS (
         SELECT e.dst AS node,
-               0.15 + 0.85 * CAST(SUM(CAST(p.pr / g.d AS DECIMAL(30,6)))
-                                  AS DOUBLE) AS pr
+               0.15 + 0.85 * (CAST(SUM(CAST(floor(p.pr / g.d * 1000000 + 0.5)
+                                            AS BIGINT)) AS DOUBLE)
+                              / 1000000) AS pr
         FROM edges e
         JOIN deg g USING (src)
         JOIN pr1 p ON p.node = e.src
@@ -413,7 +415,14 @@ def q_graph_pagerank(spark, sf_dir):
             (
                 F.lit(0.15)
                 + F.lit(0.85)
-                * F.sum(F.col("x").cast("decimal(30,6)")).cast("double")
+                * (
+                    F.sum(
+                        F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast(
+                            "bigint"
+                        )
+                    ).cast("double")
+                    / F.lit(1000000)
+                )
             ).alias("pr")
         )
 
