@@ -38,16 +38,30 @@ def asof_join(
     key: str,
     on: str,
     payload: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join. ``payload`` = right columns to carry onto left
     rows. Left and right must both expose ``key`` and ``on`` columns;
-    payload column names must not collide with left's columns."""
+    payload column names must not collide with left's columns.
+
+    ``direction``: "backward" (default) matches the greatest
+    ``right.on <= left.on``; "forward" matches the smallest
+    ``right.on >= left.on`` (the "next scheduled event" lookup). The
+    forward case is the mirror image: left rows sort BEFORE right
+    rows at equal ``on`` (so an equal-timestamp right row is inside
+    the frame) and the fill is ``first(ignorenulls)`` over
+    current..unbounded-following. Cost is identical — the same ONE
+    |L|+|R| shuffle on the key."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    l_tag, r_tag = (1, 0) if direction == "backward" else (0, 1)
     lcols = left.columns
     r_packed = right.select(key, on, F.struct(*payload).alias("_p"))
     p_type = r_packed.schema["_p"].dataType
 
     l_tagged = (
-        left.withColumn("_p", F.lit(None).cast(p_type)).withColumn("_tag", F.lit(1))
+        left.withColumn("_p", F.lit(None).cast(p_type))
+        .withColumn("_tag", F.lit(l_tag))
     )
     r_tagged = r_packed.select(
         key,
@@ -58,20 +72,22 @@ def asof_join(
             if c not in (key, on)
         ],
         "_p",
-    ).withColumn("_tag", F.lit(0))
+    ).withColumn("_tag", F.lit(r_tag))
 
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
-        W.partitionBy(key)
-        .orderBy(F.col(on).asc(), F.col("_tag").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    base = W.partitionBy(key).orderBy(F.col(on).asc(), F.col("_tag").asc())
+    if direction == "backward":
+        w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        fill = F.last("_p", ignorenulls=True)
+    else:
+        w = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        fill = F.first("_p", ignorenulls=True)
     filled = unioned.select(
         *lcols,
         "_tag",
-        F.last("_p", ignorenulls=True).over(w).alias("_p"),
+        fill.over(w).alias("_p"),
     )
-    matched = filled.where(F.col("_tag") == 1)
+    matched = filled.where(F.col("_tag") == l_tag)
     return matched.select(
         *lcols, *[F.col(f"_p.{p}").alias(p) for p in payload]
     )

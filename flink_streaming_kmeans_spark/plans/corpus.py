@@ -33,11 +33,10 @@ documents / embeddings / events / TPC-H tables, all hash-tier:
   contrastive/recommendation training — integer mixing + anti-join.
 
 WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
-correctness window. Round-6 rotation plan (supersedes the one in
-plans/streams.py, keeping the 50-slot sum exact): corpus(13) +
-streams(5) + events(8) + udf(4) + lakehouse(4) + windows(9) +
-relational(first 7) = 50 exactly. Do NOT add further
-out-of-window queries without extending this plan.
+correctness window. Round-6 rotation plan: SUPERSEDED by the one in
+plans/sketches.py's docstring (which keeps the 50-slot sum exact
+after the sketches/coverage additions). Do NOT add further
+out-of-window queries without extending that plan.
 
 Reference analog: the reference demo ships no corpus tooling (it is a
 streaming k-means demo — SURVEY.md §1.1 [PK]); these extend the

@@ -78,6 +78,11 @@ _MODULES = [
     #   round.
     "corpus",  # r5 corpus/storage-layout additions — OUT of the r5
     #   window; covered by the same r6 rotation plan.
+    "sketches",  # r5 hash-verifiable sketch trio — OUT of the r5
+    #   window; the superseding r6 rotation plan lives in
+    #   plans/sketches.py's docstring.
+    "coverage",  # r5 late coverage additions (ORC, forward as-of,
+    #   PCA evidence) — same r6 plan.
     "udf",
     "lakehouse",
     "windows",

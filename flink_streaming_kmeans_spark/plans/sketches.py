@@ -1,0 +1,301 @@
+"""Probabilistic-structure operators made hash-verifiable.
+
+The engine already carries approximate operators in two weaker
+evidence tiers: `q_agg_approx_cd` (Spark's internal HLL, rows-only —
+the two engines' sketch implementations legitimately differ) and the
+test-tier HLL/Bloom behaviors in tests/test_properties.py. This
+module closes that gap with PORTABLE sketch constructions whose
+every bit is pinned by md5, so both engines build the identical
+sketch and the driver can hash-compare it:
+
+- q_sketch_cms: Count-Min sketch (depth 4 x width 64) over the
+  events.event_type frequency stream, plus the point-query estimates
+  it yields next to the true counts (est >= true always; equality
+  breaks exactly where hash collisions land — all deterministic).
+- q_sketch_bloom: Bloom filter (m=2048 bits, k=4) over the
+  high-value-customer key set, probed with EVERY customer — output
+  is the full membership table (ground truth vs filter answer), so
+  the false-positive surface itself is hash-checked.
+- q_sketch_hll: the 256 HLL registers (bucket, max leading-zero
+  rank) over events.user_id — the mergeable state an engine ships
+  between executors, not the float estimate derived from it.
+
+Cross-engine determinism: all three use the repo's md5-60-bit trick
+(``conv(substr(md5(x),1,15),16,10)`` == DuckDB
+``('0x'||substr(md5(x),1,15))::BIGINT``) with integer mod/div only;
+rank extraction uses ``length(bin(v))`` (integer floor-log2+1),
+verified identical in both engines including bin(0)='0'. No float is
+ever constructed.
+
+Why sketches are the 100 TB story: each is ONE linear scan whose
+shuffle carries the SKETCH, not the data — CMS cells are counter
+sums (partial map-side combine collapses each partition to <=256
+cells), HLL registers are per-partition max-merge (<=256 rows), and
+the Bloom bit-set is a distinct-union of <=2048 positions that then
+BROADCASTS to the probe side. State is O(sketch size), independent
+of N — exactly why engines ship these structures instead of exact
+distinct sets. The reference demo itself keeps no sketch state
+(SURVEY.md §1.1 [PK] — k x d centroids are its only aggregate
+state); these extend the engine along the brief's training-pipeline
+axis (frequency/membership/cardinality profiling of a 100 TB
+corpus).
+
+WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
+correctness window — see the superseding round-6 rotation plan at
+the bottom of this docstring, which plans/corpus.py's note defers
+to. Round-6 window (50 slots): sketches(3) + coverage(3) +
+corpus(13) + streams(5) + events(8) + udf(4) + lakehouse(4) +
+windows(9) + relational(first 1) = 50 exactly.
+relational/scalars/ml/llm/textops keep their r3/r4 green rows and
+rotate in round 7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.loader import load_table
+from .registry import register
+
+# The shared md5 -> 60-bit-integer bridge (same construction as
+# plans/textops.py `_SPARK_H60`/`_DUCK_H60`, restated here so this
+# module's oracles read standalone).
+_SPARK_H60 = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+# ---------------------------------------------------------------------------
+# q_sketch_cms
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 64
+
+_CMS_KEY_SPARK = "concat(cast(j as string), ':', event_type)"
+_CMS_KEY_DUCK = "CAST(j AS VARCHAR) || ':' || event_type"
+
+
+@register(
+    "q_sketch_cms",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    ), d AS (
+        SELECT CAST(t.range AS INT) AS j FROM range({_CMS_DEPTH}) t
+    ), hashed AS (
+        SELECT c.event_type, c.n, d.j,
+               CAST({_DUCK_H60.format(x=_CMS_KEY_DUCK)} % {_CMS_WIDTH} AS INT)
+                   AS col
+        FROM counts c CROSS JOIN d
+    ), cells AS (
+        SELECT j, col, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM hashed GROUP BY j, col
+    )
+    SELECT h.event_type, h.n AS true_n,
+           CAST(MIN(cl.cnt) AS BIGINT) AS est_n
+    FROM hashed h JOIN cells cl USING (j, col)
+    GROUP BY h.event_type, h.n
+    """,
+)
+def q_sketch_cms(spark, sf_dir):
+    """Count-Min sketch (depth 4 x width 64) of the event_type
+    frequency distribution + its point-query answers vs ground truth.
+
+    Construction is the distributed one: frequencies are first
+    collapsed by a hash-aggregate (partial map-side combine — the
+    shuffle carries one row per distinct key, not per event), then
+    each (key, count) increments its depth x 1 cells; cell counters
+    sum. Incrementing per-event and merging per-partition sketches
+    counter-wise yields the identical table — CMS is a linear
+    sketch, which is exactly why it survives 100 TB: the reduce
+    state is the 256-cell grid regardless of N. The probe side
+    re-hashes each key and takes min over depth rows
+    (est_n >= true_n, with equality unless a collision inflates a
+    cell — all pinned by md5, so both engines see the same
+    collisions). The 4-row depth frame is a broadcast literal."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    depth = spark.range(_CMS_DEPTH).select(F.col("id").cast("int").alias("j"))
+    hashed = counts.crossJoin(F.broadcast(depth)).select(
+        "event_type",
+        "n",
+        "j",
+        (F.expr(_SPARK_H60.format(x=_CMS_KEY_SPARK)) % _CMS_WIDTH)
+        .cast("int")
+        .alias("col"),
+    )
+    cells = hashed.groupBy("j", "col").agg(
+        F.sum("n").cast("bigint").alias("cnt")
+    )
+    return (
+        hashed.join(cells, ["j", "col"])
+        .groupBy("event_type", "n")
+        .agg(F.min("cnt").cast("bigint").alias("est_n"))
+        .select("event_type", F.col("n").alias("true_n"), "est_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sketch_bloom
+
+_BLOOM_M = 2048
+_BLOOM_K = 4
+_BLOOM_CUT = 490000  # member set ~18% of customers at sf0.01 -> the
+#   filter sits at ~40% bit occupancy (k*|S|=1080 of m=2048), i.e.
+#   FPR ~ 3%: sparse enough to answer "no" usefully, dense enough
+#   that a few md5-pinned false positives land in the hash check
+
+_BLOOM_KEY_SPARK = "concat(cast(j as string), ':', cast({key} as string))"
+_BLOOM_KEY_DUCK = "CAST(j AS VARCHAR) || ':' || CAST({key} AS VARCHAR)"
+
+
+@register(
+    "q_sketch_bloom",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_totalprice > {_BLOOM_CUT}
+    ), k AS (
+        SELECT CAST(t.range AS INT) AS j FROM range({_BLOOM_K}) t
+    ), bits AS (
+        SELECT DISTINCT
+               CAST({_DUCK_H60.format(x=_BLOOM_KEY_DUCK.format(key='o_custkey'))}
+                    % {_BLOOM_M} AS INT) AS bit
+        FROM members CROSS JOIN k
+    ), probes AS (
+        SELECT c.c_custkey, k.j,
+               CAST({_DUCK_H60.format(x=_BLOOM_KEY_DUCK.format(key='c_custkey'))}
+                    % {_BLOOM_M} AS INT) AS bit
+        FROM customer c CROSS JOIN k
+    ), hits AS (
+        SELECT p.c_custkey,
+               CAST(SUM(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_hits
+        FROM probes p LEFT JOIN bits b ON p.bit = b.bit
+        GROUP BY p.c_custkey
+    )
+    SELECT h.c_custkey,
+           CAST(CASE WHEN m.o_custkey IS NULL THEN 0 ELSE 1 END AS INT)
+               AS is_member,
+           CAST(CASE WHEN h.n_hits = {_BLOOM_K} THEN 1 ELSE 0 END AS INT)
+               AS bloom_hit
+    FROM hits h LEFT JOIN members m ON h.c_custkey = m.o_custkey
+    """,
+)
+def q_sketch_bloom(spark, sf_dir):
+    """Bloom filter (m=2048 bits, k=4) over the high-value-customer
+    key set, probed with every customer; output = per-customer ground
+    truth vs filter answer, so the filter's exact false-positive set
+    is part of the hash check (bloom_hit >= is_member row-wise; the
+    gap rows are the md5-pinned collisions).
+
+    Scale shape: the bit set is a DISTINCT of <=2048 integers — it
+    broadcasts (explicit F.broadcast on the probe join), which is
+    precisely how engines ship bloom filters to scan sites for
+    semi-join pushdown (cf. the runtime-bloom-injection behavior
+    test-tier in tests/test_properties.py; this query is its
+    portable, hash-verifiable twin). The probe side is one linear
+    pass x k hashes with a map-side LEFT join against the broadcast
+    bits; no shuffle touches the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    k = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("j"))
+
+    members = (
+        o.where(F.col("o_totalprice") > _BLOOM_CUT)
+        .select("o_custkey")
+        .distinct()
+    )
+    bits = (
+        members.crossJoin(F.broadcast(k))
+        .select(
+            (
+                F.expr(_SPARK_H60.format(x=_BLOOM_KEY_SPARK.format(key="o_custkey")))
+                % _BLOOM_M
+            )
+            .cast("int")
+            .alias("bit")
+        )
+        .distinct()
+    )
+    probes = c.select("c_custkey").crossJoin(F.broadcast(k)).select(
+        "c_custkey",
+        (
+            F.expr(_SPARK_H60.format(x=_BLOOM_KEY_SPARK.format(key="c_custkey")))
+            % _BLOOM_M
+        )
+        .cast("int")
+        .alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits.withColumn("present", F.lit(1))), "bit", "left")
+        .groupBy("c_custkey")
+        .agg(F.sum(F.coalesce("present", F.lit(0))).alias("n_hits"))
+    )
+    return hits.join(
+        F.broadcast(members.withColumnRenamed("o_custkey", "c_custkey").withColumn("mem", F.lit(1))),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_custkey",
+        F.coalesce("mem", F.lit(0)).cast("int").alias("is_member"),
+        (F.col("n_hits") == _BLOOM_K).cast("int").alias("bloom_hit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sketch_hll
+
+_HLL_BUCKETS = 256  # 2^8 buckets; remaining 52 hash bits feed the rank
+
+
+@register(
+    "q_sketch_hll",
+    oracle=f"""
+    WITH h AS (
+        SELECT {_DUCK_H60.format(x="CAST(user_id AS VARCHAR)")} AS hv
+        FROM events
+    ), br AS (
+        SELECT CAST(hv % {_HLL_BUCKETS} AS INT) AS bucket,
+               hv // {_HLL_BUCKETS} AS v
+        FROM h
+    )
+    SELECT bucket,
+           CAST(MAX(CASE WHEN v = 0 THEN 53
+                         ELSE 53 - length(bin(v)) END) AS INT) AS max_rank
+    FROM br GROUP BY bucket
+    """,
+)
+def q_sketch_hll(spark, sf_dir):
+    """HyperLogLog register file (256 buckets) over events.user_id —
+    the mergeable sketch STATE, not the float estimate derived from
+    it (the estimate's harmonic mean is exactly the kind of
+    float-summation surface the repo's determinism rules ban from
+    hash queries; the registers are pure integers).
+
+    bucket = low 8 bits of the 60-bit md5 hash; rank = 1-based
+    position of the first set bit in the remaining 52 bits,
+    computed as 53 - length(bin(v)) — bin() renders without leading
+    zeros in both engines, so its length is floor(log2 v)+1, an
+    all-integer leading-zero count (v=0 => rank 53, the all-zeros
+    convention). groupBy(bucket).max(rank) compiles to partial+final
+    HashAggregate: every partition reduces to <=256 register rows
+    before the shuffle — the exact per-executor max-merge an engine
+    uses to combine HLL state at 100 TB, where the answer's cost is
+    one scan + a 256-row reduce regardless of N.
+
+    This is the portable, hash-verified twin of q_agg_approx_cd
+    (rows-tier: Spark's internal HLL sketch is not bit-comparable
+    across engines — this construction is)."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        F.expr(_SPARK_H60.format(x="cast(user_id as string)")).alias("hv")
+    )
+    br = h.select(
+        (F.col("hv") % _HLL_BUCKETS).cast("int").alias("bucket"),
+        F.expr(f"hv div {_HLL_BUCKETS}").alias("v"),
+    )
+    rank = F.when(F.col("v") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.expr("bin(v)"))
+    )
+    return br.groupBy("bucket").agg(
+        F.max(rank).cast("int").alias("max_rank")
+    )

@@ -95,3 +95,62 @@ def test_randomized_against_bruteforce(spark):
             cands = [(rts, rv) for rk, rts, rv in right if rk == k and rts <= ts]
             want = max(cands)[1] if cands else None
             assert got[lv] == want, (seed, lv, got[lv], want)
+
+
+def test_forward_basic_next_at_or_after(spark):
+    left = _mk(spark, [(1, _ts(10), "L1"), (1, _ts(30), "L2")], "k int, ts timestamp, lv string")
+    right = _mk(
+        spark,
+        [(1, _ts(5), 100.0), (1, _ts(20), 200.0), (1, _ts(40), 300.0)],
+        "k int, ts timestamp, rv double",
+    )
+    out = {
+        r.lv: r.rv
+        for r in asof_join(left, right, "k", "ts", ["rv"], direction="forward").collect()
+    }
+    assert out == {"L1": 200.0, "L2": 300.0}
+
+
+def test_forward_equal_timestamp_is_inclusive(spark):
+    left = _mk(spark, [(1, _ts(10), "L")], "k int, ts timestamp, lv string")
+    right = _mk(spark, [(1, _ts(10), 7.0)], "k int, ts timestamp, rv double")
+    [row] = asof_join(left, right, "k", "ts", ["rv"], direction="forward").collect()
+    assert row.rv == 7.0
+
+
+def test_forward_no_later_row_gives_nulls(spark):
+    left = _mk(spark, [(1, _ts(50), "late")], "k int, ts timestamp, lv string")
+    right = _mk(spark, [(1, _ts(5), 1.0)], "k int, ts timestamp, rv double")
+    [row] = asof_join(left, right, "k", "ts", ["rv"], direction="forward").collect()
+    assert row.rv is None
+
+
+def test_forward_randomized_against_bruteforce(spark):
+    """forward asof_join == per-row brute-force argmin over ts >= l.ts."""
+    import random
+
+    for seed in (7, 13, 99):
+        rng = random.Random(seed)
+        left = [
+            (rng.randint(1, 5), _ts(rng.randint(0, 50)), f"L{i}")
+            for i in range(40)
+        ]
+        seen = set()
+        right = []
+        for i in range(40):
+            k, s = rng.randint(1, 5), rng.randint(0, 50)
+            if (k, s) not in seen:
+                seen.add((k, s))
+                right.append((k, _ts(s), float(i)))
+        ldf = _mk(spark, left, "k int, ts timestamp, lv string")
+        rdf = _mk(spark, right, "k int, ts timestamp, rv double")
+        got = {
+            r.lv: r.rv
+            for r in asof_join(
+                ldf, rdf, "k", "ts", ["rv"], direction="forward"
+            ).collect()
+        }
+        for k, ts, lv in left:
+            cands = [(rts, rv) for rk, rts, rv in right if rk == k and rts >= ts]
+            want = min(cands)[1] if cands else None
+            assert got[lv] == want, (seed, lv, got[lv], want)

@@ -44,6 +44,9 @@ CANDIDATES = [
     "q_neg_sample",
     "q_tpch_q3",
     "q_evt_anomaly",
+    # sketches: md5-pinned collisions must land identically run-to-run
+    "q_sketch_cms",
+    "q_sketch_bloom",
 ]
 
 
@@ -73,6 +76,8 @@ PARTITION_SENSITIVE = [
     # round-5: decimal rank sums across 2 iterations; threshold filter
     "q_graph_pagerank",
     "q_evt_anomaly",
+    # sketch register max-merge must not depend on reducer count
+    "q_sketch_hll",
 ]
 
 

@@ -97,6 +97,9 @@ EMPTY_CHECKED = [
     "q_profile_table",
     "q_feat_snapshot",  # LEFT join semantics with an empty fact side
     "q_neg_sample",  # anti-join with empty positives keeps all candidates
+    "q_sketch_cms",  # empty key set -> empty sketch, no NULL cells
+    "q_sketch_bloom",  # empty member set + empty probe side
+    "q_sketch_hll",  # empty register file, no bucket-0 fabrication
 ]
 
 

@@ -55,6 +55,7 @@ def test_rows_only_queries_run(spark, registry):
     rows_only = sorted(set(queries) - set(oracles))
     assert rows_only == [
         "q_agg_approx_cd",
+        "q_emb_pca",
         "q_kmeans_stream",
         "q_kmeans_stream_reassign",
         "q_ml_kmeans_iter",
@@ -103,15 +104,19 @@ def test_contract_is_complete(registry):
     lift, integer lift_e4), q_profile_table (per-column
     null/distinct/min-max profiling), q_feat_snapshot (point-in-time
     feature assembly), q_neg_sample (deterministic negative
-    sampling), and q_stream_session (append-mode streaming
-    sessionization converging to the batch gaps-and-islands): 144 =
-    140 hash + 4 rows-only."""
+    sampling), q_stream_session (append-mode streaming
+    sessionization converging to the batch gaps-and-islands), the
+    hash-verifiable sketch trio (q_sketch_cms, q_sketch_bloom,
+    q_sketch_hll — md5-pinned portable sketches, plans/sketches.py),
+    and the late coverage trio (q_source_orc, q_join_asof_fwd,
+    q_emb_pca — plans/coverage.py): 150 = 145 hash + 5 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 144, sorted(queries)
-    assert len(oracles) == 140
-    # Exactly the four contract rows-tier queries lack oracles.
+    assert len(queries) == 150, sorted(queries)
+    assert len(oracles) == 145
+    # Exactly the five contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
+        "q_emb_pca",
         "q_kmeans_stream",
         "q_kmeans_stream_reassign",
         "q_ml_kmeans_iter",

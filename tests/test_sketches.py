@@ -1,0 +1,76 @@
+"""Structural properties of the portable (hash-verifiable) sketches
+in plans/sketches.py, beyond the DuckDB parity the driver checks:
+the one-sided error guarantees each sketch type promises, and that
+the HLL register file actually estimates the cardinality it claims
+to summarize (the float estimate lives here, test-tier, because the
+registry's determinism rules keep it out of hash queries).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+
+def test_cms_estimate_never_undercounts(spark, registry):
+    """Count-Min's guarantee is one-sided: est >= true for every key
+    (a counter only ever absorbs OTHER keys' mass)."""
+    queries, _ = registry
+    rows = queries["q_sketch_cms"](spark, SF_SMOKE).collect()
+    assert rows, "no event types in smoke data"
+    assert all(r.est_n >= r.true_n for r in rows)
+
+
+def test_bloom_no_false_negatives(spark, registry):
+    """A Bloom filter may say yes wrongly, never no wrongly: every
+    true member must have bloom_hit=1."""
+    queries, _ = registry
+    rows = queries["q_sketch_bloom"](spark, SF_SMOKE).collect()
+    members = [r for r in rows if r.is_member == 1]
+    assert members, "member set empty — threshold too high for smoke SF"
+    assert all(r.bloom_hit == 1 for r in members)
+    # And the filter must be informative, not saturated: at smoke SF
+    # the bit occupancy is ~5%, so the vast majority of non-members
+    # must get a definitive no.
+    non = [r for r in rows if r.is_member == 0]
+    rejected = sum(1 for r in non if r.bloom_hit == 0)
+    assert rejected >= 0.9 * len(non)
+
+
+def test_hll_registers_estimate_cardinality(spark, registry):
+    """Recompute the HLL estimate from the register file on the
+    driver (harmonic mean + small-range linear counting) and compare
+    to the exact distinct user_id count: within 15% (m=256 gives
+    ~6.5% standard error)."""
+    queries, _ = registry
+    regs = {r.bucket: r.max_rank for r in
+            queries["q_sketch_hll"](spark, SF_SMOKE).collect()}
+    assert all(0 <= b < 256 for b in regs)
+    assert all(1 <= rk <= 53 for rk in regs.values())
+
+    m = 256
+    ranks = [regs.get(b, 0) for b in range(m)]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / sum(2.0 ** (-r) for r in ranks)
+    zeros = ranks.count(0)
+    est = m * math.log(m / zeros) if (raw < 2.5 * m and zeros) else raw
+
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+
+    exact = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert abs(est - exact) <= 0.15 * exact, (est, exact)
+
+
+def test_sketch_state_is_bounded(spark, registry):
+    """The scale contract: sketch outputs are O(sketch), not O(N) —
+    CMS cells <= depth*width cells behind <= |keys| output rows, the
+    HLL register file <= 256 rows regardless of event count."""
+    queries, _ = registry
+    assert queries["q_sketch_hll"](spark, SF_SMOKE).count() <= 256
