@@ -18,10 +18,20 @@ and driver-visible PCA evidence.
   class as q_ml_kmeans_iter's driver loop). Correctness is carried
   by tests/test_pca.py's numpy-parity tests; the registered query
   pins determinism by quantizing the projected coordinates.
+- q_join_asof_tol bounds the as-of match with an attribution window
+  (pandas merge_asof tolerance / kdb wj semantics): nearest-prior
+  match discarded — not replaced — when it falls outside the window,
+  so a post-filter on the single match is exactly equivalent and the
+  plan stays the one-shuffle asof shape.
+
+- q_evt_cep is the Flink-CEP-analog sequence-pattern match: strict
+  (`next()`) contiguity counted with the integer replace-trick,
+  relaxed (`followedBy()`) contiguity as a %-only LIKE — no regex
+  engine is consulted, so the two engines cannot disagree.
 
 WINDOW NOTE: registered AFTER the round-5 correctness window; the
 round-6 rotation plan in plans/sketches.py's docstring allocates
-coverage(3) its slots.
+coverage(5) its slots.
 """
 
 from __future__ import annotations
@@ -156,4 +166,161 @@ def q_emb_pca(spark, sf_dir):
         "label",
         F.floor(F.col("pc0") * 10000).cast("bigint").alias("pc0_e4"),
         F.floor(F.col("pc1") * 10000).cast("bigint").alias("pc1_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_join_asof_tol
+
+_TOL_US = 3 * 86400 * 1000000  # 3-day attribution window, in microseconds
+
+
+@register(
+    "q_join_asof_tol",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+    ), c AS (
+        SELECT user_id, ts, event_id AS click_id, value AS click_value
+        FROM clicks WHERE rn = 1
+    ), p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), m AS (
+        SELECT p.event_id, p.user_id, p.ts AS pts,
+               c.ts AS cts, c.click_id, c.click_value
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN cts IS NOT NULL
+                 AND date_diff('microsecond', cts, pts) <= {_TOL_US}
+                THEN click_id END AS click_id,
+           CASE WHEN cts IS NOT NULL
+                 AND date_diff('microsecond', cts, pts) <= {_TOL_US}
+                THEN click_value END AS click_value
+    FROM m
+    """,
+)
+def q_join_asof_tol(spark, sf_dir):
+    """As-of join with a TOLERANCE: the most recent prior click, but
+    only if it happened within a 3-day attribution window (pandas
+    merge_asof(tolerance=...) / kdb wj semantics — the
+    marketing-attribution and sensor-staleness lookup). Matches
+    farther back than the window are discarded, NOT replaced by an
+    older candidate — since the as-of match is the NEAREST prior, any
+    other prior row is farther, so post-filtering the single match is
+    exactly equivalent and costs nothing extra: the plan is the same
+    ONE |L|+|R| shuffle as q_join_asof.
+
+    The matched right timestamp rides along in the asof payload
+    struct; the window test runs in integer microseconds
+    (unix_micros vs DuckDB date_diff('microsecond')) — no float, no
+    calendar arithmetic."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    dedup_w = W.partitionBy("user_id", "ts").orderBy(F.desc("click_id"))
+    clicks1 = (
+        clicks.withColumn("rn", F.row_number().over(dedup_w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks1,
+        key="user_id",
+        on="ts",
+        payload=["click_ts", "click_id", "click_value"],
+    )
+    in_window = F.col("click_ts").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("click_ts") <= F.lit(_TOL_US)
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(in_window, F.col("click_id")).alias("click_id"),
+        F.when(in_window, F.col("click_value")).alias("click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_evt_cep
+
+
+@register(
+    "q_evt_cep",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST((length(seq) - length(replace(seq, 'vcp', ''))) // 3
+                AS BIGINT) AS n_funnels,
+           CAST(CASE WHEN seq LIKE '%v%c%p%' THEN 1 ELSE 0 END AS INT)
+               AS converted
+    FROM seqs
+    """,
+)
+def q_evt_cep(spark, sf_dir):
+    """Complex-event-processing pattern match — the Flink CEP analog
+    (the reference ecosystem's sequence-pattern library; SURVEY §1
+    [PK] notes the demo itself ships none, so this is the engine's
+    training/analytics-axis extension of it). Per user, the event
+    stream is serialized to an initial-letter sequence with a total
+    (ts, event_id) order, then two pattern tiers are evaluated:
+    n_funnels = count of STRICTLY CONTIGUOUS view→click→purchase
+    runs (Flink CEP `next()` contiguity), and converted = whether a
+    RELAXED view..click..purchase subsequence exists (CEP
+    `followedBy()` contiguity, q_evt_funnel's semantics).
+
+    Determinism: the contiguous count is the replace-trick integer
+    `(len(seq) - len(replace(seq,'vcp',''))) / 3` — left-to-right
+    non-overlapping replacement is identical in both engines and no
+    regex engine is consulted; the relaxed tier is a LIKE with `%`
+    wildcards only. Scale: one user-keyed aggregate; per-user state
+    is the user's own event sequence (bounded by per-user activity,
+    the same state a CEP NFA keeps), map-side combine collapses each
+    partition's per-user slices."""
+    e = load_table(spark, sf_dir, "events")
+    seqs = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("i"),
+                        )
+                    )
+                ),
+                lambda s: s["i"],
+            ),
+            "",
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.expr("CAST((length(seq) - length(replace(seq, 'vcp', ''))) div 3 AS BIGINT)").alias(
+            "n_funnels"
+        ),
+        F.col("seq").like("%v%c%p%").cast("int").alias("converted"),
     )

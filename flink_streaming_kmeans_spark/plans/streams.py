@@ -13,6 +13,7 @@ strongest oracle tier its state shape admits:
 - q_stream_join     (hash): stream-stream event-time interval join
 - q_stream_upsert   (hash): foreachBatch CDC merge into the lakehouse
 - q_stream_session  (hash): session-window sessionization, append mode
+- q_stream_cep      (hash): keyed CEP NFA state advanced per batch
 - q_kmeans_stream_reassign (rows): online k-means under RE-DELIVERY,
   exercising the per-point remove/add arithmetic of the reference
   co-operator (streaming/kmeans.py track_assignments)
@@ -448,4 +449,126 @@ def q_stream_session(spark, sf_dir):
     rows = [(u, t, n) for (u, t), n in sorted(state.items())]
     return spark.createDataFrame(
         rows, "user_id bigint, session_start timestamp, n_events bigint"
+    )
+
+
+@register(
+    "q_stream_cep",
+    # Oracle: identical to q_evt_cep's batch semantics (kept inline so
+    # this module's oracles read standalone; lockstep with
+    # plans/coverage.q_evt_cep).
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST((length(seq) - length(replace(seq, 'vcp', ''))) // 3
+                AS BIGINT) AS n_funnels,
+           CAST(CASE WHEN seq LIKE '%v%c%p%' THEN 1 ELSE 0 END AS INT)
+               AS converted
+    FROM seqs
+    """,
+)
+def q_stream_cep(spark, sf_dir):
+    """STREAMING complex-event-processing — the Flink CEP analog run
+    as a real stateful stream, not a batch re-aggregation: the events
+    table replays as 3 contiguous-time micro-batches; each
+    foreachBatch advances a per-user NFA held in a parquet state
+    store via a COGROUPED applyInPandas (state ⟂ batch on user_id),
+    so a pattern that STRADDLES a micro-batch boundary (…v,c | p,…)
+    is matched exactly like Flink CEP's keyed NFA state would — the
+    per-user state is 4 integers (event count, strict-NFA state ∈
+    {start, saw-v, saw-vc}, relaxed progress ∈ 0..3, match count),
+    NOT the event history. The strict automaton is the KMP acceptor
+    of 'vcp' (restart-on-v fallback), which counts exactly the
+    leftmost non-overlapping occurrences — i.e. the batch oracle's
+    replace-trick — and the contiguous-time replay makes
+    concatenation of batch-local (ts, event_id) orders equal the
+    global order, so the final state provably equals q_evt_cep's
+    batch answer, which is the hash oracle recorded here.
+
+    Scale: state is O(4 ints) per user (watermark-evictable in a
+    production keyed-state backend); each micro-batch's work is one
+    cogrouped shuffle of |batch|+|users| rows on user_id. The state
+    round-trips through parquet per batch — the checkpointed
+    state-store analog this container admits
+    (transformWithStateInPandas blocked by protobuf,
+    streaming/stateful.py)."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("i")
+    )
+    d = _tmp_out("stream_cep", sf_dir)
+    in_dir = _write_time_batches(ev, d, 3)
+
+    state_schema = (
+        "user_id bigint, n_events bigint, nfa int, rel int, n_funnels bigint"
+    )
+    state = {"df": spark.createDataFrame([], state_schema)}
+
+    def fold(key, state_pdf, batch_pdf):
+        uid = int(key[0])
+        if len(state_pdf):
+            n_ev = int(state_pdf.n_events.iloc[0])
+            nfa = int(state_pdf.nfa.iloc[0])
+            rel = int(state_pdf.rel.iloc[0])
+            nf = int(state_pdf.n_funnels.iloc[0])
+        else:
+            n_ev = nfa = rel = nf = 0
+        if len(batch_pdf):
+            b = batch_pdf.sort_values(["ts", "event_id"])
+            for ch in b["i"]:
+                n_ev += 1
+                if nfa == 0:
+                    nfa = 1 if ch == "v" else 0
+                elif nfa == 1:
+                    nfa = 2 if ch == "c" else (1 if ch == "v" else 0)
+                else:  # saw 'vc'
+                    if ch == "p":
+                        nf += 1
+                        nfa = 0
+                    else:
+                        nfa = 1 if ch == "v" else 0
+                if rel == 0 and ch == "v":
+                    rel = 1
+                elif rel == 1 and ch == "c":
+                    rel = 2
+                elif rel == 2 and ch == "p":
+                    rel = 3
+        return pd.DataFrame(
+            [[uid, n_ev, nfa, rel, nf]],
+            columns=["user_id", "n_events", "nfa", "rel", "n_funnels"],
+        )
+
+    def advance(batch_df, bid):
+        new = (
+            state["df"]
+            .groupby("user_id")
+            .cogroup(batch_df.groupby("user_id"))
+            .applyInPandas(fold, state_schema)
+        )
+        # Materialize each generation to its own path: the state-store
+        # commit (and it breaks the per-batch lineage chain).
+        path = os.path.join(d, f"state-v{bid}")
+        new.write.mode("overwrite").parquet(path)
+        state["df"] = spark.read.parquet(path)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    run_available_now(
+        stream.writeStream.foreachBatch(advance), "q_stream_cep", spark
+    )
+    return state["df"].select(
+        "user_id",
+        "n_events",
+        "n_funnels",
+        (F.col("rel") == 3).cast("int").alias("converted"),
     )

@@ -47,6 +47,8 @@ CANDIDATES = [
     # sketches: md5-pinned collisions must land identically run-to-run
     "q_sketch_cms",
     "q_sketch_bloom",
+    # collect_list order is only pinned by the array_sort total order
+    "q_evt_cep",
 ]
 
 

@@ -100,6 +100,8 @@ EMPTY_CHECKED = [
     "q_sketch_cms",  # empty key set -> empty sketch, no NULL cells
     "q_sketch_bloom",  # empty member set + empty probe side
     "q_sketch_hll",  # empty register file, no bucket-0 fabrication
+    "q_join_asof_tol",  # tolerance filter over an empty asof union
+    "q_evt_cep",  # empty sequence aggregate, replace-trick on ''
 ]
 
 

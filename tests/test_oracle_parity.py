@@ -108,11 +108,13 @@ def test_contract_is_complete(registry):
     sessionization converging to the batch gaps-and-islands), the
     hash-verifiable sketch trio (q_sketch_cms, q_sketch_bloom,
     q_sketch_hll — md5-pinned portable sketches, plans/sketches.py),
-    and the late coverage trio (q_source_orc, q_join_asof_fwd,
-    q_emb_pca — plans/coverage.py): 150 = 145 hash + 5 rows-only."""
+    the late coverage additions (q_source_orc, q_join_asof_fwd,
+    q_join_asof_tol, q_evt_cep, q_emb_pca — plans/coverage.py), and
+    q_stream_cep (the CEP NFA as a stateful stream, hash-exact
+    against the batch oracle): 153 = 148 hash + 5 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 150, sorted(queries)
-    assert len(oracles) == 145
+    assert len(queries) == 153, sorted(queries)
+    assert len(oracles) == 148
     # Exactly the five contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",

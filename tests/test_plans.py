@@ -387,3 +387,39 @@ def test_tpch_q3_predicates_push_to_both_fact_scans(plans):
     seg = [s[:400] for s in p.split("PushedFilters")[1:]]
     assert any("o_orderdate" in x for x in seg), seg
     assert any("l_shipdate" in x for x in seg), seg
+
+
+def test_sketch_bloom_probe_join_broadcasts_bits(plans):
+    # the ≤2048-row bit set and member set must come in as broadcast
+    # hash joins against the linear probe pass — the semi-join-pushdown
+    # shape; a shuffled join on `bit` would defeat the point of a
+    # bloom filter at scale
+    p = plans("q_sketch_bloom")
+    assert p.count("BroadcastHashJoin") >= 2, p.count("BroadcastHashJoin")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_sketch_hll_registers_combine_map_side(plans):
+    # partial+final HashAggregate on bucket: every partition reduces to
+    # ≤256 register rows before the shuffle — the executor max-merge
+    p = plans("q_sketch_hll")
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+    assert "Exchange" in p  # exactly the one 256-key shuffle
+
+
+def test_sketch_cms_collapses_keys_before_sketch(plans):
+    # the frequency table (shuffle = distinct keys) is built by a
+    # partial+final agg BEFORE the 4-way depth expansion; the depth
+    # frame joins broadcast — no shuffle ever carries N rows × depth
+    p = plans("q_sketch_cms")
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert len(re.findall(r"HashAggregate", p)) >= 2
+
+
+def test_asof_fwd_single_shuffle_on_key(plans):
+    # forward as-of must keep the backward variant's ONE |L|+|R|
+    # shuffle on user_id: a union + window, never a per-key join
+    p = plans("q_join_asof_fwd")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "Union" in p and "Window" in p

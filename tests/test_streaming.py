@@ -597,3 +597,35 @@ def test_streaming_kmeans_reassignment_property(spark):
                 expected = Xf[sorted(members)].mean(axis=0)
                 np.testing.assert_allclose(skm.C[j], expected, rtol=1e-9,
                                            atol=1e-12)
+
+
+def test_stream_cep_counts_pattern_straddling_batch_boundary(spark, registry, tmp_path):
+    """The point of keeping NFA state across micro-batches: a
+    view,click | … | purchase pattern whose pieces arrive in
+    DIFFERENT batches must still count. Six events split 2/2/2 by the
+    contiguous-time replay put user 1's 'v','c' in batch 0 and its
+    'p' in batch 2 — a two-boundary straddle."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 1), 10, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 2), 10, "click", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 3), 20, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 0, 0, 4), 20, "error", 1.0, "{}"),
+        (5, dt.datetime(2024, 1, 1, 0, 0, 5), 10, "purchase", 1.0, "{}"),
+        (6, dt.datetime(2024, 1, 1, 0, 0, 6), 20, "signup", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "cep_sf")
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    queries, _ = registry
+    got = {
+        r.user_id: (r.n_events, r.n_funnels, r.converted)
+        for r in queries["q_stream_cep"](spark, sf).collect()
+    }
+    assert got == {10: (3, 1, 1), 20: (3, 0, 0)}
