@@ -43,10 +43,10 @@ corpus).
 WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
 correctness window — see the superseding round-6 rotation plan at
 the bottom of this docstring, which plans/corpus.py's note defers
-to. Round-6 window (50 slots): sketches(3) + coverage(5) +
+to. Round-6 window (50 slots): sketches(3) + coverage(6) +
 corpus(13) + streams(6) + events(8) + udf(4) + lakehouse(4) +
-windows(first 7) = 50 exactly. relational/scalars/ml/llm/textops
-(and windows' last two queries) keep their r3/r4 green rows and
+windows(first 6) = 50 exactly. relational/scalars/ml/llm/textops
+(and windows' last three queries) keep their r3/r4 green rows and
 rotate in round 7.
 """
 

@@ -49,6 +49,8 @@ CANDIDATES = [
     "q_sketch_bloom",
     # collect_list order is only pinned by the array_sort total order
     "q_evt_cep",
+    # prefix selection depends on the (tf, tok) total order only
+    "q_dedup_prefix",
 ]
 
 

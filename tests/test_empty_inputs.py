@@ -102,6 +102,7 @@ EMPTY_CHECKED = [
     "q_sketch_hll",  # empty register file, no bucket-0 fabrication
     "q_join_asof_tol",  # tolerance filter over an empty asof union
     "q_evt_cep",  # empty sequence aggregate, replace-trick on ''
+    "q_dedup_prefix",  # empty corpus -> empty prefix buckets
 ]
 
 
