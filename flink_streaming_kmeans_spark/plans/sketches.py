@@ -19,6 +19,10 @@ sketch and the driver can hash-compare it:
 - q_sketch_hll: the 256 HLL registers (bucket, max leading-zero
   rank) over events.user_id — the mergeable state an engine ships
   between executors, not the float estimate derived from it.
+- q_sketch_quantile: equi-width histogram quantile estimates with
+  explicit [lo, hi] bin-bound error brackets — the fourth sketch
+  axis (quantiles) next to frequency/membership/cardinality; pure
+  integer binning, no md5 needed.
 
 Cross-engine determinism: all three use the repo's md5-60-bit trick
 (``conv(substr(md5(x),1,15),16,10)`` == DuckDB
@@ -43,15 +47,16 @@ corpus).
 WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
 correctness window — see the superseding round-6 rotation plan at
 the bottom of this docstring, which plans/corpus.py's note defers
-to. Round-6 window (50 slots): sketches(3) + coverage(6) +
+to. Round-6 window (50 slots): sketches(4) + coverage(6) +
 corpus(13) + streams(6) + events(8) + udf(4) + lakehouse(4) +
-windows(first 6) = 50 exactly. relational/scalars/ml/llm/textops
-(and windows' last three queries) keep their r3/r4 green rows and
+windows(first 5) = 50 exactly. relational/scalars/ml/llm/textops
+(and windows' last four queries) keep their r3/r4 green rows and
 rotate in round 7.
 """
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources.loader import load_table
@@ -298,4 +303,91 @@ def q_sketch_hll(spark, sf_dir):
     )
     return br.groupBy("bucket").agg(
         F.max(rank).cast("int").alias("max_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sketch_quantile
+
+_QH_BINS = 128
+_QH_PCTS = (50, 90, 95, 99)
+
+
+@register(
+    "q_sketch_quantile",
+    oracle=f"""
+    WITH stats AS (
+        SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+    ), b AS (
+        SELECT ((n_chars - mn) * {_QH_BINS}) // (mx - mn + 1) AS bin
+        FROM documents, stats
+    ), h AS (
+        SELECT bin, COUNT(*) AS n FROM b GROUP BY bin
+    ), c AS (
+        SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum,
+               SUM(n) OVER () AS total
+        FROM h
+    ), probes AS (
+        SELECT CAST(p AS INT) AS p
+        FROM unnest([{', '.join(str(p) for p in _QH_PCTS)}]) t(p)
+    ), hit AS (
+        SELECT probes.p, MIN(c.bin) AS bin
+        FROM probes JOIN c ON 100 * c.cum >= probes.p * c.total
+        GROUP BY probes.p
+    )
+    SELECT p, bin,
+           mn + (bin * (mx - mn + 1)) // {_QH_BINS} AS lo,
+           mn + ((bin + 1) * (mx - mn + 1)) // {_QH_BINS} - 1 AS hi
+    FROM hit, stats
+    """,
+)
+def q_sketch_quantile(spark, sf_dir):
+    """Equi-width histogram quantile sketch over document lengths —
+    the distributed approximate-percentile construction (one scan,
+    128-counter mergeable state, answer = first bin whose cumulative
+    count crosses p% of total), completing the portable sketch
+    family: frequency (CMS) / membership (Bloom) / cardinality (HLL)
+    / QUANTILES. Every registered quantile before this one is exact
+    (q_agg_percentile) — this is the shape you run when a full sort
+    or exact percentile is off the table at 100 TB, with the bin
+    width as the error bound (output lo..hi brackets the true
+    quantile when the estimate's bin is exact-integer arithmetic,
+    which it is: n_chars is a BIGINT, binning is
+    ((v - mn)*128) div (mx - mn + 1), all integer, no float ever).
+
+    Scale: the histogram build is partial+final HashAggregate on
+    ≤128 keys (every partition reduces to its local 128 counters
+    before the shuffle — counter-wise merge, same linearity as the
+    CMS); the cumulative window runs over ≤128 rows (single-task by
+    construction, on sketch-sized data — not a data-sized sort); the
+    min/max pre-pass and the 4-row probe frame broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    b = d.crossJoin(F.broadcast(stats)).select(
+        F.expr(f"((n_chars - mn) * {_QH_BINS}) div (mx - mn + 1)").alias("bin")
+    )
+    h = b.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = h.select(
+        "bin",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    probes = spark.createDataFrame(
+        [(p,) for p in _QH_PCTS], "p int"
+    )
+    hit = (
+        F.broadcast(probes)
+        .join(c, 100 * F.col("cum") >= F.col("p") * F.col("total"))
+        .groupBy("p")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.crossJoin(F.broadcast(stats)).select(
+        "p",
+        "bin",
+        F.expr(f"mn + (bin * (mx - mn + 1)) div {_QH_BINS}").alias("lo"),
+        F.expr(f"mn + ((bin + 1) * (mx - mn + 1)) div {_QH_BINS} - 1").alias("hi"),
     )

@@ -103,6 +103,7 @@ EMPTY_CHECKED = [
     "q_join_asof_tol",  # tolerance filter over an empty asof union
     "q_evt_cep",  # empty sequence aggregate, replace-trick on ''
     "q_dedup_prefix",  # empty corpus -> empty prefix buckets
+    "q_sketch_quantile",  # NULL min/max stats row, empty histogram
 ]
 
 

@@ -106,16 +106,17 @@ def test_contract_is_complete(registry):
     feature assembly), q_neg_sample (deterministic negative
     sampling), q_stream_session (append-mode streaming
     sessionization converging to the batch gaps-and-islands), the
-    hash-verifiable sketch trio (q_sketch_cms, q_sketch_bloom,
-    q_sketch_hll — md5-pinned portable sketches, plans/sketches.py),
+    hash-verifiable sketch family (q_sketch_cms, q_sketch_bloom,
+    q_sketch_hll, q_sketch_quantile — portable sketches,
+    plans/sketches.py),
     the late coverage additions (q_source_orc, q_join_asof_fwd,
     q_join_asof_tol, q_evt_cep, q_dedup_prefix, q_emb_pca —
     plans/coverage.py), and q_stream_cep (the CEP NFA as a stateful
-    stream, hash-exact against the batch oracle): 154 = 149 hash +
+    stream, hash-exact against the batch oracle): 155 = 150 hash +
     5 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 154, sorted(queries)
-    assert len(oracles) == 149
+    assert len(queries) == 155, sorted(queries)
+    assert len(oracles) == 150
     # Exactly the five contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",

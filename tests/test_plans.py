@@ -423,3 +423,27 @@ def test_asof_fwd_single_shuffle_on_key(plans):
     p = plans("q_join_asof_fwd")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "Union" in p and "Window" in p
+
+
+def test_dedup_prefix_candidates_meet_in_buckets(plans):
+    # prefix filtering's whole point: candidates come from an
+    # equi-join on prefix tokens — a cartesian/BNLJ here would be the
+    # all-pairs plan the algorithm exists to avoid
+    p = plans("q_dedup_prefix")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_asof_tol_single_shuffle_union_window(plans):
+    # the tolerance post-filter must not change the asof plan shape
+    p = plans("q_join_asof_tol")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "Union" in p and "Window" in p
+
+
+def test_sketch_quantile_histogram_combines_map_side(plans):
+    # the 128-bin histogram must partial-aggregate (each partition
+    # reduces to its local counters before the shuffle); stats and
+    # probe frames broadcast
+    p = plans("q_sketch_quantile")
+    assert len(re.findall(r"HashAggregate", p)) >= 2
+    assert "CartesianProduct" not in p

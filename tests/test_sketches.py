@@ -74,3 +74,27 @@ def test_sketch_state_is_bounded(spark, registry):
     HLL register file <= 256 rows regardless of event count."""
     queries, _ = registry
     assert queries["q_sketch_hll"](spark, SF_SMOKE).count() <= 256
+
+
+def test_quantile_sketch_brackets_exact_percentiles(spark, registry):
+    """The histogram estimate's [lo, hi] bin bounds must bracket the
+    exact (lower) percentile — the bin width IS the error bound, so
+    an estimate outside its own bin would mean the cumulative logic
+    is wrong, not just imprecise."""
+    import math
+
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+
+    queries, _ = registry
+    rows = {r.p: (r.lo, r.hi) for r in
+            queries["q_sketch_quantile"](spark, SF_SMOKE).collect()}
+    vals = sorted(
+        r.n_chars
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("n_chars")
+        .collect()
+    )
+    assert set(rows) == {50, 90, 95, 99}
+    for p, (lo, hi) in rows.items():
+        exact = vals[math.ceil(p * len(vals) / 100) - 1]
+        assert lo <= exact <= hi, (p, lo, exact, hi)
