@@ -24,7 +24,7 @@ sketch and the driver can hash-compare it:
   axis (quantiles) next to frequency/membership/cardinality; pure
   integer binning, no md5 needed.
 
-Cross-engine determinism: all three use the repo's md5-60-bit trick
+Cross-engine determinism: the first three use the repo's md5-60-bit trick
 (``conv(substr(md5(x),1,15),16,10)`` == DuckDB
 ``('0x'||substr(md5(x),1,15))::BIGINT``) with integer mod/div only;
 rank extraction uses ``length(bin(v))`` (integer floor-log2+1),
@@ -48,9 +48,9 @@ WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
 correctness window — see the superseding round-6 rotation plan at
 the bottom of this docstring, which plans/corpus.py's note defers
 to. Round-6 window (50 slots): sketches(4) + coverage(6) +
-corpus(13) + streams(6) + events(8) + udf(4) + lakehouse(4) +
-windows(first 5) = 50 exactly. relational/scalars/ml/llm/textops
-(and windows' last four queries) keep their r3/r4 green rows and
+corpus(13) + streams(7) + events(8) + udf(4) + lakehouse(4) +
+windows(first 4) = 50 exactly. relational/scalars/ml/llm/textops
+(and windows' last five queries) keep their r3/r4 green rows and
 rotate in round 7.
 """
 

@@ -14,6 +14,8 @@ strongest oracle tier its state shape admits:
 - q_stream_upsert   (hash): foreachBatch CDC merge into the lakehouse
 - q_stream_session  (hash): session-window sessionization, append mode
 - q_stream_cep      (hash): keyed CEP NFA state advanced per batch
+- q_stream_hll      (hash): HLL registers as a complete-mode
+  stateful streaming aggregate (engine-managed <=256-key state)
 - q_kmeans_stream_reassign (rows): online k-means under RE-DELIVERY,
   exercising the per-point remove/add arithmetic of the reference
   co-operator (streaming/kmeans.py track_assignments)
@@ -572,3 +574,73 @@ def q_stream_cep(spark, sf_dir):
         "n_funnels",
         (F.col("rel") == 3).cast("int").alias("converted"),
     )
+
+
+@register(
+    "q_stream_hll",
+    # Oracle: identical to q_sketch_hll's batch registers (inline so
+    # this module's oracles read standalone; lockstep with
+    # plans/sketches.q_sketch_hll).
+    oracle="""
+    WITH h AS (
+        SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)
+            AS hv
+        FROM events
+    ), br AS (
+        SELECT CAST(hv % 256 AS INT) AS bucket,
+               hv // 256 AS v
+        FROM h
+    )
+    SELECT bucket,
+           CAST(MAX(CASE WHEN v = 0 THEN 53
+                         ELSE 53 - length(bin(v)) END) AS INT) AS max_rank
+    FROM br GROUP BY bucket
+    """,
+)
+def q_stream_hll(spark, sf_dir):
+    """STREAMING cardinality sketch: the HLL register file maintained
+    by Spark's OWN stateful streaming aggregation — the events table
+    replays as 3 micro-batches; ``groupBy(bucket).max(rank)`` runs as
+    a streaming aggregate in COMPLETE mode (state = the 256 registers
+    in the state store, max-merged per batch by the engine, no custom
+    state code), and the final complete-mode table hash-equals the
+    batch q_sketch_hll registers — driver-recorded proof that the
+    sketch's max-merge is ORDER- AND PARTITION-INDEPENDENT, which is
+    the algebraic property that lets HLL state merge across 1000
+    executors or across micro-batches interchangeably at 100 TB.
+
+    Streaming aggregation state here is bounded by construction
+    (<=256 keys), so no watermark is needed — the canonical
+    'small-keyspace running aggregate' streaming shape."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    d = _tmp_out("stream_hll", sf_dir)
+    in_dir = _write_time_batches(ev, d, 3)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    br = stream.select(
+        F.expr(
+            "CAST(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        ).alias("hv")
+    ).select(
+        (F.col("hv") % 256).cast("int").alias("bucket"),
+        F.expr("hv div 256").alias("v"),
+    )
+    rank = F.when(F.col("v") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.expr("bin(v)"))
+    )
+    agg = br.groupBy("bucket").agg(F.max(rank).cast("int").alias("max_rank"))
+
+    qn = "hll_regs_" + "".join(
+        ch if ch.isalnum() else "_" for ch in os.path.basename(d)
+    )
+    run_available_now(
+        agg.writeStream.outputMode("complete").format("memory").queryName(qn),
+        "q_stream_hll",
+        spark,
+    )
+    return spark.table(qn)
