@@ -280,3 +280,74 @@ def q_lake_delete(spark, sf_dir):
     return t.select(
         "custkey", "name", mround("acctbal").alias("acctbal"), "segment"
     )
+
+
+@register(
+    "q_lake_compact",
+    oracle=f"""
+    WITH {_SQL_SRC}
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {sql_mround('CAST(SUM(CAST(acctbal AS DECIMAL(30,6))) AS DOUBLE)')}
+               AS bal,
+           CAST(1 AS BIGINT) AS n_files
+    FROM merged
+    GROUP BY segment
+    """,
+)
+def q_lake_compact(spark, sf_dir):
+    """Small-file COMPACTION as a snapshot: seed the table with a
+    deliberately fragmented layout (range-split input → many small
+    files per partition), MERGE (snapshot 1 adds more), then
+    ``compact`` (operators/lakehouse.py) bin-packs every partition to
+    exactly ONE file in snapshot 2. The result reads the compacted
+    snapshot and joins per-segment content aggregates with the
+    per-segment FILE COUNT from the manifest — so the hash oracle
+    pins BOTH invariants at once: compaction changed no logical
+    content (the aggregates equal the relational merge) and the
+    layout really is one file per partition (n_files == 1, the
+    literal the oracle expects).
+
+    Scale: small-file pathology is what a streaming-ingested lake
+    accumulates — at 100 TB, footer+task overhead of millions of
+    KB-files dominates scan cost before data volume does. The rewrite
+    cost is O(selected partitions), parallelism = partition count,
+    untouched snapshots stay time-travelable (compaction is just
+    another commit; vacuum — test-tier — is the separate physical
+    reclaim step)."""
+    from ..operators.lakehouse import compact, load_manifest
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .repartitionByRange(8, "custkey")  # fragment: ~8 files/partition
+    )
+    root = _tmp_out("lakecompact", sf_dir)
+    create_table(c, root, "segment")
+    merge_cow(spark, root, _merge_source(spark, sf_dir), _merge_fn)
+    v = compact(spark, root)
+
+    m = load_manifest(root, v)
+    counts: dict[str, int] = {}
+    for f in m["files"]:
+        counts[str(f["partition"])] = counts.get(str(f["partition"]), 0) + 1
+    nf = spark.createDataFrame(
+        [(k, v_) for k, v_ in sorted(counts.items())],
+        "segment string, n_files bigint",
+    )
+
+    t = read_table(spark, root, version=v)
+    agg = t.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        mround(
+            F.sum(F.col("acctbal").cast("decimal(30,6)")).cast("double")
+        ).alias("bal"),
+    )
+    return agg.join(F.broadcast(nf), "segment").select(
+        "segment", "n_rows", "bal", "n_files"
+    )

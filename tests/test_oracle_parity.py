@@ -112,12 +112,14 @@ def test_contract_is_complete(registry):
     the late coverage additions (q_source_orc, q_join_asof_fwd,
     q_join_asof_tol, q_evt_cep, q_dedup_prefix, q_emb_pca —
     plans/coverage.py), and q_stream_cep (the CEP NFA as a stateful
-    stream, hash-exact against the batch oracle), and q_stream_hll
-    (the HLL registers maintained by Spark's own stateful streaming
-    aggregation in complete mode): 156 = 151 hash + 5 rows-only."""
+    stream, hash-exact against the batch oracle), q_stream_hll (the
+    HLL registers maintained by Spark's own stateful streaming
+    aggregation in complete mode), and q_lake_compact (small-file
+    bin-packing as a snapshot, content + layout both hash-pinned):
+    157 = 152 hash + 5 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 156, sorted(queries)
-    assert len(oracles) == 151
+    assert len(queries) == 157, sorted(queries)
+    assert len(oracles) == 152
     # Exactly the five contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
