@@ -175,3 +175,27 @@ def test_skewed_cluster_recall_and_occupancy(spark):
     got = {(r.query_id, r.neighbor_id) for r in top}
     hits = sum((i, 10000 + i) in got for i in range(20))
     assert hits >= 17, f"skewed-cluster planted recall {hits}/20"
+
+
+def test_multi_table_dominates_single_table(spark, registry):
+    """More candidate tables can only improve (or keep) the exact
+    re-ranked top-k: for every query, q_sim_ann_multi's k-th best
+    similarity must be >= q_sim_ann's (table 0 of the multi geometry
+    IS q_sim_ann's table, so its candidates are a superset)."""
+    from collections import defaultdict
+
+    from conftest import SF_SMOKE
+
+    queries, _ = registry
+    single = defaultdict(list)
+    for r in queries["q_sim_ann"](spark, SF_SMOKE).collect():
+        single[r.query_id].append(r.sim)
+    multi = defaultdict(list)
+    for r in queries["q_sim_ann_multi"](spark, SF_SMOKE).collect():
+        multi[r.query_id].append(r.sim)
+
+    assert set(single) <= set(multi)
+    for q, sims in single.items():
+        assert len(multi[q]) >= len(sims)
+        for rank, s in enumerate(sorted(sims, reverse=True)):
+            assert sorted(multi[q], reverse=True)[rank] >= s

@@ -114,12 +114,13 @@ def test_contract_is_complete(registry):
     plans/coverage.py), and q_stream_cep (the CEP NFA as a stateful
     stream, hash-exact against the batch oracle), q_stream_hll (the
     HLL registers maintained by Spark's own stateful streaming
-    aggregation in complete mode), and q_lake_compact (small-file
-    bin-packing as a snapshot, content + layout both hash-pinned):
-    157 = 152 hash + 5 rows-only."""
+    aggregation in complete mode), q_lake_compact (small-file
+    bin-packing as a snapshot, content + layout both hash-pinned),
+    and q_sim_ann_multi (two-table LSH ANN, candidate union +
+    dedup + exact re-rank): 158 = 153 hash + 5 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 157, sorted(queries)
-    assert len(oracles) == 152
+    assert len(queries) == 158, sorted(queries)
+    assert len(oracles) == 153
     # Exactly the five contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
