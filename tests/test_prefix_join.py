@@ -25,15 +25,17 @@ def _brute(docs, t_num=19, t_den=20):
 
 
 def _run(spark, registry, docs, tmp_path, tag):
+    # doc ids are %4-aligned: the registered query scopes its input
+    # to doc_id % 4 == 0 (see q_dedup_prefix's INPUT SCOPE note)
     df = spark.createDataFrame(
-        [(i, t, "en", "test", len(t)) for i, t in docs],
+        [(i * 4, t, "en", "test", len(t)) for i, t in docs],
         "doc_id bigint, text string, lang string, source string, n_chars bigint",
     )
     sf = str(tmp_path / f"pfx_{tag}")
     df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
     queries, _ = registry
     rows = queries["q_dedup_prefix"](spark, sf).collect()
-    got = {(r.doc_a, r.doc_b) for r in rows}
+    got = {(r.doc_a // 4, r.doc_b // 4) for r in rows}
     assert got == _brute(docs), (got, _brute(docs))
     # And the integer Jaccard columns must be self-consistent.
     for r in rows:
