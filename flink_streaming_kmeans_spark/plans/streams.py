@@ -16,6 +16,8 @@ strongest oracle tier its state shape admits:
 - q_stream_cep      (hash): keyed CEP NFA state advanced per batch
 - q_stream_hll      (hash): HLL registers as a complete-mode
   stateful streaming aggregate (engine-managed <=256-key state)
+- q_stream_join_left (hash): LEFT OUTER interval join — unmatched
+  rows emit on watermark-driven state eviction (sentinel-flushed)
 - q_kmeans_stream_reassign (rows): online k-means under RE-DELIVERY,
   exercising the per-point remove/add arithmetic of the reference
   co-operator (streaming/kmeans.py track_assignments)
@@ -41,7 +43,12 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import mround, sql_mround
 from ..sources.loader import _tmp_out, load_table
-from ..sources.replay import batch_input_dir, run_available_now, time_batch_col
+from ..sources.replay import (
+    append_batch,
+    batch_input_dir,
+    run_available_now,
+    time_batch_col,
+)
 from .registry import register
 
 
@@ -414,11 +421,11 @@ def q_stream_session(spark, sf_dir):
     sent2 = sentinel.where(F.col("event_id") == -2).withColumn(
         "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
     )
-    batched = time_batch_col(ev, 3).unionByName(
-        sent1.withColumn("bno", F.lit(3))
-    ).unionByName(sent2.withColumn("bno", F.lit(4)))
     d = _tmp_out("stream_session", sf_dir)
-    in_dir = batch_input_dir(batched, d, range(5))
+    in_dir = _write_time_batches(ev, d, 3)
+    append_batch(sent1, in_dir, 3)  # appended files, not a union —
+    append_batch(sent2, in_dir, 4)  # see sources/replay.append_batch
+    
 
     state: dict = {}
 
@@ -668,3 +675,121 @@ def q_stream_hll(spark, sf_dir):
         spark,
     )
     return spark.table(qn)
+
+
+@register(
+    "q_stream_join_left",
+    oracle="""
+    SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id
+    FROM events p LEFT JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_stream_join_left(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join — the semantics
+    q_stream_join (inner) cannot show: an unmatched left row emits
+    with NULLs only when the WATERMARK proves no match can still
+    arrive (inner results emit eagerly; outer results are
+    watermark-driven state evictions). Purchases left-join the same
+    user's clicks in the preceding hour; two sentinel batches with
+    far-future rows on BOTH filtered sides push the watermark past
+    the data span after the 3 real batches, flushing every unmatched
+    purchase — so the collected append output equals the batch LEFT
+    interval join exactly (the hash oracle). Sentinels must survive
+    each side's event_type filter (they sit BEFORE the watermark
+    operator, which only sees rows that reach it), so they carry the
+    filtered types with user_id = -1 and are dropped at the sink.
+
+    Scale: identical state shape to the inner join (each side's rows
+    inside watermark+interval, continuously evicted); the outer
+    variant adds only the eviction-time NULL emission. This is the
+    streaming face of enrichment joins that must NOT drop unmatched
+    facts at 100 TB (e.g. orphan purchases feeding a quality
+    monitor)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    top = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    sent_rows = [
+        (-1, -1, "purchase", top),
+        (-2, -1, "click", top),
+        (-3, -1, "purchase", top),
+        (-4, -1, "click", top),
+    ]
+    sent = spark.createDataFrame(sent_rows, ev.schema).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 3 DAYS")
+    )
+    s1 = sent.where(F.col("event_id") >= -2)
+    s2 = sent.where(F.col("event_id") < -2).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    # 2 real batches + 2 sentinel batches (appended as their own
+    # files — sources/replay.append_batch — NOT unioned into the
+    # main write, which was measured 8x slower): the outer
+    # semantics need only (a) a batch boundary inside the data for
+    # mid-stream evictions and (b) the sentinel pair to flush the
+    # tail.
+    d = _tmp_out("stream_join_left", sf_dir)
+    in_dir = _write_time_batches(ev, d, 2)
+    append_batch(s1, in_dir, 2)
+    append_batch(s2, in_dir, 3)
+
+    def src():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+        )
+
+    p = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+        "leftOuter",
+    ).select("user_id", "p_id", "c_id")
+
+    got: list = []
+
+    def sink(batch_df, _bid):
+        got.extend(
+            (int(r.user_id), int(r.p_id), None if r.c_id is None else int(r.c_id))
+            for r in batch_df.collect()
+            if r.user_id >= 0
+        )
+
+    _run_available_now(
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt")),
+        "q_stream_join_left",
+        spark,
+        partitions=2,
+    )
+    rows = sorted(got, key=lambda t: (t[0], t[1], -1 if t[2] is None else t[2]))
+    return spark.createDataFrame(
+        rows, "user_id bigint, p_id bigint, c_id bigint"
+    )

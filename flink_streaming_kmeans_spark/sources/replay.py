@@ -101,3 +101,25 @@ def run_available_now(
             raise RuntimeError(
                 f"{name}: streaming query exceeded {timeout} s"
             )
+
+
+def append_batch(df: DataFrame, in_dir: str, k: int) -> str:
+    """Append one more micro-batch file AFTER a batch_input_dir
+    sequence — the sentinel watermark-driver batches the session/
+    outer-join drives need. Writes ``df`` as one parquet file named
+    batch-{k:05d} with the next monotone mtime.
+
+    Exists because the obvious alternative — unioning the sentinel
+    rows into the main frame before the partitionBy write — was
+    measured 8x slower (100k-row staged write 1.1 s -> 8.2 s at
+    sf0.1): the union of a local-relation frame into the windowed
+    branch defeats the single-pass plan. Writing the 2-row sentinel
+    frames separately costs milliseconds."""
+    stage = os.path.join(in_dir, f"_sent_stage_{k}")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    f = next(x for x in sorted(os.listdir(stage)) if x.endswith(".parquet"))
+    dst = os.path.join(in_dir, f"batch-{k:05d}.parquet")
+    shutil.move(os.path.join(stage, f), dst)
+    shutil.rmtree(stage, ignore_errors=True)
+    os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    return dst

@@ -116,11 +116,12 @@ def test_contract_is_complete(registry):
     HLL registers maintained by Spark's own stateful streaming
     aggregation in complete mode), q_lake_compact (small-file
     bin-packing as a snapshot, content + layout both hash-pinned),
-    and q_sim_ann_multi (two-table LSH ANN, candidate union +
-    dedup + exact re-rank): 158 = 153 hash + 5 rows-only."""
+    q_sim_ann_multi (two-table LSH ANN, candidate union + dedup +
+    exact re-rank), and q_stream_join_left (watermark-driven outer
+    emission): 159 = 154 hash + 5 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 158, sorted(queries)
-    assert len(oracles) == 153
+    assert len(queries) == 159, sorted(queries)
+    assert len(oracles) == 154
     # Exactly the five contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
