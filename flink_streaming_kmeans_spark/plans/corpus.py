@@ -1,6 +1,6 @@
 """Round-5 corpus-statistics + storage-layout operators.
 
-Thirteen more training-data-pipeline / OLAP primitives over the
+Fifteen more training-data-pipeline / OLAP primitives over the
 documents / embeddings / events / TPC-H tables, all hash-tier:
 
 - q_text_heavy_hitters: corpus-level frequent-token top-k — the
@@ -20,9 +20,11 @@ documents / embeddings / events / TPC-H tables, all hash-tier:
   event sequences — all-integer probabilities (p_e4).
 - q_evt_anomaly: per-user 3-sigma outlier detection — float math only
   in the (bit-identical) filter threshold; output is integers + tag.
-- q_tpch_q3 / q_tpch_q5: the classic TPC-H shipping-priority and
-  local-supplier-volume join trees adapted to this schema — selective
-  fact joins, dim broadcasts, decimal-exact revenue.
+- q_tpch_q3 / q_tpch_q5 / q_tpch_q10 / q_tpch_q18: the classic
+  TPC-H shipping-priority, local-supplier-volume, returned-item,
+  and large-volume-customer join trees adapted to this schema —
+  selective fact joins, dim broadcasts, HAVING semi-join-back,
+  decimal-exact revenue/quantity.
 - q_evt_basket: market-basket co-occurrence lift between event types,
   all-integer lift_e4.
 - q_profile_table: per-column null/distinct/min-max profiling (the
@@ -1023,3 +1025,105 @@ def q_neg_sample(spark, sf_dir):
         .where(F.col("rank") <= 4)
         .select("custkey", "item", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting) adapted: the top-20
+    customers by revenue lost to returns in a half-year window —
+    the classic churn-analysis join tree (fact⋈fact with BOTH
+    selective predicates + two dim joins + grouped top-k).
+
+    Plan: the o_orderdate window pushes to the orders scan and
+    l_returnflag = 'R' to the lineitem scan (each fact pre-thinned
+    before the orderkey shuffle join); nation broadcasts, customer
+    joins on the shuffled custkey; revenue through exact-decimal
+    dsum; top-20 is TakeOrderedAndProject tie-broken by c_custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    j = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 180
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS odate,
+           {sql_dsum("l_quantity", "total_qty")}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers) adapted: every order whose
+    total quantity exceeds 180, with its customer and exact total —
+    the canonical HAVING-subquery + semi-join-back shape.
+
+    Plan: the `big` aggregate runs once (orderkey-keyed partial+final
+    HashAggregate), then rejoins the fact as a SEMI join on orderkey
+    — at 100 TB the semi side is the tiny qualifying tail, so AQE
+    turns it into a broadcast semi join and the fact is scanned
+    exactly twice (once to find big orders, once to report them);
+    quantities sum through the exact-decimal dsum on both passes."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("q"))
+        .where(F.col("q") > 180)
+        .select("l_orderkey")
+    )
+    j = (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "semi")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+    )
+    return j.groupBy(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    ).agg(dsum(F.col("l_quantity"), "total_qty"))

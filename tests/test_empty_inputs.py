@@ -104,6 +104,8 @@ EMPTY_CHECKED = [
     "q_evt_cep",  # empty sequence aggregate, replace-trick on ''
     "q_dedup_prefix",  # empty corpus -> empty prefix buckets
     "q_sketch_quantile",  # NULL min/max stats row, empty histogram
+    "q_tpch_q10",  # top-k over an empty join tree
+    "q_tpch_q18",  # HAVING aggregate + semi join over empty facts
 ]
 
 

@@ -117,11 +117,13 @@ def test_contract_is_complete(registry):
     aggregation in complete mode), q_lake_compact (small-file
     bin-packing as a snapshot, content + layout both hash-pinned),
     q_sim_ann_multi (two-table LSH ANN, candidate union + dedup +
-    exact re-rank), and q_stream_join_left (watermark-driven outer
-    emission): 159 = 154 hash + 5 rows-only."""
+    exact re-rank), q_stream_join_left (watermark-driven outer
+    emission), and q_tpch_q10/q_tpch_q18 (returned-item and
+    large-volume-customer join trees): 161 = 156 hash + 5
+    rows-only."""
     queries, oracles = registry
-    assert len(queries) == 159, sorted(queries)
-    assert len(oracles) == 154
+    assert len(queries) == 161, sorted(queries)
+    assert len(oracles) == 156
     # Exactly the five contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
