@@ -18,6 +18,8 @@ strongest oracle tier its state shape admits:
   stateful streaming aggregate (engine-managed <=256-key state)
 - q_stream_join_left (hash): LEFT OUTER interval join — unmatched
   rows emit on watermark-driven state eviction (sentinel-flushed)
+- q_stream_quantile (hash): the 128-bin histogram as a
+  complete-mode streaming aggregate + batch quantile finisher
 - q_kmeans_stream_reassign (rows): online k-means under RE-DELIVERY,
   exercising the per-point remove/add arithmetic of the reference
   co-operator (streaming/kmeans.py track_assignments)
@@ -39,6 +41,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import mround, sql_mround
@@ -792,4 +795,110 @@ def q_stream_join_left(spark, sf_dir):
     rows = sorted(got, key=lambda t: (t[0], t[1], -1 if t[2] is None else t[2]))
     return spark.createDataFrame(
         rows, "user_id bigint, p_id bigint, c_id bigint"
+    )
+
+
+@register(
+    "q_stream_quantile",
+    # Oracle: identical to q_sketch_quantile's batch answer (inline;
+    # lockstep with plans/sketches.q_sketch_quantile).
+    oracle="""
+    WITH stats AS (
+        SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx FROM documents
+    ), b AS (
+        SELECT ((n_chars - mn) * 128) // (mx - mn + 1) AS bin
+        FROM documents, stats
+    ), h AS (
+        SELECT bin, COUNT(*) AS n FROM b GROUP BY bin
+    ), c AS (
+        SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum,
+               SUM(n) OVER () AS total
+        FROM h
+    ), probes AS (
+        SELECT CAST(p AS INT) AS p
+        FROM unnest([50, 90, 95, 99]) t(p)
+    ), hit AS (
+        SELECT probes.p, MIN(c.bin) AS bin
+        FROM probes JOIN c ON 100 * c.cum >= probes.p * c.total
+        GROUP BY probes.p
+    )
+    SELECT p, bin,
+           mn + (bin * (mx - mn + 1)) // 128 AS lo,
+           mn + ((bin + 1) * (mx - mn + 1)) // 128 - 1 AS hi
+    FROM hit, stats
+    """,
+)
+def q_stream_quantile(spark, sf_dir):
+    """STREAMING quantile sketch: the 128-bin histogram maintained by
+    Spark's own stateful streaming aggregation (complete mode,
+    engine-managed <=128-key counter state — the linear-sketch twin
+    of q_stream_hll's max-merge registers: counters SUM across
+    micro-batches exactly as they sum across executors), then the
+    quantile probe runs as a batch finisher over the final 128-row
+    register table. Hash-equals q_sketch_quantile's batch answer —
+    driver-recorded proof the histogram is a mergeable linear sketch
+    under micro-batch arrival.
+
+    The bin domain (min/max) is computed on the bounded table before
+    the drive — in production the codebook comes from a prior pass
+    or a fixed domain, same as q_emb_quantize's codebook; the
+    streaming part is the counter state, which is the part that must
+    merge. Documents replay as 3 batches split by doc_id ranges
+    (ANY split works — sums are order-independent; no event-time
+    column exists on documents, and none is needed: no watermark,
+    bounded keyspace)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    stats_row = d.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    ).collect()[0]
+    mn, mx = stats_row.mn, stats_row.mx
+    width = (mx - mn + 1) if mn is not None else 1
+
+    dd = _tmp_out("stream_quantile", sf_dir)
+    batched = d.withColumn(
+        "bno", F.ntile(3).over(W.orderBy("doc_id")) - 1
+    )
+    in_dir = batch_input_dir(batched, dd, range(3))
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    hist = (
+        stream.select(
+            F.expr(f"((n_chars - {mn}) * 128) div {width}").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qn = "qhist_" + "".join(
+        ch if ch.isalnum() else "_" for ch in os.path.basename(dd)
+    )
+    run_available_now(
+        hist.writeStream.outputMode("complete").format("memory").queryName(qn),
+        "q_stream_quantile",
+        spark,
+    )
+    h = spark.table(qn)
+
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = h.select(
+        "bin",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    probes = spark.createDataFrame([(50,), (90,), (95,), (99,)], "p int")
+    hit = (
+        F.broadcast(probes)
+        .join(c, 100 * F.col("cum") >= F.col("p") * F.col("total"))
+        .groupBy("p")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        "p",
+        "bin",
+        F.expr(f"{mn} + (bin * {width}) div 128").alias("lo"),
+        F.expr(f"{mn} + ((bin + 1) * {width}) div 128 - 1").alias("hi"),
     )

@@ -118,12 +118,13 @@ def test_contract_is_complete(registry):
     bin-packing as a snapshot, content + layout both hash-pinned),
     q_sim_ann_multi (two-table LSH ANN, candidate union + dedup +
     exact re-rank), q_stream_join_left (watermark-driven outer
-    emission), and q_tpch_q10/q_tpch_q18 (returned-item and
-    large-volume-customer join trees): 161 = 156 hash + 5
-    rows-only."""
+    emission), q_tpch_q10/q_tpch_q18 (returned-item and
+    large-volume-customer join trees), and q_stream_quantile (the
+    histogram as a complete-mode streaming aggregate): 162 = 157
+    hash + 5 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 161, sorted(queries)
-    assert len(oracles) == 156
+    assert len(queries) == 162, sorted(queries)
+    assert len(oracles) == 157
     # Exactly the five contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",

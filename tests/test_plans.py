@@ -447,3 +447,20 @@ def test_sketch_quantile_histogram_combines_map_side(plans):
     p = plans("q_sketch_quantile")
     assert len(re.findall(r"HashAggregate", p)) >= 2
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q10_predicates_push_to_both_fact_scans(plans):
+    p = plans("q_tpch_q10")
+    assert "TakeOrderedAndProject" in p
+    seg = [s[:400] for s in p.split("PushedFilters")[1:]]
+    assert any("o_orderdate" in x for x in seg), seg
+    assert any("l_returnflag" in x for x in seg), seg
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q18_semi_joins_back_the_qualifying_tail(plans):
+    # the HAVING subquery must come back as a semi join (never a full
+    # join materializing big-order lineitems twice)
+    p = plans("q_tpch_q18")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
