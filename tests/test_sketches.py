@@ -98,3 +98,58 @@ def test_quantile_sketch_brackets_exact_percentiles(spark, registry):
     for p, (lo, hi) in rows.items():
         exact = vals[math.ceil(p * len(vals) / 100) - 1]
         assert lo <= exact <= hi, (p, lo, exact, hi)
+
+
+def test_streaming_sketch_state_is_split_invariant(spark, registry, tmp_path):
+    """The algebraic claim behind q_stream_hll/q_stream_quantile:
+    sketch state merges the same whatever the micro-batch split is.
+    Replay the same rows split by HASH (not time) through the same
+    complete-mode aggregate shape and compare to the batch sketch."""
+    import os
+
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+    from flink_streaming_kmeans_spark.sources.replay import (
+        batch_input_dir,
+        run_available_now,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id")
+    hv = F.expr(
+        "CAST(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+    def registers(df):
+        br = df.select(hv.alias("hv")).select(
+            (F.col("hv") % 256).cast("int").alias("bucket"),
+            F.expr("hv div 256").alias("v"),
+        )
+        rank = F.when(F.col("v") == 0, F.lit(53)).otherwise(
+            F.lit(53) - F.length(F.expr("bin(v)"))
+        )
+        return br.groupBy("bucket").agg(F.max(rank).cast("int").alias("max_rank"))
+
+    batch = {r.bucket: r.max_rank for r in registers(ev).collect()}
+
+    d = str(tmp_path / "hash_split")
+    os.makedirs(d)
+    in_dir = batch_input_dir(
+        ev.withColumn("bno", (F.col("user_id") % 3).cast("int")), d, range(3)
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    run_available_now(
+        registers(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hash_split_regs"),
+        "split_invariance",
+        spark,
+    )
+    streamed = {
+        r.bucket: r.max_rank for r in spark.table("hash_split_regs").collect()
+    }
+    assert streamed == batch
