@@ -106,6 +106,7 @@ EMPTY_CHECKED = [
     "q_sketch_quantile",  # NULL min/max stats row, empty histogram
     "q_tpch_q10",  # top-k over an empty join tree
     "q_tpch_q18",  # HAVING aggregate + semi join over empty facts
+    "q_vocab_typo",  # deletion-variant join over an empty vocabulary
 ]
 
 

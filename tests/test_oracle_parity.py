@@ -119,12 +119,13 @@ def test_contract_is_complete(registry):
     q_sim_ann_multi (two-table LSH ANN, candidate union + dedup +
     exact re-rank), q_stream_join_left (watermark-driven outer
     emission), q_tpch_q10/q_tpch_q18 (returned-item and
-    large-volume-customer join trees), and q_stream_quantile (the
-    histogram as a complete-mode streaming aggregate): 162 = 157
-    hash + 5 rows-only."""
+    large-volume-customer join trees), q_stream_quantile (the
+    histogram as a complete-mode streaming aggregate), and
+    q_vocab_typo (FastSS deletion-neighborhood edit-distance join):
+    163 = 158 hash + 5 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 162, sorted(queries)
-    assert len(oracles) == 157
+    assert len(queries) == 163, sorted(queries)
+    assert len(oracles) == 158
     # Exactly the five contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
