@@ -629,3 +629,69 @@ def test_stream_cep_counts_pattern_straddling_batch_boundary(spark, registry, tm
         for r in queries["q_stream_cep"](spark, sf).collect()
     }
     assert got == {10: (3, 1, 1), 20: (3, 0, 0)}
+
+
+def test_complete_mode_agg_recovers_from_checkpoint(spark, tmp_path):
+    """Exactly-once resume of streaming aggregate state: run a
+    complete-mode count aggregate over 2 of 3 batch files, let the
+    query terminate, append the 3rd file, and restart from the SAME
+    checkpoint — the engine must recover the counter state and
+    process ONLY the new file, landing on exactly the batch answer
+    (a re-read of old files would double-count; lost state would
+    under-count)."""
+    import os
+
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+    from flink_streaming_kmeans_spark.sources.replay import (
+        append_batch,
+        batch_input_dir,
+        run_available_now,
+    )
+    from conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "event_type")
+    d = str(tmp_path / "resume")
+    os.makedirs(d)
+    thirds = ev.withColumn(
+        "bno", F.pmod(F.crc32(F.col("user_id").cast("string")), F.lit(3)).cast("int")
+    )
+    in_dir = batch_input_dir(thirds, d, range(2))  # only batches 0,1
+    ckpt = os.path.join(d, "ckpt")
+
+    def agg_of(stream_df):
+        return stream_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def run(qname):
+        stream = (
+            spark.readStream.schema(ev.drop("bno").schema if "bno" in ev.columns else ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        run_available_now(
+            agg_of(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt),
+            qname,
+            spark,
+        )
+
+    run("resume_pass1")
+    partial = {r.event_type: r.n for r in spark.table("resume_pass1").collect()}
+
+    third = thirds.where(F.col("bno") == 2).drop("bno")
+    append_batch(third, in_dir, 2)
+    run("resume_pass2")
+    final = {r.event_type: r.n for r in spark.table("resume_pass2").collect()}
+
+    batch = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final == batch, (final, batch)
+    # and pass 1 was genuinely partial (state had something to resume)
+    assert sum(partial.values()) < sum(batch.values())
