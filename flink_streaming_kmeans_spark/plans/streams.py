@@ -6,7 +6,7 @@ Reference analog: the Flink demo is a streaming engine end-to-end
 (SURVEY.md §1.1 [PK]; checkout was empty) — its pipeline is a
 continuous source → stateful operators → continuous sink. The batch
 registry proves operator SEMANTICS; this module proves the streaming
-EXECUTION of three of them equals those semantics, each with the
+EXECUTION of nine of them equals those semantics, each with the
 strongest oracle tier its state shape admits:
 
 - q_stream_dedup    (hash): stateful dropDuplicatesWithinWatermark
@@ -27,9 +27,8 @@ strongest oracle tier its state shape admits:
 WINDOW NOTE (r4 verdict task 8): these register AFTER the round-5
 correctness window, which was dictated query-by-query by the r4
 verdict (task 1) and is full. The round-6 rotation plan lives in
-plans/corpus.py (the later r5 additions extended it; the 50-slot sum
-stays exact there). Do NOT add further out-of-window queries without
-extending that plan.
+plans/sketches.py's docstring (corpus.py's note defers to it). Do
+NOT add further out-of-window queries without extending that plan.
 
 The event-time drives replay their tables as CONTIGUOUS TIME-RANGE
 micro-batch files (sources/replay.py; monotone mtimes pin
