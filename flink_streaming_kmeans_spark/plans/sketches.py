@@ -48,10 +48,9 @@ WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
 correctness window — see the superseding round-6 rotation plan at
 the bottom of this docstring, which plans/corpus.py's note defers
 to. Round-6 window (50 slots): sketches(4) + coverage(9) +
-corpus(15) + streams(9) + events(8) + udf(4) + lakehouse(first 1)
-= 50 exactly. relational/scalars/ml/llm/textops/windows (and
-lakehouse's last four queries) keep their r3/r4 green rows and
-rotate in round 7.
+corpus(15) + streams(10) + events(8) + udf(4) = 50 exactly.
+lakehouse/relational/scalars/ml/llm/textops/windows keep their
+r3/r4 green rows and rotate in round 7.
 """
 
 from __future__ import annotations

@@ -6,7 +6,7 @@ Reference analog: the Flink demo is a streaming engine end-to-end
 (SURVEY.md §1.1 [PK]; checkout was empty) — its pipeline is a
 continuous source → stateful operators → continuous sink. The batch
 registry proves operator SEMANTICS; this module proves the streaming
-EXECUTION of nine of them equals those semantics, each with the
+EXECUTION of ten of them equals those semantics, each with the
 strongest oracle tier its state shape admits:
 
 - q_stream_dedup    (hash): stateful dropDuplicatesWithinWatermark
@@ -20,6 +20,8 @@ strongest oracle tier its state shape admits:
   rows emit on watermark-driven state eviction (sentinel-flushed)
 - q_stream_quantile (hash): the 128-bin histogram as a
   complete-mode streaming aggregate + batch quantile finisher
+- q_stream_topk    (hash): heavy-hitter counters as a complete-mode
+  streaming aggregate + exact top-20 finisher
 - q_kmeans_stream_reassign (rows): online k-means under RE-DELIVERY,
   exercising the per-point remove/add arithmetic of the reference
   co-operator (streaming/kmeans.py track_assignments)
@@ -900,4 +902,67 @@ def q_stream_quantile(spark, sf_dir):
         "bin",
         F.expr(f"{mn} + (bin * {width}) div 128").alias("lo"),
         F.expr(f"{mn} + ((bin + 1) * {width}) div 128 - 1").alias("hi"),
+    )
+
+
+@register(
+    "q_stream_topk",
+    # Oracle: identical to q_text_heavy_hitters' batch answer
+    # (inline; lockstep with plans/corpus.q_text_heavy_hitters).
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), c AS (
+        SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    )
+    SELECT tok, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+    FROM c ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def q_stream_topk(spark, sf_dir):
+    """STREAMING heavy hitters: the per-token counters maintained by
+    a complete-mode stateful streaming aggregate over a replayed
+    document stream (tokens explode INSIDE the stream — a stateless
+    narrow op before the stateful count), with the exact top-20+rank
+    finisher running as a batch query over the final counter table.
+    Hash-equals q_text_heavy_hitters' batch answer — the counter
+    state sums across micro-batches exactly as across executors
+    (same linear-sketch algebra as q_stream_quantile's histogram;
+    the vocabulary IS the keyspace, which this corpus bounds at ~31 —
+    at 100 TB you'd cap state with the CMS (q_sketch_cms) and keep
+    exact counters only for its candidate heavy hitters, the
+    standard two-tier topology).
+
+    Documents replay as 3 doc_id-split batches: no event-time column
+    exists and none is needed (sums are order-independent — the
+    split-invariance law asserted in tests/test_sketches.py)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dd = _tmp_out("stream_topk", sf_dir)
+    batched = d.withColumn(
+        "bno", F.ntile(3).over(W.orderBy("doc_id")) - 1
+    )
+    in_dir = batch_input_dir(batched, dd, range(3))
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    counts = (
+        stream.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qn = "topk_" + "".join(
+        ch if ch.isalnum() else "_" for ch in os.path.basename(dd)
+    )
+    run_available_now(
+        counts.writeStream.outputMode("complete").format("memory").queryName(qn),
+        "q_stream_topk",
+        spark,
+    )
+    top = spark.table(qn).orderBy(F.desc("n"), "tok").limit(20)
+    return top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n"), "tok")).cast("int")
     )

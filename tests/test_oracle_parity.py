@@ -122,11 +122,12 @@ def test_contract_is_complete(registry):
     large-volume-customer join trees), q_stream_quantile (the
     histogram as a complete-mode streaming aggregate), and
     q_vocab_typo (FastSS deletion-neighborhood edit-distance join),
-    and q_dq_expect (declarative data-quality expectation sweep):
-    164 = 159 hash + 5 rows-only."""
+    q_dq_expect (declarative data-quality expectation sweep), and
+    q_stream_topk (heavy-hitter counters as a complete-mode
+    streaming aggregate): 165 = 160 hash + 5 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 164, sorted(queries)
-    assert len(oracles) == 159
+    assert len(queries) == 165, sorted(queries)
+    assert len(oracles) == 160
     # Exactly the five contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
