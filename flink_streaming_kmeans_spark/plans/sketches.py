@@ -48,7 +48,9 @@ WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
 correctness window — see the superseding round-6 rotation plan at
 the bottom of this docstring, which plans/corpus.py's note defers
 to. Round-6 window (50 slots): sketches(4) + coverage(9) +
-corpus(15) + streams(10) + events(8) + udf(4) = 50 exactly.
+corpus(15) + streams(10) + events(9, incl. the already-r5-green
+q_json_extract — module rotation is whole-module prefixes) +
+udf(first 3) = 50 exactly. udf's last query and
 lakehouse/relational/scalars/ml/llm/textops/windows keep their
 r3/r4 green rows and rotate in round 7.
 """
@@ -389,4 +391,33 @@ def q_sketch_quantile(spark, sf_dir):
         "bin",
         F.expr(f"mn + (bin * (mx - mn + 1)) div {_QH_BINS}").alias("lo"),
         F.expr(f"mn + ((bin + 1) * (mx - mn + 1)) div {_QH_BINS} - 1").alias("hi"),
+    )
+
+
+def histogram_quantiles(spark, h, mn, width, bins=_QH_BINS, pcts=_QH_PCTS):
+    """Shared quantile finisher over a (bin, n) histogram frame: the
+    cumulative/total windows (sketch-sized data — ≤``bins`` rows),
+    the broadcast probe frame, and the [lo, hi] bin-bound columns.
+    Used by q_sketch_quantile here and q_stream_quantile
+    (plans/streams.py, lazy import) so the two variants cannot
+    silently diverge while claiming the same oracle."""
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = h.select(
+        "bin",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    probes = spark.createDataFrame([(p,) for p in pcts], "p int")
+    hit = (
+        F.broadcast(probes)
+        .join(c, 100 * F.col("cum") >= F.col("p") * F.col("total"))
+        .groupBy("p")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.select(
+        "p",
+        "bin",
+        F.expr(f"{mn} + (bin * {width}) div {bins}").alias("lo"),
+        F.expr(f"{mn} + ((bin + 1) * {width}) div {bins} - 1").alias("hi"),
     )

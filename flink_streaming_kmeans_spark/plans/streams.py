@@ -50,6 +50,7 @@ from ..sources.loader import _tmp_out, load_table
 from ..sources.replay import (
     append_batch,
     batch_input_dir,
+    memory_sink_name,
     run_available_now,
     time_batch_col,
 )
@@ -670,9 +671,7 @@ def q_stream_hll(spark, sf_dir):
     )
     agg = br.groupBy("bucket").agg(F.max(rank).cast("int").alias("max_rank"))
 
-    qn = "hll_regs_" + "".join(
-        ch if ch.isalnum() else "_" for ch in os.path.basename(d)
-    )
+    qn = memory_sink_name("hll_regs_", d)
     run_available_now(
         agg.writeStream.outputMode("complete").format("memory").queryName(qn),
         "q_stream_hll",
@@ -848,18 +847,24 @@ def q_stream_quantile(spark, sf_dir):
     (ANY split works — sums are order-independent; no event-time
     column exists on documents, and none is needed: no watermark,
     bounded keyspace)."""
+    from .sketches import histogram_quantiles  # lazy: registration-order rule
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     stats_row = d.agg(
         F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
     ).collect()[0]
     mn, mx = stats_row.mn, stats_row.mx
-    width = (mx - mn + 1) if mn is not None else 1
+    if mn is None:
+        # Empty table: the batch twin's oracle yields zero rows; the
+        # replay prep would otherwise abort on an empty batch file,
+        # and interpolating None into SQL would be invalid anyway.
+        return spark.createDataFrame(
+            [], "p int, bin bigint, lo bigint, hi bigint"
+        )
+    width = mx - mn + 1
 
     dd = _tmp_out("stream_quantile", sf_dir)
-    batched = d.withColumn(
-        "bno", F.ntile(3).over(W.orderBy("doc_id")) - 1
-    )
-    in_dir = batch_input_dir(batched, dd, range(3))
+    in_dir = _write_time_batches(d, dd, 3, ("doc_id",))
 
     stream = (
         spark.readStream.schema(d.schema)
@@ -873,36 +878,13 @@ def q_stream_quantile(spark, sf_dir):
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    qn = "qhist_" + "".join(
-        ch if ch.isalnum() else "_" for ch in os.path.basename(dd)
-    )
+    qn = memory_sink_name("qhist_", dd)
     run_available_now(
         hist.writeStream.outputMode("complete").format("memory").queryName(qn),
         "q_stream_quantile",
         spark,
     )
-    h = spark.table(qn)
-
-    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    c = h.select(
-        "bin",
-        F.sum("n").over(wc).alias("cum"),
-        F.sum("n").over(wt).alias("total"),
-    )
-    probes = spark.createDataFrame([(50,), (90,), (95,), (99,)], "p int")
-    hit = (
-        F.broadcast(probes)
-        .join(c, 100 * F.col("cum") >= F.col("p") * F.col("total"))
-        .groupBy("p")
-        .agg(F.min("bin").alias("bin"))
-    )
-    return hit.select(
-        "p",
-        "bin",
-        F.expr(f"{mn} + (bin * {width}) div 128").alias("lo"),
-        F.expr(f"{mn} + ((bin + 1) * {width}) div 128 - 1").alias("hi"),
-    )
+    return histogram_quantiles(spark, spark.table(qn), mn, width)
 
 
 @register(
@@ -939,10 +921,7 @@ def q_stream_topk(spark, sf_dir):
     split-invariance law asserted in tests/test_sketches.py)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dd = _tmp_out("stream_topk", sf_dir)
-    batched = d.withColumn(
-        "bno", F.ntile(3).over(W.orderBy("doc_id")) - 1
-    )
-    in_dir = batch_input_dir(batched, dd, range(3))
+    in_dir = _write_time_batches(d, dd, 3, ("doc_id",))
 
     stream = (
         spark.readStream.schema(d.schema)
@@ -954,9 +933,7 @@ def q_stream_topk(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    qn = "topk_" + "".join(
-        ch if ch.isalnum() else "_" for ch in os.path.basename(dd)
-    )
+    qn = memory_sink_name("topk_", dd)
     run_available_now(
         counts.writeStream.outputMode("complete").format("memory").queryName(qn),
         "q_stream_topk",

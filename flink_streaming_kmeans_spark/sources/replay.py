@@ -123,3 +123,11 @@ def append_batch(df: DataFrame, in_dir: str, k: int) -> str:
     shutil.rmtree(stage, ignore_errors=True)
     os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
     return dst
+
+
+def memory_sink_name(prefix: str, d: str) -> str:
+    """A valid single-part memory-sink queryName derived from a tmp
+    dir (dots/dashes in sf-suffixed paths are not identifier chars)."""
+    return prefix + "".join(
+        ch if ch.isalnum() else "_" for ch in os.path.basename(d)
+    )

@@ -666,7 +666,7 @@ def test_complete_mode_agg_recovers_from_checkpoint(spark, tmp_path):
 
     def run(qname):
         stream = (
-            spark.readStream.schema(ev.drop("bno").schema if "bno" in ev.columns else ev.schema)
+            spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(in_dir)
         )
