@@ -337,8 +337,9 @@ _QH_PCTS = (50, 90, 95, 99)
         GROUP BY probes.p
     )
     SELECT p, bin,
-           mn + (bin * (mx - mn + 1)) // {_QH_BINS} AS lo,
-           mn + ((bin + 1) * (mx - mn + 1)) // {_QH_BINS} - 1 AS hi
+           mn + (bin * (mx - mn + 1) + {_QH_BINS} - 1) // {_QH_BINS} AS lo,
+           mn + ((bin + 1) * (mx - mn + 1) + {_QH_BINS} - 1) // {_QH_BINS} - 1
+               AS hi
     FROM hit, stats
     """,
 )
@@ -386,11 +387,22 @@ def q_sketch_quantile(spark, sf_dir):
         .groupBy("p")
         .agg(F.min("bin").alias("bin"))
     )
+    # Bin b holds values v with b = (128*(v-mn)) div width, i.e.
+    # ceil(b*width/128) <= v-mn <= ceil((b+1)*width/128) - 1 — the
+    # bounds need CEIL division. Floor division (the original form)
+    # inverts the bracket whenever width < bins (e.g. a constant
+    # column: width 1 gave hi = lo - 1), caught by the
+    # bracket-law-over-distributions property test.
     return hit.crossJoin(F.broadcast(stats)).select(
         "p",
         "bin",
-        F.expr(f"mn + (bin * (mx - mn + 1)) div {_QH_BINS}").alias("lo"),
-        F.expr(f"mn + ((bin + 1) * (mx - mn + 1)) div {_QH_BINS} - 1").alias("hi"),
+        F.expr(
+            f"mn + (bin * (mx - mn + 1) + {_QH_BINS} - 1) div {_QH_BINS}"
+        ).alias("lo"),
+        F.expr(
+            f"mn + ((bin + 1) * (mx - mn + 1) + {_QH_BINS} - 1)"
+            f" div {_QH_BINS} - 1"
+        ).alias("hi"),
     )
 
 
@@ -415,9 +427,12 @@ def histogram_quantiles(spark, h, mn, width, bins=_QH_BINS, pcts=_QH_PCTS):
         .groupBy("p")
         .agg(F.min("bin").alias("bin"))
     )
+    # Ceil-division bounds — see q_sketch_quantile's in-code note.
     return hit.select(
         "p",
         "bin",
-        F.expr(f"{mn} + (bin * {width}) div {bins}").alias("lo"),
-        F.expr(f"{mn} + ((bin + 1) * {width}) div {bins} - 1").alias("hi"),
+        F.expr(f"{mn} + (bin * {width} + {bins} - 1) div {bins}").alias("lo"),
+        F.expr(
+            f"{mn} + ((bin + 1) * {width} + {bins} - 1) div {bins} - 1"
+        ).alias("hi"),
     )

@@ -823,8 +823,8 @@ def q_stream_join_left(spark, sf_dir):
         GROUP BY probes.p
     )
     SELECT p, bin,
-           mn + (bin * (mx - mn + 1)) // 128 AS lo,
-           mn + ((bin + 1) * (mx - mn + 1)) // 128 - 1 AS hi
+           mn + (bin * (mx - mn + 1) + 127) // 128 AS lo,
+           mn + ((bin + 1) * (mx - mn + 1) + 127) // 128 - 1 AS hi
     FROM hit, stats
     """,
 )

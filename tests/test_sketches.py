@@ -153,3 +153,42 @@ def test_streaming_sketch_state_is_split_invariant(spark, registry, tmp_path):
         r.bucket: r.max_rank for r in spark.table("hash_split_regs").collect()
     }
     assert streamed == batch
+
+
+def test_quantile_sketch_bracket_law_over_random_distributions(
+    spark, registry, tmp_path
+):
+    """Property: for ANY integer distribution — constant (mx == mn,
+    the width-1 edge), skewed, tiny, two-point bimodal — every
+    percentile estimate's [lo, hi] bracket contains the exact lower
+    percentile. Exercises the binning + cumulative + probe logic far
+    from the smoke data's shape."""
+    import math
+    import random
+
+    cases = []
+    rng = random.Random(11)
+    cases.append([7] * 23)  # constant: every bracket must be [7, 7]
+    cases.append([1])  # single row
+    cases.append([0, 10000])  # extreme two-point spread
+    cases.append([rng.randint(0, 50) for _ in range(199)])  # small domain
+    cases.append(
+        [int(1.5 ** rng.randint(0, 20)) for _ in range(150)]
+    )  # heavy right skew
+    queries, _ = registry
+
+    for ci, vals in enumerate(cases):
+        df = spark.createDataFrame(
+            [(i, "x", "en", "t", v) for i, v in enumerate(vals)],
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint",
+        )
+        sf = str(tmp_path / f"qdist_{ci}")
+        df.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+        rows = {r.p: (r.lo, r.hi) for r in
+                queries["q_sketch_quantile"](spark, sf).collect()}
+        svals = sorted(vals)
+        assert set(rows) == {50, 90, 95, 99}, (ci, rows)
+        for p, (lo, hi) in rows.items():
+            exact = svals[math.ceil(p * len(svals) / 100) - 1]
+            assert lo <= exact <= hi, (ci, p, lo, exact, hi)
