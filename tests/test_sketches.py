@@ -192,3 +192,48 @@ def test_quantile_sketch_bracket_law_over_random_distributions(
         for p, (lo, hi) in rows.items():
             exact = svals[math.ceil(p * len(svals) / 100) - 1]
             assert lo <= exact <= hi, (ci, p, lo, exact, hi)
+
+
+def test_cms_collisions_forced_by_wide_keyspace(spark, registry, tmp_path):
+    """500 distinct keys through a 64-column CMS FORCES collisions:
+    the one-sided law (est >= true) must survive them, and at least
+    one key must actually show est > true — otherwise the sketch
+    isn't being exercised past the injective regime the 5-type smoke
+    data stays in."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+         i % 100, f"type_{i % 500}", 1.0, "{}")
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "cms_wide")
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+    queries, _ = registry
+    out = queries["q_sketch_cms"](spark, sf).collect()
+    assert len(out) == 500
+    assert all(r.est_n >= r.true_n for r in out)
+    assert any(r.est_n > r.true_n for r in out), "no collision exercised"
+
+
+def test_hll_registers_ignore_multiplicity(spark, registry, tmp_path):
+    """Cardinality sketch law: duplicating every row 3x must leave
+    the register file bit-identical (max of identical hash ranks)."""
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    tripled = ev.unionAll(ev).unionAll(ev)
+    base_sf = str(tmp_path / "hll_base")
+    trip_sf = str(tmp_path / "hll_trip")
+    ev.coalesce(1).write.parquet(f"{base_sf}/events.parquet")
+    tripled.coalesce(2).write.parquet(f"{trip_sf}/events.parquet")
+
+    queries, _ = registry
+    a = {r.bucket: r.max_rank for r in queries["q_sketch_hll"](spark, base_sf).collect()}
+    b = {r.bucket: r.max_rank for r in queries["q_sketch_hll"](spark, trip_sf).collect()}
+    assert a == b
