@@ -695,3 +695,60 @@ def test_complete_mode_agg_recovers_from_checkpoint(spark, tmp_path):
     assert final == batch, (final, batch)
     # and pass 1 was genuinely partial (state had something to resume)
     assert sum(partial.values()) < sum(batch.values())
+
+
+def test_stream_cep_nfa_equals_replace_count_on_random_sequences(
+    spark, registry, tmp_path
+):
+    """The risky equivalence under q_stream_cep: its per-user KMP
+    automaton and the batch oracle's replace-trick are DIFFERENT
+    algorithms claiming the same answer. Random per-user sequences
+    (including 'vvcpc'-style prefixes-around-matches) replayed
+    through the streaming NFA must equal Python's non-overlapping
+    str.count and a relaxed-subsequence check — with the 3-batch
+    split landing mid-pattern for many users."""
+    import datetime as dt
+    import random
+    import re
+
+    rng = random.Random(23)
+    types = {"v": "view", "c": "click", "p": "purchase",
+             "e": "error", "s": "signup"}
+    seqs = {}
+    rows = []
+    eid = 0
+    for uid in range(1, 41):
+        s = "".join(rng.choice("vcpes") for _ in range(rng.randint(0, 30)))
+        # plant the adversarial shapes explicitly in a few users
+        if uid == 1:
+            s = "vvcpc"
+        elif uid == 2:
+            s = "vcvcp" * 3
+        elif uid == 3:
+            s = "vcpvcpvcp"
+        seqs[uid] = s
+        for ch in s:
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=eid),
+                 uid, types[ch], 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "cep_rand")
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    queries, _ = registry
+    got = {
+        r.user_id: (r.n_events, r.n_funnels, r.converted)
+        for r in queries["q_stream_cep"](spark, sf).collect()
+    }
+    want = {
+        uid: (len(s), s.count("vcp"), 1 if re.search("v.*c.*p", s) else 0)
+        for uid, s in seqs.items()
+        if s  # users with zero events never enter the stream
+    }
+    assert got == want
