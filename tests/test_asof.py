@@ -154,3 +154,52 @@ def test_forward_randomized_against_bruteforce(spark):
             cands = [(rts, rv) for rk, rts, rv in right if rk == k and rts >= ts]
             want = min(cands)[1] if cands else None
             assert got[lv] == want, (seed, lv, got[lv], want)
+
+
+def test_asof_tol_randomized_against_bruteforce(spark, registry, tmp_path):
+    """q_join_asof_tol only had oracle parity; brute-force it: the
+    nearest prior click within the 3-day window, else NULLs — over
+    random events spanning ~10 days so many nearest-priors fall
+    OUTSIDE the window (the discard-not-replace semantics)."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 1, 1)
+    events = []
+    for uid in range(1, 16):
+        for _ in range(rng.randint(0, 14)):
+            t = base + dt.timedelta(minutes=rng.randint(0, 14400))  # 10 days
+            typ = rng.choice(["click", "purchase", "view"])
+            events.append((eid, t, uid, typ))
+            eid += 1
+    df = spark.createDataFrame(
+        [(e, t, u, ty, 1.5, "{}") for e, t, u, ty in events],
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "asof_tol_rand")
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    queries, _ = registry
+    got = {
+        r.event_id: r.click_id
+        for r in queries["q_join_asof_tol"](spark, sf).collect()
+    }
+
+    tol = dt.timedelta(days=3)
+    clicks = [(e, t, u) for e, t, u, ty in events if ty == "click"]
+    want = {}
+    for e, t, u, ty in events:
+        if ty != "purchase":
+            continue
+        cands = [(ct, ce) for ce, ct, cu in clicks if cu == u and ct <= t]
+        if cands:
+            best_t, _ = max(cands)
+            # the asof tie contract: among equal-ts clicks, max click_id
+            best_e = max(ce for ct, ce in cands if ct == best_t)
+            want[e] = best_e if t - best_t <= tol else None
+        else:
+            want[e] = None
+    assert got == want

@@ -464,3 +464,61 @@ def test_tpch_q18_semi_joins_back_the_qualifying_tail(plans):
     p = plans("q_tpch_q18")
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_dq_expect_planted_violations(spark, registry, tmp_path):
+    """The production data is clean for three of the five
+    expectations; plant every violation type in a synthetic pair of
+    tables and assert the exact counts: 2 duplicate orderkeys, 3
+    NULL custkeys, 4 orphan custkeys, prices at 0 / negative /
+    >450k, and statuses outside {F, O}."""
+    import datetime as dt
+
+    customers = [(i, f"c{i}", 0, 0.0, "BUILDING") for i in range(1, 6)]
+    cdf = spark.createDataFrame(
+        customers,
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    d0 = dt.datetime(2024, 1, 1)
+    orders = [
+        # (okey, custkey, status, price)
+        (1, 1, "F", 100.0),
+        (1, 2, "O", 100.0),   # dup okey (2 rows -> 1 violating key)
+        (2, 2, "O", 100.0),
+        (2, 3, "F", 100.0),   # dup okey
+        (3, None, "F", 100.0),
+        (4, None, "O", 100.0),
+        (5, None, "F", 100.0),  # 3 null custkeys
+        (6, 99, "O", 100.0),
+        (7, 98, "F", 100.0),
+        (8, 97, "O", 100.0),
+        (9, 96, "F", 100.0),  # 4 orphans
+        (10, 1, "F", 0.0),     # price <= 0
+        (11, 2, "O", -5.0),    # price <= 0
+        (12, 3, "F", 500000.0),  # price > 450k
+        (13, 4, "P", 100.0),   # status out of domain
+        (14, 5, "X", 100.0),   # status out of domain
+    ]
+    odf = spark.createDataFrame(
+        [(k, c, s, p, d0, "1-URGENT") for k, c, s, p in orders],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    sf = str(tmp_path / "dq_planted")
+    cdf.coalesce(1).write.parquet(f"{sf}/customer.parquet")
+    odf.coalesce(1).write.parquet(f"{sf}/orders.parquet")
+
+    queries, _ = registry
+    got = {
+        r.expectation: r.n_violations
+        for r in queries["q_dq_expect"](spark, sf).collect()
+    }
+    assert got == {
+        "orderkey_unique": 2,
+        "custkey_not_null": 3,
+        "custkey_in_customer": 4,
+        "totalprice_under_450k": 3,
+        "status_in_F_O": 2,
+    }, got
