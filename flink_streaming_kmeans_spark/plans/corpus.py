@@ -1084,7 +1084,7 @@ def q_tpch_q10(spark, sf_dir):
     WITH big AS (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING SUM(l_quantity) > 180
+        HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 180
     )
     SELECT c_custkey, c_name, o_orderkey,
            CAST(o_orderdate AS DATE) AS odate,
@@ -1100,6 +1100,12 @@ def q_tpch_q18(spark, sf_dir):
     """TPC-H Q18 (large-volume customers) adapted: every order whose
     total quantity exceeds 180, with its customer and exact total —
     the canonical HAVING-subquery + semi-join-back shape.
+
+    The HAVING threshold compares a DECIMAL sum on BOTH engines — a
+    raw double sum is order-dependent in its last ulp, and a qty
+    total landing exactly on the 180 boundary under one summation
+    order but not the other would flip a row in or out (the
+    regenerated-data hazard class from q_text_quality's history).
 
     Plan: the `big` aggregate runs once (orderkey-keyed partial+final
     HashAggregate), then rejoins the fact as a SEMI join on orderkey
