@@ -51,6 +51,11 @@ CANDIDATES = [
     "q_evt_cep",
     # prefix selection depends on the (tf, tok) total order only
     "q_dedup_prefix",
+    # deletion-variant buckets + distinct; five-branch union
+    "q_vocab_typo",
+    "q_dq_expect",
+    # candidate union across two LSH tables + re-rank tie-breaks
+    "q_sim_ann_multi",
 ]
 
 
@@ -82,6 +87,10 @@ PARTITION_SENSITIVE = [
     "q_evt_anomaly",
     # sketch register max-merge must not depend on reducer count
     "q_sketch_hll",
+    # histogram partial-agg + cumulative window over sketch-sized data
+    "q_sketch_quantile",
+    # decimal HAVING threshold must not move with summation order
+    "q_tpch_q18",
 ]
 
 
