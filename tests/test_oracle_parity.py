@@ -122,12 +122,13 @@ def test_contract_is_complete(registry):
     large-volume-customer join trees), q_stream_quantile (the
     histogram as a complete-mode streaming aggregate), and
     q_vocab_typo (FastSS deletion-neighborhood edit-distance join),
-    q_dq_expect (declarative data-quality expectation sweep), and
+    q_dq_expect (declarative data-quality expectation sweep),
     q_stream_topk (heavy-hitter counters as a complete-mode
-    streaming aggregate): 165 = 160 hash + 5 rows-only."""
+    streaming aggregate), and q_ml_score (all-integer linear-model
+    batch inference): 166 = 161 hash + 5 rows-only."""
     queries, oracles = registry
-    assert len(queries) == 165, sorted(queries)
-    assert len(oracles) == 160
+    assert len(queries) == 166, sorted(queries)
+    assert len(oracles) == 161
     # Exactly the five contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_agg_approx_cd",
