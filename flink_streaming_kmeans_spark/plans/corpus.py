@@ -34,11 +34,10 @@ documents / embeddings / events / TPC-H tables, all hash-tier:
 - q_neg_sample: deterministic (RNG-free) negative sampling for
   contrastive/recommendation training — integer mixing + anti-join.
 
-WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
-correctness window. Round-6 rotation plan: SUPERSEDED by the one in
-plans/sketches.py's docstring (which keeps the 50-slot sum exact
-after the sketches/coverage additions). Do NOT add further
-out-of-window queries without extending that plan.
+WINDOW NOTE: inside the round-6 correctness window (module registers
+third). The canonical rotation plan lives in plans/registry.py next
+to ``_MODULES``; do NOT add queries to this module while it is in
+the window prefix.
 
 Reference analog: the reference demo ships no corpus tooling (it is a
 streaming k-means demo — SURVEY.md §1.1 [PK]); these extend the

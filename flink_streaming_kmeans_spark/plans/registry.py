@@ -50,40 +50,35 @@ def register(name: str, oracle: str | None = None):
 # The driver's correctness run records the first 50 registration-ordered
 # queries only, so each round rotates the front of this list to the
 # queries that most need a driver-recorded row (the round-3 judge
-# explicitly ordered this rotation; the round-4 verdict task 1 dictates
-# this round's exact window). Round-5 window (50 slots):
-#   training(6): the round-4 additions that were parked AFTER the
-#     window and so have zero driver evidence;
-#   quality(2): the twice-driver-red q_text_quality (rewritten to emit
-#     BIGINT quality_e4 — plans/quality.py) + the new hash-tier
-#     q_ml_kmeans_iter2 (verdict task 7);
-#   scans(6) + filters(3) + joins(13) + aggs(15) + setops(4): the 41
-#     r2-only queries whose green rows predate two testdata
-#     regenerations — the oldest evidence in the ledger;
-#   events(first 1): q_json_extract takes the last slot (D3-stale).
+# explicitly ordered this rotation; this list is the CANONICAL rotation
+# plan — module docstrings defer here).
+#
+# Round-6 window (50 slots, = the 40 queries with ZERO driver evidence
+# after r5 plus their module-mates; executes round-5 verdict task 1):
+#   sketches(4) + coverage(10) + corpus(15) + streams(10) + events(9)
+#   + udf(first 2) = 50 exactly. events and udf's prefix re-confirm
+#   r2-r4 rows; module rotation is whole-module prefixes.
+#
+# Round-7 plan (covers everything still un-windowed in r6):
+#   udf(4, re-confirming 2) + lakehouse(5) + windows(9) + relational(9)
+#   + scalars(9) + ml(4) + llm(first 10) = 50. Round 8 then fronts
+#   llm(13, re-confirming 10) + textops(16) + training(6) + quality(2)
+#   + scans(first 13) = 50, by which point every registered query has a
+#   driver row no older than two testdata generations.
+#
+# NEVER add queries to modules inside the current window prefix
+# mid-round (it would shift the window and orphan tail queries); new
+# queries go in post-window modules (streaming_ext this round).
 # Order changes registration sequence only — no query semantics depend
 # on it (verified by the full preflight sweep each round).
 _MODULES = [
-    "training",
-    "quality",
-    "scans",
-    "filters",
-    "joins",
-    "aggs",
-    "setops",
+    "sketches",
+    "coverage",
+    "corpus",
+    "streams",
     "events",
-    "streams",  # r5 streaming-evidence additions — OUT of the r5
-    #   window (it was verdict-dictated and full); the r6 rotation
-    #   plan (kept current in plans/corpus.py) puts them first next
-    #   round.
-    "corpus",  # r5 corpus/storage-layout additions — OUT of the r5
-    #   window; covered by the same r6 rotation plan.
-    "sketches",  # r5 hash-verifiable sketch trio — OUT of the r5
-    #   window; the superseding r6 rotation plan lives in
-    #   plans/sketches.py's docstring.
-    "coverage",  # r5 late coverage additions (ORC, forward as-of,
-    #   PCA evidence) — same r6 plan.
     "udf",
+    "streaming_ext",  # r6 additions — OUT of the r6 window by design.
     "lakehouse",
     "windows",
     "relational",
@@ -91,6 +86,13 @@ _MODULES = [
     "ml",
     "llm",
     "textops",
+    "training",
+    "quality",
+    "scans",
+    "filters",
+    "joins",
+    "aggs",
+    "setops",
 ]
 
 

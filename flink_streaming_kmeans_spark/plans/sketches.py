@@ -44,15 +44,10 @@ state); these extend the engine along the brief's training-pipeline
 axis (frequency/membership/cardinality profiling of a 100 TB
 corpus).
 
-WINDOW NOTE: registered AFTER the (verdict-dictated, full) round-5
-correctness window — see the superseding round-6 rotation plan at
-the bottom of this docstring, which plans/corpus.py's note defers
-to. Round-6 window (50 slots): sketches(4) + coverage(10) +
-corpus(15) + streams(10) + events(9, incl. the already-r5-green
-q_json_extract — module rotation is whole-module prefixes) +
-udf(first 2) = 50 exactly. udf's last two queries and
-lakehouse/relational/scalars/ml/llm/textops/windows keep their
-r3/r4 green rows and rotate in round 7.
+WINDOW NOTE: the round-6 rotation plan that used to live here was
+EXECUTED in round 6 (this module now registers first); the canonical
+rotation plan — including the round-7 window — lives in
+plans/registry.py next to ``_MODULES``.
 """
 
 from __future__ import annotations
