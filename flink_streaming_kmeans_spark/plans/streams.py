@@ -81,8 +81,8 @@ def q_stream_dedup(spark, sf_dir):
     as 3 contiguous-time micro-batches with EXACT duplicate rows
     injected (every event_id % 7 == 0 row appears twice in its batch);
     ``dropDuplicatesWithinWatermark(["event_id"])`` under a 2-hour
-    watermark emits each event exactly once, so the collected stream
-    output equals the plain events table — the batch semantics the
+    watermark emits each event exactly once, so the parquet-sink
+    stream output equals the plain events table — the batch semantics the
     hash oracle states. Duplicates are bit-exact copies, so whichever
     copy survives carries identical values (no arrival-order surface).
 
@@ -95,19 +95,6 @@ def q_stream_dedup(spark, sf_dir):
     d = _tmp_out("stream_dedup", sf_dir)
     in_dir = _write_time_batches(ev.unionAll(dups), d, 3)
 
-    # The sink must preserve MULTIPLICITY: if the stateful dedup ever
-    # emitted both copies of a duplicate, collapsing them driver-side
-    # (e.g. keying a dict by event_id) would make this evidence
-    # vacuous — the extra emission has to surface as an extra row and
-    # fail the row-count/hash compare.
-    out: list = []
-
-    def sink(batch_df, _bid):
-        out.extend(
-            (int(r.event_id), r.ts, float(r.value))
-            for r in batch_df.collect()
-        )
-
     deduped = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -115,18 +102,21 @@ def q_stream_dedup(spark, sf_dir):
         .withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
+    # Engine-side sink (r5 verdict task 2): append-mode parquet file
+    # sink — the driver holds nothing data-proportional. The file sink
+    # preserves MULTIPLICITY: if the stateful dedup ever emitted both
+    # copies of a duplicate, the extra row lands in the sink and fails
+    # the row-count/hash compare (a keyed driver dict would mask it).
+    sink_dir = os.path.join(d, "sink")
     _run_available_now(
-        deduped.writeStream.foreachBatch(sink).option(
-            "checkpointLocation", os.path.join(d, "ckpt")
-        ),
+        deduped.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_stream_dedup",
         spark,
     )
 
-    res = spark.createDataFrame(
-        sorted(out), "event_id bigint, ts timestamp, value double"
-    )
-    return res.select(
+    return spark.read.parquet(sink_dir).select(
         "event_id",
         F.date_trunc("second", "ts").alias("ts_s"),
         mround("value").alias("value"),
@@ -197,24 +187,19 @@ def q_stream_join(spark, sf_dir):
         ),
     ).select("user_id", "p_id", "c_id")
 
-    got: list = []
-
-    def sink(batch_df, _bid):
-        got.extend(
-            (int(r.user_id), int(r.p_id), int(r.c_id))
-            for r in batch_df.collect()
-        )
-
+    # Engine-side sink (r5 verdict task 2): append-mode parquet file
+    # sink; every joined pair lands in the sink, nothing
+    # data-proportional crosses the driver.
+    sink_dir = os.path.join(d, "sink")
     _run_available_now(
-        joined.writeStream.foreachBatch(sink)
+        joined.writeStream.format("parquet")
+        .option("path", sink_dir)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_stream_join",
         spark,
     )
-    return spark.createDataFrame(
-        sorted(got), "user_id bigint, p_id bigint, c_id bigint"
-    )
+    return spark.read.parquet(sink_dir)
 
 
 @register(
@@ -399,7 +384,7 @@ def q_stream_session(spark, sf_dir):
     3 contiguous-time micro-batches through a session_window (30 min
     gap) aggregation in APPEND mode (Spark rejects update mode for
     session windows); each session emits exactly once when the
-    watermark passes its end — so the collected append output per
+    watermark passes its end — so the append-mode sink output per
     (user, session_start) equals the batch gaps-and-islands
     sessionization, q_win_session's FULL-VALUE hash oracle.
 
@@ -410,7 +395,8 @@ def q_stream_session(spark, sf_dir):
     real session and trigger the emission batch; the sentinel's own
     (never-finalized) session is excluded by the sink filter. With
     contiguous time-range batches sessions only extend forward, so
-    every real session emits exactly once — the sink asserts that.
+    every real session emits exactly once — asserted in-engine over
+    the sink.
 
     Scale: session state is per (user, open session); the watermark
     evicts closed sessions continuously — the standard continuous
@@ -430,18 +416,6 @@ def q_stream_session(spark, sf_dir):
     in_dir = _write_time_batches(ev, d, 3)
     append_batch(sent1, in_dir, 3)  # appended files, not a union —
     append_batch(sent2, in_dir, 4)  # see sources/replay.append_batch
-    
-
-    state: dict = {}
-
-    def sink(batch_df, _bid):
-        for r in batch_df.collect():
-            if r.user_id < 0:
-                continue  # sentinel watermark-driver
-            key = (int(r.user_id), r.session_start)
-            # append emits each finalized session exactly once
-            assert key not in state, f"session re-emitted: {key}"
-            state[key] = int(r.n_events)
 
     agg = (
         spark.readStream.schema(ev.schema)
@@ -452,18 +426,30 @@ def q_stream_session(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+    # Engine-side sink (r5 verdict task 2): append-mode parquet file
+    # sink; the sentinel filter and the exactly-once assertion run in
+    # Spark over the sink — the driver sees only one boolean.
+    sink_dir = os.path.join(d, "sink")
     _run_available_now(
-        agg.writeStream.foreachBatch(sink)
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_stream_session",
         spark,
     )
 
-    rows = [(u, t, n) for (u, t), n in sorted(state.items())]
-    return spark.createDataFrame(
-        rows, "user_id bigint, session_start timestamp, n_events bigint"
+    res = spark.read.parquet(sink_dir).where(F.col("user_id") >= 0)
+    # Append mode emits each finalized session exactly once; a
+    # re-emission would surface as a duplicate (user, session_start)
+    # key in the sink. Bounded check: one empty/non-empty probe.
+    dups = (
+        res.groupBy("user_id", "session_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
     )
+    assert dups.isEmpty(), "session re-emitted"
+    return res.select("user_id", "session_start", "n_events")
 
 
 @register(
@@ -699,12 +685,13 @@ def q_stream_join_left(spark, sf_dir):
     watermark-driven state evictions). Purchases left-join the same
     user's clicks in the preceding hour; two sentinel batches with
     far-future rows on BOTH filtered sides push the watermark past
-    the data span after the 3 real batches, flushing every unmatched
-    purchase — so the collected append output equals the batch LEFT
+    the data span after the real batches, flushing every unmatched
+    purchase — so the append-mode sink output equals the batch LEFT
     interval join exactly (the hash oracle). Sentinels must survive
     each side's event_type filter (they sit BEFORE the watermark
     operator, which only sees rows that reach it), so they carry the
-    filtered types with user_id = -1 and are dropped at the sink.
+    filtered types with user_id = -1 and are filtered out of the
+    sink read-back.
 
     Scale: identical state shape to the inner join (each side's rows
     inside watermark+interval, continuously evicted); the outer
@@ -775,27 +762,20 @@ def q_stream_join_left(spark, sf_dir):
         "leftOuter",
     ).select("user_id", "p_id", "c_id")
 
-    got: list = []
-
-    def sink(batch_df, _bid):
-        got.extend(
-            (int(r.user_id), int(r.p_id), None if r.c_id is None else int(r.c_id))
-            for r in batch_df.collect()
-            if r.user_id >= 0
-        )
-
+    # Engine-side sink (r5 verdict task 2): append-mode parquet file
+    # sink; the sentinel filter runs in Spark over the sink read-back,
+    # and nothing data-proportional crosses the driver.
+    sink_dir = os.path.join(d, "sink")
     _run_available_now(
-        joined.writeStream.foreachBatch(sink)
+        joined.writeStream.format("parquet")
+        .option("path", sink_dir)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_stream_join_left",
         spark,
         partitions=2,
     )
-    rows = sorted(got, key=lambda t: (t[0], t[1], -1 if t[2] is None else t[2]))
-    return spark.createDataFrame(
-        rows, "user_id bigint, p_id bigint, c_id bigint"
-    )
+    return spark.read.parquet(sink_dir).where(F.col("user_id") >= 0)
 
 
 @register(
@@ -851,7 +831,9 @@ def q_stream_quantile(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     stats_row = d.agg(
-        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.count(F.lit(1)).alias("cnt"),
     ).collect()[0]
     mn, mx = stats_row.mn, stats_row.mx
     if mn is None:
@@ -864,7 +846,10 @@ def q_stream_quantile(spark, sf_dir):
     width = mx - mn + 1
 
     dd = _tmp_out("stream_quantile", sf_dir)
-    in_dir = _write_time_batches(d, dd, 3, ("doc_id",))
+    # ntile(n) leaves trailing batches EMPTY when the table has fewer
+    # rows than batches, and an empty batch file aborts the replay
+    # prep — clamp so 1-2-row corpora still drive (ADVICE r5).
+    in_dir = _write_time_batches(d, dd, min(3, int(stats_row.cnt)), ("doc_id",))
 
     stream = (
         spark.readStream.schema(d.schema)
@@ -921,7 +906,12 @@ def q_stream_topk(spark, sf_dir):
     split-invariance law asserted in tests/test_sketches.py)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dd = _tmp_out("stream_topk", sf_dir)
-    in_dir = _write_time_batches(d, dd, 3, ("doc_id",))
+    # Clamp like q_stream_quantile: ntile(3) on a 1-2-row corpus
+    # leaves empty batch files the replay prep rejects (ADVICE r5).
+    n_batches = min(3, d.limit(3).count())
+    if n_batches == 0:
+        return spark.createDataFrame([], "tok string, n bigint, rank int")
+    in_dir = _write_time_batches(d, dd, n_batches, ("doc_id",))
 
     stream = (
         spark.readStream.schema(d.schema)
