@@ -26,7 +26,7 @@ from ..operators.lakehouse import (
     read_changes,
     read_table,
 )
-from ..sources.loader import _tmp_out, load_table
+from ..sources.loader import _tmp_out, load_table, local_df
 from .registry import register
 
 # Touched partitions for the merge — BUILDING + AUTOMOBILE; the other
@@ -336,7 +336,8 @@ def q_lake_compact(spark, sf_dir):
     counts: dict[str, int] = {}
     for f in m["files"]:
         counts[str(f["partition"])] = counts.get(str(f["partition"]), 0) + 1
-    nf = spark.createDataFrame(
+    nf = local_df(
+        spark,
         [(k, v_) for k, v_ in sorted(counts.items())],
         "segment string, n_files bigint",
     )

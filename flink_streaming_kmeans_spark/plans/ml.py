@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import mround, sql_davg, sql_mround
 from ..operators.kmeans import assign, init_centroids, lloyd_iterate, update
-from ..sources.loader import _tmp_out, fan_out, load_table
+from ..sources.loader import _tmp_out, fan_out, load_table, local_df
 from ..sources.replay import batch_input_dir, run_available_now
 from .registry import register
 
@@ -151,8 +151,8 @@ def q_kmeans_stream(spark, sf_dir):
         (int(c), int(n), float(np.linalg.norm(C_row)))
         for c, n, C_row in zip(skm.cids, skm.n, skm.C)
     ]
-    out = spark.createDataFrame(
-        rows, "cluster_id int, n_points bigint, centroid_norm double"
+    out = local_df(
+        spark, rows, "cluster_id int, n_points bigint, centroid_norm double"
     )
     return out.select(
         "cluster_id", "n_points", mround("centroid_norm").alias("centroid_norm")

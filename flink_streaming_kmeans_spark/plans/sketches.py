@@ -55,7 +55,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..sources.loader import load_table
+from ..sources.loader import load_table, local_df
 from .registry import register
 
 # The shared md5 -> 60-bit-integer bridge (same construction as
@@ -373,9 +373,7 @@ def q_sketch_quantile(spark, sf_dir):
         F.sum("n").over(wc).alias("cum"),
         F.sum("n").over(wt).alias("total"),
     )
-    probes = spark.createDataFrame(
-        [(p,) for p in _QH_PCTS], "p int"
-    )
+    probes = local_df(spark, [(p,) for p in _QH_PCTS], "p int")
     hit = (
         F.broadcast(probes)
         .join(c, 100 * F.col("cum") >= F.col("p") * F.col("total"))
@@ -415,7 +413,7 @@ def histogram_quantiles(spark, h, mn, width, bins=_QH_BINS, pcts=_QH_PCTS):
         F.sum("n").over(wc).alias("cum"),
         F.sum("n").over(wt).alias("total"),
     )
-    probes = spark.createDataFrame([(p,) for p in pcts], "p int")
+    probes = local_df(spark, [(p,) for p in pcts], "p int")
     hit = (
         F.broadcast(probes)
         .join(c, 100 * F.col("cum") >= F.col("p") * F.col("total"))

@@ -46,7 +46,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import mround, sql_mround
-from ..sources.loader import _tmp_out, load_table
+from ..sources.loader import _tmp_out, load_table, local_df
 from ..sources.replay import (
     append_batch,
     batch_input_dir,
@@ -342,7 +342,8 @@ def q_kmeans_stream_reassign(spark, sf_dir):
         (int(c), int(n), float(np.linalg.norm(C_row)), int(n_distinct))
         for c, n, C_row in zip(skm.cids, skm.n, skm.C)
     ]
-    out = spark.createDataFrame(
+    out = local_df(
+        spark,
         rows,
         "cluster_id int, n_points bigint, centroid_norm double,"
         " n_distinct_seen bigint",
@@ -390,32 +391,36 @@ def q_stream_session(spark, sf_dir):
 
     Flushing the tail: in append mode the LAST session of every user
     would sit unfinalized at stream end (its end + gap is beyond the
-    final watermark). Two sentinel batches for a sentinel user
-    (user_id −1, far in the future) advance the watermark past every
-    real session and trigger the emission batch; the sentinel's own
-    (never-finalized) session is excluded by the sink filter. With
-    contiguous time-range batches sessions only extend forward, so
-    every real session emits exactly once — asserted in-engine over
-    the sink.
+    final watermark). One sentinel batch for a sentinel user
+    (user_id −1, far in the future) advances the watermark past every
+    real session; the availableNow trigger's final no-data micro-batch
+    (on by default) then evicts and emits the finalized state. The
+    sentinel's own (never-finalized) session is excluded by the sink
+    filter. With contiguous time-range batches sessions only extend
+    forward, so every real session emits exactly once — asserted
+    in-engine over the sink. Two real batches keep the mid-stream
+    boundary the evidence needs (sessions straddle it and mid-stream
+    emissions fire in batch 1); five batches measured 3x the wall
+    time for identical output (r5 verdict task 3).
 
     Scale: session state is per (user, open session); the watermark
     evicts closed sessions continuously — the standard continuous
     sessionization shape. The batch twin q_win_session proves the
     semantics; this drive proves the streaming EXECUTION matches it.
     """
+    from datetime import timedelta
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     top = ev.agg(F.max("ts").alias("m")).collect()[0].m
-    sentinel = spark.createDataFrame(
-        [(-1, top, -1), (-1, top, -2)], ev.schema
-    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 DAYS"))
-    sent1 = sentinel.where(F.col("event_id") == -1)
-    sent2 = sentinel.where(F.col("event_id") == -2).withColumn(
-        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
-    )
+    # Python timedelta == SQL INTERVAL here: both are fixed 72h
+    # offsets on a UTC timestamp. local_df keeps the 1-row sentinel
+    # write off the Python-RDD path (sources/loader.local_df).
+    t3 = top + timedelta(days=3)
+    sent1 = local_df(spark, [(-1, t3, -1)], ev.schema)
     d = _tmp_out("stream_session", sf_dir)
-    in_dir = _write_time_batches(ev, d, 3)
-    append_batch(sent1, in_dir, 3)  # appended files, not a union —
-    append_batch(sent2, in_dir, 4)  # see sources/replay.append_batch
+    in_dir = _write_time_batches(ev, d, 2)
+    # appended file, not a union — see sources/replay.append_batch
+    append_batch(sent1, in_dir, 2)
 
     agg = (
         spark.readStream.schema(ev.schema)
@@ -691,7 +696,10 @@ def q_stream_join_left(spark, sf_dir):
     each side's event_type filter (they sit BEFORE the watermark
     operator, which only sees rows that reach it), so they carry the
     filtered types with user_id = -1 and are filtered out of the
-    sink read-back.
+    sink read-back. One sentinel batch suffices: the availableNow
+    trigger's final no-data micro-batch (on by default) runs the
+    watermark-driven eviction that emits the NULL rows (r5 verdict
+    task 3 — the second sentinel batch bought nothing).
 
     Scale: identical state shape to the inner join (each side's rows
     inside watermark+interval, continuously evicted); the outer
@@ -699,33 +707,29 @@ def q_stream_join_left(spark, sf_dir):
     streaming face of enrichment joins that must NOT drop unmatched
     facts at 100 TB (e.g. orphan purchases feeding a quality
     monitor)."""
+    from datetime import timedelta
+
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
     top = ev.agg(F.max("ts").alias("m")).collect()[0].m
-    sent_rows = [
-        (-1, -1, "purchase", top),
-        (-2, -1, "click", top),
-        (-3, -1, "purchase", top),
-        (-4, -1, "click", top),
-    ]
-    sent = spark.createDataFrame(sent_rows, ev.schema).withColumn(
-        "ts", F.col("ts") + F.expr("INTERVAL 3 DAYS")
+    # Python timedelta == SQL INTERVAL on a UTC timestamp; local_df
+    # keeps the 2-row sentinel write off the Python-RDD path.
+    t3 = top + timedelta(days=3)
+    s1 = local_df(
+        spark,
+        [(-1, -1, "purchase", t3), (-2, -1, "click", t3)],
+        ev.schema,
     )
-    s1 = sent.where(F.col("event_id") >= -2)
-    s2 = sent.where(F.col("event_id") < -2).withColumn(
-        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
-    )
-    # 2 real batches + 2 sentinel batches (appended as their own
-    # files — sources/replay.append_batch — NOT unioned into the
-    # main write, which was measured 8x slower): the outer
-    # semantics need only (a) a batch boundary inside the data for
-    # mid-stream evictions and (b) the sentinel pair to flush the
-    # tail.
+    # 2 real batches + 1 sentinel batch (appended as its own file —
+    # sources/replay.append_batch — NOT unioned into the main write,
+    # which was measured 8x slower): the outer semantics need only
+    # (a) a batch boundary inside the data for mid-stream evictions
+    # and (b) the sentinel to flush the tail via the final no-data
+    # batch.
     d = _tmp_out("stream_join_left", sf_dir)
     in_dir = _write_time_batches(ev, d, 2)
     append_batch(s1, in_dir, 2)
-    append_batch(s2, in_dir, 3)
 
     def src():
         return (

@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import davg, dsum, mround, sql_davg, sql_dsum, sql_mround
-from ..sources.loader import _tmp_out, fan_out, load_table
+from ..sources.loader import _tmp_out, fan_out, load_table, local_df
 from ..sources.replay import batch_input_dir, run_available_now, time_batch_col
 from .registry import register
 
@@ -345,8 +345,8 @@ def q_stream_tumble(spark, sf_dir):
     rows = [
         (w, int(n), float(s)) for w, (n, s) in sorted(state.items())
     ]
-    out = spark.createDataFrame(
-        rows, "win_start timestamp, n_events bigint, sum_value double"
+    out = local_df(
+        spark, rows, "win_start timestamp, n_events bigint, sum_value double"
     )
     return out.select(
         "win_start", "n_events", mround("sum_value").alias("sum_value")

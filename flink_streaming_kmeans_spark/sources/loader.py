@@ -39,6 +39,37 @@ TABLES = [
 ]
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Small driver-side frame WITHOUT the Python-RDD execution path.
+
+    ``spark.createDataFrame(list_of_rows, ...)`` parallelizes pickled
+    rows into a Python RDD, so every downstream job spins Python
+    workers — measured ~4 s PER WRITE for a 2-row sentinel frame
+    (local[32], this container), which dominated the streaming-drive
+    wall time. Routing the same rows through pandas + Arrow yields a
+    JVM-side local relation: the identical 2-row write drops to
+    ~0.15 s. Semantics are pinned by the explicit ``schema`` (DDL
+    string or StructType) either way; all call sites are hash-checked,
+    so any conversion drift fails preflight loudly.
+
+    Falls back to the plain row-list path if the Arrow conversion
+    rejects the values (e.g. exotic nested types).
+    """
+    import pandas as pd
+
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    struct = spark.createDataFrame([], schema).schema
+    try:
+        pdf = pd.DataFrame.from_records(
+            [tuple(r) for r in rows], columns=struct.fieldNames()
+        )
+        return spark.createDataFrame(pdf, struct)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; normalizes events.ts to TIMESTAMP (µs).
 

@@ -198,14 +198,18 @@ def _run_streaming(spark, pts, args, init):
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+    from .sources.loader import local_df
+
     if args.reassign:
         # Assignment memory IS the result (reference keyed state).
-        assigned = spark.createDataFrame(
+        assigned = local_df(
+            spark,
             sorted((int(v), int(c)) for v, c in skm.assign_of.items()),
             "vec_id bigint, cluster_id int",
         )
     else:
-        cdf = spark.createDataFrame(
+        cdf = local_df(
+            spark,
             [
                 (int(c), [float(x) for x in row])
                 for c, row in zip(skm.cids, skm.C)
