@@ -366,46 +366,28 @@ def q_sketch_quantile(spark, sf_dir):
         F.expr(f"((n_chars - mn) * {_QH_BINS}) div (mx - mn + 1)").alias("bin")
     )
     h = b.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
-    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    c = h.select(
-        "bin",
-        F.sum("n").over(wc).alias("cum"),
-        F.sum("n").over(wt).alias("total"),
-    )
-    probes = local_df(spark, [(p,) for p in _QH_PCTS], "p int")
-    hit = (
-        F.broadcast(probes)
-        .join(c, 100 * F.col("cum") >= F.col("p") * F.col("total"))
-        .groupBy("p")
-        .agg(F.min("bin").alias("bin"))
-    )
-    # Bin b holds values v with b = (128*(v-mn)) div width, i.e.
-    # ceil(b*width/128) <= v-mn <= ceil((b+1)*width/128) - 1 — the
-    # bounds need CEIL division. Floor division (the original form)
-    # inverts the bracket whenever width < bins (e.g. a constant
-    # column: width 1 gave hi = lo - 1), caught by the
-    # bracket-law-over-distributions property test.
-    return hit.crossJoin(F.broadcast(stats)).select(
-        "p",
-        "bin",
-        F.expr(
-            f"mn + (bin * (mx - mn + 1) + {_QH_BINS} - 1) div {_QH_BINS}"
-        ).alias("lo"),
-        F.expr(
-            f"mn + ((bin + 1) * (mx - mn + 1) + {_QH_BINS} - 1)"
-            f" div {_QH_BINS} - 1"
-        ).alias("hi"),
-    )
+    return histogram_quantiles(spark, h, stats=stats)
 
 
-def histogram_quantiles(spark, h, mn, width, bins=_QH_BINS, pcts=_QH_PCTS):
+def histogram_quantiles(
+    spark, h, mn=None, width=None, bins=_QH_BINS, pcts=_QH_PCTS, stats=None
+):
     """Shared quantile finisher over a (bin, n) histogram frame: the
     cumulative/total windows (sketch-sized data — ≤``bins`` rows),
     the broadcast probe frame, and the [lo, hi] bin-bound columns.
-    Used by q_sketch_quantile here and q_stream_quantile
-    (plans/streams.py, lazy import) so the two variants cannot
-    silently diverge while claiming the same oracle."""
+    Used by BOTH q_sketch_quantile here (pass ``stats``, a 1-row
+    (mn, mx) frame kept in-plan via broadcast crossJoin — no driver
+    round trip) and q_stream_quantile (plans/streams.py, lazy
+    import; passes ``mn``/``width`` scalars it already collected for
+    the bin codebook), so the two variants cannot silently diverge
+    while claiming the same oracle.
+
+    Bin b holds values v with b = (bins*(v-mn)) div width, i.e.
+    ceil(b*width/bins) <= v-mn <= ceil((b+1)*width/bins) - 1 — the
+    bounds need CEIL division. Floor division (the original form)
+    inverts the bracket whenever width < bins (e.g. a constant
+    column: width 1 gave hi = lo - 1), caught by the
+    bracket-law-over-distributions property test."""
     wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     c = h.select(
@@ -420,12 +402,18 @@ def histogram_quantiles(spark, h, mn, width, bins=_QH_BINS, pcts=_QH_PCTS):
         .groupBy("p")
         .agg(F.min("bin").alias("bin"))
     )
-    # Ceil-division bounds — see q_sketch_quantile's in-code note.
+    if stats is not None:
+        hit = hit.crossJoin(F.broadcast(stats))
+        mn_s, width_s = "mn", "(mx - mn + 1)"
+    else:
+        mn_s, width_s = str(mn), str(width)
     return hit.select(
         "p",
         "bin",
-        F.expr(f"{mn} + (bin * {width} + {bins} - 1) div {bins}").alias("lo"),
         F.expr(
-            f"{mn} + ((bin + 1) * {width} + {bins} - 1) div {bins} - 1"
+            f"{mn_s} + (bin * {width_s} + {bins} - 1) div {bins}"
+        ).alias("lo"),
+        F.expr(
+            f"{mn_s} + ((bin + 1) * {width_s} + {bins} - 1) div {bins} - 1"
         ).alias("hi"),
     )
