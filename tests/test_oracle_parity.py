@@ -54,7 +54,6 @@ def test_rows_only_queries_run(spark, registry):
     queries, oracles = registry
     rows_only = sorted(set(queries) - set(oracles))
     assert rows_only == [
-        "q_agg_approx_cd",
         "q_emb_pca",
         "q_kmeans_stream",
         "q_kmeans_stream_reassign",
@@ -125,13 +124,14 @@ def test_contract_is_complete(registry):
     q_dq_expect (declarative data-quality expectation sweep),
     q_stream_topk (heavy-hitter counters as a complete-mode
     streaming aggregate), and q_ml_score (all-integer linear-model
-    batch inference): 166 = 161 hash + 5 rows-only."""
+    batch inference): 166 = 162 hash + 4 rows-only (q_agg_approx_cd
+    went hash-tier in round 6 via the portable integer-exact HLL
+    estimate — r5 verdict task 5)."""
     queries, oracles = registry
     assert len(queries) == 166, sorted(queries)
-    assert len(oracles) == 161
-    # Exactly the five contract rows-tier queries lack oracles.
+    assert len(oracles) == 162
+    # Exactly the four contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
-        "q_agg_approx_cd",
         "q_emb_pca",
         "q_kmeans_stream",
         "q_kmeans_stream_reassign",

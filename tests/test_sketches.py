@@ -68,6 +68,40 @@ def test_hll_registers_estimate_cardinality(spark, registry):
     assert abs(est - exact) <= 0.15 * exact, (est, exact)
 
 
+def test_agg_approx_cd_estimates_cardinality(spark, registry):
+    """The hash-tier q_agg_approx_cd (portable integer-exact HLL
+    estimate, r6) must actually estimate: per returnflag, within 15%
+    of the exact distinct l_partkey count (m=256 -> ~6.5% sigma).
+    And the NATIVE approx_count_distinct — the test-tier twin the
+    hash row replaced (its sketch differs from DuckDB's, so it can
+    never be a hash query) — must agree with the exact count within
+    its own documented default error (rsd 5% -> allow 15%)."""
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+
+    queries, _ = registry
+    ours = {
+        r.l_returnflag: r.approx_parts
+        for r in queries["q_agg_approx_cd"](spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    native = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(ours) == set(exact)
+    for flag, n in exact.items():
+        assert abs(ours[flag] - n) <= 0.15 * n, (flag, ours[flag], n)
+        assert abs(native[flag] - n) <= 0.15 * n, (flag, native[flag], n)
+
+
 def test_sketch_state_is_bounded(spark, registry):
     """The scale contract: sketch outputs are O(sketch), not O(N) —
     CMS cells <= depth*width cells behind <= |keys| output rows, the
