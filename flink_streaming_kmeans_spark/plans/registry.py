@@ -60,11 +60,12 @@ def register(name: str, oracle: str | None = None):
 #   r2-r4 rows; module rotation is whole-module prefixes.
 #
 # Round-7 plan (covers everything still un-windowed in r6):
-#   udf(4, re-confirming 2) + lakehouse(5) + windows(9) + relational(9)
-#   + scalars(9) + ml(4) + llm(first 10) = 50. Round 8 then fronts
-#   llm(13, re-confirming 10) + textops(16) + training(6) + quality(2)
-#   + scans(first 13) = 50, by which point every registered query has a
-#   driver row no older than two testdata generations.
+#   udf(4, re-confirming 2) + streaming_ext(1, the r6 q_stream_slide)
+#   + lakehouse(5) + windows(9) + relational(9) + scalars(9) + ml(4)
+#   + llm(first 9) = 50. Round 8 then fronts llm(13, re-confirming 9)
+#   + textops(16) + training(6) + quality(2) + scans(first 13) = 50,
+#   by which point every registered query has a driver row no older
+#   than two testdata generations.
 #
 # NEVER add queries to modules inside the current window prefix
 # mid-round (it would shift the window and orphan tail queries); new

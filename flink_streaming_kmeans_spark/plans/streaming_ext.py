@@ -1,0 +1,121 @@
+"""Round-6 streaming-evidence additions.
+
+Registered AFTER the round-6 correctness window (registry.py
+``_MODULES`` — this module exists so new queries never shift the
+window prefix mid-round; see the rotation plan there).
+
+- q_stream_slide (hash): the sliding-window aggregation driven as a
+  real Structured Streaming query in APPEND mode — completing the
+  tumble (q_stream_tumble) / session (q_stream_session) / slide
+  window matrix the r5 verdict asked for (task 6).
+
+Same scaffolding as plans/streams.py: contiguous-time replay batches
+(sources/replay.py), one sentinel batch to push the watermark past
+the data span, availableNow's final no-data micro-batch running the
+tail eviction, engine-side parquet file sink.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import timedelta
+
+from pyspark.sql import functions as F
+
+from ..functions.vector import dsum, sql_dsum
+from ..sources.loader import _tmp_out, load_table, local_df
+from ..sources.replay import (
+    append_batch,
+    batch_input_dir,
+    run_available_now,
+    time_batch_col,
+)
+from .registry import register
+
+
+@register(
+    "q_stream_slide",
+    # Oracle: identical to q_win_slide's (plans/events.py) — the
+    # hand-built slide enumeration the streaming execution must
+    # converge to (kept inline so this module's oracles read
+    # standalone; lockstep with plans/events.q_win_slide).
+    oracle=f"""
+    WITH buckets AS (
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5, value FROM events
+    ), slides AS (
+        SELECT b5 AS win_start, value FROM buckets
+        UNION ALL
+        SELECT b5 - INTERVAL 5 MINUTE AS win_start, value FROM buckets
+    )
+    SELECT win_start, COUNT(*) AS n_events, {sql_dsum('value', 'sum_value')}
+    FROM slides
+    GROUP BY win_start
+    """,
+)
+def q_stream_slide(spark, sf_dir):
+    """STREAMING sliding-window aggregation: the events table replayed
+    as 2 contiguous-time micro-batches + 1 sentinel through
+    ``window("ts", "10 minutes", "5 minutes")`` in APPEND mode under a
+    2-hour watermark — each of the two overlapping windows an event
+    belongs to emits exactly once when the watermark passes its end,
+    so the parquet-sink output equals the batch q_win_slide answer
+    (its FULL-VALUE hash oracle). Windows that STRADDLE the
+    micro-batch boundary are the point: their state accumulates
+    across triggers before the single append emission (overlap law
+    asserted in tests/test_streaming.py on a synthetic
+    boundary-straddling table).
+
+    The far-future sentinel row pushes the final watermark past every
+    real window; its own two windows never finalize (the watermark
+    stops 2 h short of them) and the sink read-back filters beyond
+    the data span anyway — belt and braces.
+
+    Scale: state is one (window, count, decimal sum) triple per open
+    window — 2 windows per 5-minute slide inside the watermark
+    horizon, evicted continuously; the standard overlapping-window
+    monitoring shape. The decimal(30,6) sum keeps the emitted double
+    bit-identical to the batch twin regardless of arrival order."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    stats = ev.agg(
+        F.max("ts").alias("m"), F.count(F.lit(1)).alias("cnt")
+    ).collect()[0]
+    top = stats.m
+    if top is None:
+        return spark.createDataFrame(
+            [], "win_start timestamp, n_events bigint, sum_value double"
+        )
+    t3 = top + timedelta(days=3)
+    sent = local_df(spark, [(-1, t3, 0.0)], ev.schema)
+
+    d = _tmp_out("stream_slide", sf_dir)
+    # ntile(2) on a 1-row table leaves batch 1 empty, which the
+    # replay prep rejects — clamp (same ADVICE-r5 guard as
+    # q_stream_quantile/q_stream_topk).
+    n_batches = min(2, int(stats.cnt))
+    in_dir = batch_input_dir(
+        time_batch_col(ev, n_batches, ("ts", "event_id")), d, range(n_batches)
+    )
+    append_batch(sent, in_dir, n_batches)
+
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+    sink_dir = os.path.join(d, "sink")
+    run_available_now(
+        agg.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt")),
+        "q_stream_slide",
+        spark,
+    )
+    # Drop any sentinel-era window (win_start > top); the sentinel's
+    # count-1 windows never emit under the final watermark, but the
+    # filter makes the exclusion structural, not timing-dependent.
+    return spark.read.parquet(sink_dir).where(F.col("win_start") <= top)

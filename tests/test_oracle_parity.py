@@ -124,12 +124,12 @@ def test_contract_is_complete(registry):
     q_dq_expect (declarative data-quality expectation sweep),
     q_stream_topk (heavy-hitter counters as a complete-mode
     streaming aggregate), and q_ml_score (all-integer linear-model
-    batch inference): 166 = 162 hash + 4 rows-only (q_agg_approx_cd
+    batch inference; q_stream_slide joined in r6): 167 = 163 hash + 4 rows-only (q_agg_approx_cd
     went hash-tier in round 6 via the portable integer-exact HLL
     estimate — r5 verdict task 5)."""
     queries, oracles = registry
-    assert len(queries) == 166, sorted(queries)
-    assert len(oracles) == 162
+    assert len(queries) == 167, sorted(queries)
+    assert len(oracles) == 163
     # Exactly the four contract rows-tier queries lack oracles.
     assert sorted(set(queries) - set(oracles)) == [
         "q_emb_pca",

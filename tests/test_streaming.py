@@ -631,6 +631,89 @@ def test_stream_cep_counts_pattern_straddling_batch_boundary(spark, registry, tm
     assert got == {10: (3, 1, 1), 20: (3, 0, 0)}
 
 
+def test_stream_slide_window_straddling_batch_boundary(spark, registry, tmp_path):
+    """q_stream_slide's evidence claim: a sliding window whose events
+    arrive in DIFFERENT micro-batches accumulates across triggers and
+    emits exactly once. Six events over minutes 0-6 split 3/3 by the
+    contiguous-time replay; the [00:00, 00:10) window holds all six —
+    three from each batch — and the 5-minute-offset windows overlap
+    both halves. Streamed output must equal the batch q_win_slide
+    answer row-for-row (incl. the decimal sum)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 7, "view", float(i) + 0.25, "{}")
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "slide_sf")
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    queries, _ = registry
+    batch = {
+        r.win_start: (r.n_events, r.sum_value)
+        for r in queries["q_win_slide"](spark, sf).collect()
+    }
+    streamed = {
+        r.win_start: (r.n_events, r.sum_value)
+        for r in queries["q_stream_slide"](spark, sf).collect()
+    }
+    assert streamed == batch
+    # And the straddling window really is in the output with all rows.
+    assert streamed[base][0] == 7
+
+
+def test_streaming_drives_survive_tiny_tables(spark, registry, tmp_path):
+    """ADVICE r5: ntile(n) on a table with fewer rows than batches
+    leaves empty batch files the replay prep rejects. The clamped
+    drives (q_stream_quantile, q_stream_topk over documents;
+    q_stream_slide over events) must run on 1-row and 2-row tables
+    and still match their batch twins' semantics."""
+    import datetime as dt
+
+    queries, _ = registry
+
+    for n in (1, 2):
+        sf = str(tmp_path / f"tiny{n}")
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta w{i}", 40 + i) for i in range(n)],
+            "doc_id bigint, text string, n_chars int",
+        )
+        docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+        ev = spark.createDataFrame(
+            [
+                (
+                    i,
+                    dt.datetime(2024, 1, 1, 0, i, 0),
+                    5,
+                    "view",
+                    1.5,
+                    "{}",
+                )
+                for i in range(n)
+            ],
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double, props string",
+        )
+        ev.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+        qrows = queries["q_stream_quantile"](spark, sf).collect()
+        assert {r.p for r in qrows} == {50, 90, 95, 99}
+        toks = {r.tok: r.n for r in queries["q_stream_topk"](spark, sf).collect()}
+        assert toks["alpha"] == n and toks["beta"] == n
+        slide = {
+            r.win_start: r.n_events
+            for r in queries["q_stream_slide"](spark, sf).collect()
+        }
+        # every event lands in exactly 2 sliding windows
+        assert sum(slide.values()) == 2 * n
+
+
 def test_complete_mode_agg_recovers_from_checkpoint(spark, tmp_path):
     """Exactly-once resume of streaming aggregate state: run a
     complete-mode count aggregate over 2 of 3 batch files, let the
