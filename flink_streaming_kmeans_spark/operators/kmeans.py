@@ -241,19 +241,22 @@ def _partial_stats_fn(C, cids):
     return fn
 
 
-def _reassign_delta_fn(C, cids, assign_bc):
+def _reassign_delta_fn(C, cids):
     """Per-partition combiner for REASSIGNMENT-aware streaming k-means
     (the reference co-operator's Feature add/remove arithmetic,
     SURVEY.md §1.1/§3.1 [PK]): each arriving point is assigned to the
-    argmax-dot centroid; if the broadcast assignment memory says it was
-    previously assigned to a DIFFERENT cluster, its vector is
-    subtracted from that cluster's delta (remove) as it is added to the
-    new one. Emits two row kinds in one pass:
+    argmax-dot centroid; if the ``old_cid`` column (the batch LEFT
+    JOINED against the parquet-backed assignment state — no broadcast
+    driver dict, streaming/kmeans.py) says it was previously assigned
+    to a DIFFERENT cluster, its vector is subtracted from that
+    cluster's delta (remove) as it is added to the new one. Emits two
+    row kinds in one pass:
 
       kind=0 — per-cluster delta partials (cid, psum, n), k rows per
                partition, where psum/n may be negative (removals);
-      kind=1 — per-point new assignments (vec_id, cid), so the driver
-               can update its assignment memory.
+      kind=1 — per-point new assignments (vec_id, cid); these rows
+               are WRITTEN to the next assignment-state generation in
+               Spark, never collected.
 
     Assumes a point arrives at most once per micro-batch partition
     overlap-free (re-arrivals happen ACROSS batches — the reference's
@@ -266,7 +269,6 @@ def _reassign_delta_fn(C, cids, assign_bc):
     def fn(batches):
         k, d = C.shape
         pos = {int(c): j for j, c in enumerate(cids)}
-        amap = assign_bc.value
         overlay: dict = {}
         sums = np.zeros((k, d))
         counts = np.zeros(k, dtype="int64")
@@ -277,13 +279,16 @@ def _reassign_delta_fn(C, cids, assign_bc):
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy()
+            olds = pdf["old_cid"].to_numpy()  # NaN where never seen
             best = np.argmax(X @ C.T, axis=1)  # ties → lowest index/cid
             for i in range(len(ids)):
                 vid = int(ids[i])
                 j = int(best[i])
                 sums[j] += X[i]
                 counts[j] += 1
-                old = overlay.get(vid, amap.get(vid))
+                old = overlay.get(
+                    vid, None if pd.isna(olds[i]) else int(olds[i])
+                )
                 if old is not None:
                     jo = pos[int(old)]
                     sums[jo] -= X[i]

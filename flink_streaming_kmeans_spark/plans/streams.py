@@ -337,7 +337,7 @@ def q_kmeans_stream_reassign(spark, sf_dir):
         spark,
     )
 
-    n_distinct = len(skm.assign_of)
+    n_distinct = skm.assign_count(spark)
     rows = [
         (int(c), int(n), float(np.linalg.norm(C_row)), int(n_distinct))
         for c, n, C_row in zip(skm.cids, skm.n, skm.C)

@@ -32,31 +32,51 @@ carry the same vector (the reference's loop re-circulates immutable
 Features); value-updating re-arrivals would need per-point vector
 state (N×d), out of scope.
 
-Scale: per batch, work is one scan + a k×P-row collect; state is the
-k×d matrix + k counts on the driver (+ the vec_id→cid map when
-tracking — ids only; its production home is the state store).
+The assignment memory itself is a PARQUET-BACKED KEYED TABLE (one
+(vec_id, cid) row per distinct point), not a driver dict (r5 verdict
+task 4): each batch LEFT-JOINs the arriving points against the
+current state generation to find old assignments, and the next
+generation is written as ``state anti-join batch ∪ batch's new
+assignments`` — the same generation-per-batch parquet state-store
+pattern q_stream_cep uses for its NFA state (the checkpointed
+keyed-state analog this container admits;
+transformWithStateInPandas's protobuf runner is broken here,
+SCALE.md). Nothing data-proportional ever crosses the driver.
+
+Scale: per batch, work is one join + scan with a k×P-row collect
+(per-cluster delta partials only); driver state is the k×d matrix +
+k counts. Assignment state is O(distinct points) ON DISK, sharded by
+the join's shuffle partitioning.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 
 from ..operators.kmeans import _partial_stats_fn, _reassign_delta_fn
 
+_ASSIGN_SCHEMA = "vec_id bigint, cid int"
+
 
 class StreamingKMeans:
-    """Driver-held online k-means state, updated per micro-batch.
+    """Driver-held online k-means centroid state, updated per
+    micro-batch; assignment memory (when tracked) lives in parquet.
 
-    ``state_path`` makes the state durable across query restarts: after
-    every applied batch the (C, n, cids, last_batch_id) tuple is written
-    atomically (tmp + os.replace, same protocol as the lakehouse
-    manifest commit). A restarted query constructs with the same
-    ``state_path`` and resumes exactly where the previous incarnation
+    ``state_path`` makes the centroid state durable across query
+    restarts: after every applied batch the (C, S, n, cids, meta)
+    tuple is written atomically (tmp + os.replace, same protocol as
+    the lakehouse manifest commit). A restarted query constructs with
+    the same ``state_path`` (and, when tracking, the same
+    ``assign_dir``) and resumes exactly where the previous incarnation
     stopped; Structured Streaming's own checkpoint guarantees
     unprocessed batches are re-delivered, and the ``last_batch_id``
     guard makes a RE-delivered already-applied batch a no-op — together
     that is effectively-once state update, the standard foreachBatch
-    idempotence pattern.
+    idempotence pattern. The assignment table is already durable (each
+    generation is an immutable parquet dir); meta records the live
+    generation number.
     """
 
     def __init__(
@@ -65,7 +85,10 @@ class StreamingKMeans:
         cids,
         state_path: str | None = None,
         track_assignments: bool = False,
+        assign_dir: str | None = None,
     ):
+        import tempfile
+
         import numpy as np
 
         self.C = np.array(init_centroids, dtype="float64")  # k×d
@@ -78,29 +101,64 @@ class StreamingKMeans:
         # C'=(C*n+sum)/(n+cnt) form when no point is ever removed, and
         # is what makes removal exact when one is.
         self.S = np.zeros_like(self.C)
-        # vec_id -> cid assignment memory (the analog of the reference
-        # co-operator's keyed state; production home would be the
-        # transformWithState state store — blocked in this container,
-        # streaming/stateful.py:8-14 — so it is driver-held here, ids
-        # only, no vectors).
-        self.assign_of: dict | None = {} if track_assignments else None
+        self.track = bool(track_assignments)
+        self._assign_dir = None
+        self._assign_gen = -1  # generation of the live state parquet
+        self._assign_df: DataFrame | None = None  # lazy, session-bound
+        if self.track:
+            self._assign_dir = assign_dir or tempfile.mkdtemp(
+                prefix="fsk_kmeans_assign_"
+            )
         self.batches_seen = 0
         self.last_batch_id = -1
         self.state_path = state_path
-        if state_path is not None:
-            import os
+        if state_path is not None and os.path.exists(state_path):
+            self._load()
 
-            if os.path.exists(state_path):
-                self._load()
+    # -- assignment state (parquet-backed keyed table) ----------------
+
+    def _assign_state(self, spark) -> DataFrame:
+        """The live (vec_id, cid) assignment table."""
+        if self._assign_df is None:
+            if self._assign_gen >= 0:
+                self._assign_df = spark.read.parquet(
+                    self._gen_path(self._assign_gen)
+                )
+            else:
+                self._assign_df = spark.createDataFrame([], _ASSIGN_SCHEMA)
+        return self._assign_df
+
+    def _gen_path(self, gen: int) -> str:
+        return os.path.join(self._assign_dir, f"state-v{gen}")
+
+    def assign_df(self, spark) -> DataFrame:
+        """The assignment memory as a DataFrame — the production
+        consumer surface (join against it; never collect it)."""
+        if not self.track:
+            raise ValueError("track_assignments is off")
+        return self._assign_state(spark)
+
+    def assign_count(self, spark) -> int:
+        """Number of distinct points currently assigned (one scalar)."""
+        return self.assign_df(spark).count()
+
+    def assignments(self, spark) -> dict[int, int]:
+        """Bounded test/evidence accessor: the assignment table as a
+        dict. Collects O(points) — fine for the small evidence tables
+        the tests drive; production consumers use :meth:`assign_df`."""
+        return {
+            int(r.vec_id): int(r.cid)
+            for r in self.assign_df(spark).collect()
+        }
+
+    # -- durable centroid state --------------------------------------
 
     def _save(self) -> None:
         import io
-        import os
         import uuid
 
         import numpy as np
 
-        amap = self.assign_of
         buf = io.BytesIO()
         np.savez(
             buf,
@@ -108,14 +166,11 @@ class StreamingKMeans:
             S=self.S,
             cids=self.cids,
             n=self.n,
-            meta=np.array([self.batches_seen, self.last_batch_id], dtype="int64"),
-            track=np.array([amap is not None], dtype="int64"),
-            assign_ids=np.array(
-                sorted(amap) if amap else [], dtype="int64"
+            meta=np.array(
+                [self.batches_seen, self.last_batch_id, self._assign_gen],
+                dtype="int64",
             ),
-            assign_cids=np.array(
-                [amap[i] for i in sorted(amap)] if amap else [], dtype="int64"
-            ),
+            track=np.array([self.track], dtype="int64"),
         )
         tmp = f"{self.state_path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "wb") as f:
@@ -129,29 +184,35 @@ class StreamingKMeans:
             self.C = d["C"]
             self.cids = d["cids"]
             self.n = d["n"]
-            # Older state files predate (S, assignment) persistence.
+            # Older state files predate (S) persistence.
             self.S = d["S"] if "S" in d.files else self.C * self.n[:, None]
             # The state file's tracking mode must MATCH the instance's:
             # restoring tracked mass (n/S include every distinct point)
-            # without the assignment map would double-count every
+            # without the assignment table would double-count every
             # re-arrival, and restoring untracked state into a tracking
             # instance silently flips the arithmetic. Fail loudly.
             file_track = "track" in d.files and bool(d["track"][0])
-            if file_track != (self.assign_of is not None):
+            if file_track != self.track:
                 raise ValueError(
                     f"state file track_assignments={file_track} does not"
-                    f" match instance track_assignments="
-                    f"{self.assign_of is not None} — refusing to resume"
-                    " with inconsistent mass accounting"
+                    f" match instance track_assignments={self.track}"
+                    " — refusing to resume with inconsistent mass"
+                    " accounting"
                 )
+            meta = [int(x) for x in d["meta"]]
+            self.batches_seen, self.last_batch_id = meta[0], meta[1]
             if file_track:
-                self.assign_of = dict(
-                    zip(
-                        (int(i) for i in d["assign_ids"]),
-                        (int(c) for c in d["assign_cids"]),
+                gen = meta[2] if len(meta) > 2 else -1
+                if gen >= 0 and not os.path.isdir(self._gen_path(gen)):
+                    raise ValueError(
+                        f"assignment state generation {gen} not found"
+                        f" under {self._assign_dir} — pass the same"
+                        " assign_dir the previous incarnation used"
                     )
-                )
-            self.batches_seen, self.last_batch_id = (int(x) for x in d["meta"])
+                self._assign_gen = gen
+                self._assign_df = None  # lazily re-read, session-bound
+
+    # -- per-batch update --------------------------------------------
 
     def update_batch(self, batch_df: DataFrame) -> None:
         """foreachBatch body: combine-assign against current centroids,
@@ -165,10 +226,12 @@ class StreamingKMeans:
         and total mass equals the number of distinct points seen."""
         import numpy as np
 
+        from pyspark.sql import functions as F
+
         sums = np.zeros_like(self.C)
         counts = np.zeros(len(self.cids), dtype="int64")
         pos = {int(c): j for j, c in enumerate(self.cids)}
-        if self.assign_of is None:
+        if not self.track:
             partials = batch_df.select("vec_id", "embedding").mapInPandas(
                 _partial_stats_fn(self.C, self.cids),
                 "cid int, psum array<double>, n bigint",
@@ -180,31 +243,42 @@ class StreamingKMeans:
                 sums[j] += np.array(r.psum)
                 counts[j] += int(r.n)
         else:
-            sc = batch_df.sparkSession.sparkContext
-            assign_bc = sc.broadcast(self.assign_of)
-            try:
-                rows = batch_df.select("vec_id", "embedding").mapInPandas(
-                    _reassign_delta_fn(self.C, self.cids, assign_bc),
-                    "kind int, vec_id bigint, cid int,"
-                    " psum array<double>, n bigint",
-                ).collect()
-            finally:
-                assign_bc.unpersist()
-            if not rows:
+            # isEmpty short-circuits at the first row (the saw_points
+            # guard of the old driver-dict path, moved up front).
+            if batch_df.isEmpty():
                 return
-            # kind=1 rows arrive for EVERY processed point (not just
-            # cluster flips) — this flag is only an empty-batch guard.
-            saw_points = False
-            for r in rows:
-                if r.kind == 0:
+            spark = batch_df.sparkSession
+            state = self._assign_state(spark)
+            joined = batch_df.select("vec_id", "embedding").join(
+                state.withColumnRenamed("cid", "old_cid"), "vec_id", "left"
+            )
+            out = joined.mapInPandas(
+                _reassign_delta_fn(self.C, self.cids),
+                "kind int, vec_id bigint, cid int,"
+                " psum array<double>, n bigint",
+            ).persist()
+            try:
+                # k rows per partition; may carry negative removals.
+                for r in out.where(F.col("kind") == 0).collect():
                     j = pos[int(r.cid)]
                     sums[j] += np.array(r.psum)
                     counts[j] += int(r.n)
-                else:
-                    saw_points = True
-                    self.assign_of[int(r.vec_id)] = int(r.cid)
-            if not saw_points:
-                return
+                # Next state generation, committed entirely in Spark:
+                # rows for re-arrivals REPLACE their old row
+                # (anti-join), first arrivals append. Nothing
+                # data-proportional reaches the driver.
+                new_assign = out.where(F.col("kind") == 1).select(
+                    "vec_id", "cid"
+                )
+                gen = self._assign_gen + 1
+                merged = state.join(
+                    new_assign, "vec_id", "left_anti"
+                ).unionByName(new_assign)
+                merged.write.mode("overwrite").parquet(self._gen_path(gen))
+            finally:
+                out.unpersist()
+            self._assign_gen = gen
+            self._assign_df = spark.read.parquet(self._gen_path(gen))
         self.S += sums
         self.n += counts
         nz = self.n > 0

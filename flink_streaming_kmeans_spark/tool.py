@@ -201,11 +201,11 @@ def _run_streaming(spark, pts, args, init):
     from .sources.loader import local_df
 
     if args.reassign:
-        # Assignment memory IS the result (reference keyed state).
-        assigned = local_df(
-            spark,
-            sorted((int(v), int(c)) for v, c in skm.assign_of.items()),
-            "vec_id bigint, cluster_id int",
+        # Assignment memory IS the result (reference keyed state) —
+        # read straight from the parquet-backed state table, never
+        # collected driver-side.
+        assigned = skm.assign_df(spark).select(
+            "vec_id", F.col("cid").alias("cluster_id")
         )
     else:
         cdf = local_df(

@@ -508,10 +508,12 @@ def test_streaming_kmeans_reassignment_mass_conservation(spark):
             rows, "vec_id bigint, embedding array<float>"
         )
 
-    state = tempfile.mkdtemp(prefix="fsk_reassign_") + "/state.npz"
+    root = tempfile.mkdtemp(prefix="fsk_reassign_")
+    state = root + "/state.npz"
+    assign_dir = root + "/assign"
     skm = StreamingKMeans(
         [[1.0, 0.0], [0.0, 1.0]], [0, 1],
-        state_path=state, track_assignments=True,
+        state_path=state, track_assignments=True, assign_dir=assign_dir,
     )
 
     # Batch 1: p(100)=[.75,.75] ties → c0; q(101)=[1,0] → c0;
@@ -519,7 +521,7 @@ def test_streaming_kmeans_reassignment_mass_conservation(spark):
     skm.foreach_batch()(batch(
         [(100, [0.75, 0.75]), (101, [1.0, 0.0]), (102, [0.5, 0.875])]
     ), 0)
-    assert skm.assign_of == {100: 0, 101: 0, 102: 1}
+    assert skm.assignments(spark) == {100: 0, 101: 0, 102: 1}
     assert skm.n.tolist() == [2, 1]
     np.testing.assert_array_equal(skm.C[0], [0.875, 0.375])
     np.testing.assert_array_equal(skm.C[1], [0.5, 0.875])
@@ -528,7 +530,7 @@ def test_streaming_kmeans_reassignment_mass_conservation(spark):
     # dot(c0)=0.9375 < dot(c1)=1.03125 → p FLIPS to c1 and must be
     # removed from c0; t(103)=[0,1] → c1.
     skm.foreach_batch()(batch([(100, [0.75, 0.75]), (103, [0.0, 1.0])]), 1)
-    assert skm.assign_of == {100: 1, 101: 0, 102: 1, 103: 1}
+    assert skm.assignments(spark) == {100: 1, 101: 0, 102: 1, 103: 1}
     # Mass conserved: 4 distinct points, counted exactly once each.
     assert int(skm.n.sum()) == 4
     assert skm.n.tolist() == [1, 3]
@@ -545,12 +547,13 @@ def test_streaming_kmeans_reassignment_mass_conservation(spark):
     skm.foreach_batch()(batch([(100, [0.75, 0.75])]), 1)
     assert skm.n.tolist() == n_before.tolist()
 
-    # Restart from durable state: assignment memory survives.
+    # Restart from durable state: assignment memory survives (the
+    # parquet generations are already durable; meta pins the live one).
     skm2 = StreamingKMeans(
         [[1.0, 0.0], [0.0, 1.0]], [0, 1],
-        state_path=state, track_assignments=True,
+        state_path=state, track_assignments=True, assign_dir=assign_dir,
     )
-    assert skm2.assign_of == skm.assign_of
+    assert skm2.assignments(spark) == skm.assignments(spark)
     assert skm2.n.tolist() == skm.n.tolist()
     np.testing.assert_array_equal(skm2.C, skm.C)
     np.testing.assert_array_equal(skm2.S, skm.S)
@@ -586,12 +589,13 @@ def test_streaming_kmeans_reassignment_property(spark):
             )
             skm.foreach_batch()(batch, bid)
 
-        assert set(skm.assign_of) == delivered
+        amap = skm.assignments(spark)
+        assert set(amap) == delivered
         assert int(skm.n.sum()) == len(delivered)
-        # Per-cluster occupancy matches the assignment map.
+        # Per-cluster occupancy matches the assignment table.
         Xf = X.astype(np.float32).astype(np.float64)  # array<float> round-trip
         for j, cid in enumerate(skm.cids):
-            members = [v for v, c in skm.assign_of.items() if c == int(cid)]
+            members = [v for v, c in amap.items() if c == int(cid)]
             assert int(skm.n[j]) == len(members)
             if members:
                 expected = Xf[sorted(members)].mean(axis=0)
