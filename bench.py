@@ -122,7 +122,11 @@ def main() -> int:
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
     with open(sidecar, "w") as f:
         json.dump(full, f, indent=1)
-    print(json.dumps(full))
+    # Do NOT print the full map to stdout: the ~4KB line used to sit
+    # right before the compact line and ate the driver's 2000-char
+    # tail as mid-line JSON garbage (r5 verdict task 8). The sidecar
+    # holds the full map; stdout gets only the compact final line.
+    print(f"[bench] full per-query map written to {sidecar}")
     # Degrade the slowest-queries preview until the line fits the
     # driver's tail capture — never abort a finished bench run over
     # presentation (the sidecar always holds the full map).

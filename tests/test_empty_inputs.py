@@ -108,6 +108,18 @@ EMPTY_CHECKED = [
     "q_tpch_q18",  # HAVING aggregate + semi join over empty facts
     "q_vocab_typo",  # deletion-variant join over an empty vocabulary
     "q_dq_expect",  # all-zero violation counts, 5 rows either way
+    # r6-window additions (r5 verdict task 9 — every windowed module
+    # keeps a degenerate row):
+    "q_udf_python",  # row-at-a-time UDF over zero rows
+    "q_udaf_pandas",  # grouped pandas UDAF with no groups
+    "q_udtf_python",  # UDTF lateral join over zero rows
+    "q_win_tumble",  # windowed agg on empty events
+    "q_win_slide",  # slide enumeration on empty events
+    "q_win_session",  # session windows on empty events
+    "q_source_orc",  # ORC round-trip of an empty table
+    "q_join_asof_fwd",  # forward as-of over empty both sides
+    "q_sim_ann_multi",  # LSH buckets over an empty embedding table
+    "q_ml_score",  # linear scorer over zero vectors
 ]
 
 
