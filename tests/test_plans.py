@@ -103,6 +103,18 @@ def test_agg_q1_partial_final_pairs(plans):
     assert p.count("Exchange") == 1, p
 
 
+def test_agg_approx_cd_is_two_level_hash_agg_no_python(plans):
+    """The portable HLL estimate (r6 hash-tier q_agg_approx_cd) must
+    keep the sketch shuffle shape: partial max per (flag, bucket)
+    collapses each partition to <=256 rows per group BEFORE the
+    exchange (two HashAggregate pairs — register build + register
+    sum), and the whole plan stays JVM-side (no Python eval)."""
+    p = plans("q_agg_approx_cd", "simple")
+    assert "partial_max" in p, "register build has no map-side combine"
+    assert p.count("HashAggregate") == 4, p
+    assert "Python" not in p and "Arrow" not in p, p
+
+
 def test_pivot_is_aggregates_only_no_join(plans):
     # Spark pivots via a (status, priority) pre-aggregate + pivotfirst —
     # two agg pairs whose shuffles carry only group rows. No join, no
