@@ -56,6 +56,11 @@ CANDIDATES = [
     "q_dq_expect",
     # candidate union across two LSH tables + re-rank tie-breaks
     "q_sim_ann_multi",
+    # round-6: append-mode streaming slide drive (sink file order
+    # must not leak into the result) and the integer-exact HLL
+    # estimate (register max-merge + LC lookup)
+    "q_stream_slide",
+    "q_agg_approx_cd",
 ]
 
 
@@ -91,6 +96,8 @@ PARTITION_SENSITIVE = [
     "q_sketch_quantile",
     # decimal HAVING threshold must not move with summation order
     "q_tpch_q18",
+    # r6: HLL register sum + integral division across reducer counts
+    "q_agg_approx_cd",
 ]
 
 
