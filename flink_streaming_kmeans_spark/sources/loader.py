@@ -53,14 +53,27 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     so any conversion drift fails preflight loudly.
 
     Falls back to the plain row-list path if the Arrow conversion
-    rejects the values (e.g. exotic nested types).
+    rejects the values (e.g. exotic nested types), and — the one
+    silent hazard — when a float/double field carries a None: pandas
+    materializes it as NaN, which Arrow would then ship as NaN, NOT
+    as SQL NULL (the row-list path preserves NULL). No current call
+    site passes null floats; the guard keeps a future one correct.
     """
     import pandas as pd
+
+    from pyspark.sql.types import DoubleType, FloatType
 
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], schema)
     struct = spark.createDataFrame([], schema).schema
+    float_idx = [
+        i
+        for i, f in enumerate(struct.fields)
+        if isinstance(f.dataType, (DoubleType, FloatType))
+    ]
+    if any(r[i] is None for r in rows for i in float_idx):
+        return spark.createDataFrame(rows, schema)
     try:
         pdf = pd.DataFrame.from_records(
             [tuple(r) for r in rows], columns=struct.fieldNames()

@@ -125,3 +125,29 @@ def test_gzip_jsonl_ingest(spark, tmp_path):
     got = sorted((r.doc_id, r.text, r.n) for r in df.collect())
     want = sorted((r["doc_id"], r["text"], r["n"]) for r in rows)
     assert got == want
+
+
+def test_local_df_matches_row_list_semantics(spark):
+    """sources/loader.local_df (the Arrow local-relation fast path for
+    small driver frames, r6) must be value-identical to the row-list
+    createDataFrame it replaces — including the two hazards: NULLs in
+    non-float columns ride the Arrow route as real SQL NULLs, and a
+    None in a float/double column (which pandas would corrupt to NaN)
+    falls back to the row-list path and stays NULL."""
+    import datetime as dt
+
+    from flink_streaming_kmeans_spark.sources.loader import local_df
+
+    schema = "a bigint, b string, c timestamp, d double"
+    rows = [
+        (1, "x", dt.datetime(2024, 1, 1, 12, 0, 0), 1.5),
+        (2, None, dt.datetime(2024, 1, 2, 0, 0, 0), 2.25),
+        (None, "z", None, 3.0),
+    ]
+    got = local_df(spark, rows, schema).collect()
+    want = spark.createDataFrame(rows, schema).collect()
+    assert sorted(got, key=str) == sorted(want, key=str)
+
+    # None in a double column: must be NULL (not NaN) — fallback path.
+    nf = local_df(spark, [(1, "x", None, None)], schema).collect()[0]
+    assert nf.d is None
