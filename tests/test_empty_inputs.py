@@ -120,6 +120,7 @@ EMPTY_CHECKED = [
     "q_join_asof_fwd",  # forward as-of over empty both sides
     "q_sim_ann_multi",  # LSH buckets over an empty embedding table
     "q_ml_score",  # linear scorer over zero vectors
+    "q_agg_approx_cd",  # empty register file -> zero estimate rows
 ]
 
 

@@ -102,6 +102,32 @@ def test_agg_approx_cd_estimates_cardinality(spark, registry):
         assert abs(native[flag] - n) <= 0.15 * n, (flag, native[flag], n)
 
 
+def test_agg_approx_cd_small_range_regime(spark, registry, tmp_path):
+    """Degenerate regime for the portable HLL estimate: with ONE
+    distinct key per group the raw estimator would answer ~184
+    (alpha*m^2/S with 255 empty registers) — the linear-counting
+    branch must fire and answer exactly round(256*ln(256/255)) = 1.
+    A 10-distinct group must likewise land near 10 (LC error at this
+    occupancy is sub-1%). This is exactly the regime clean driver
+    data never enters (sf0.01 has 2000 distinct parts per flag)."""
+    rows = [("A", 42, 1.0) for _ in range(50)] + [
+        ("R", k, 1.0) for k in range(10) for _ in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_partkey bigint, l_extendedprice double"
+    )
+    sf = str(tmp_path / "cd_sf")
+    df.coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+
+    queries, _ = registry
+    got = {
+        r.l_returnflag: r.approx_parts
+        for r in queries["q_agg_approx_cd"](spark, sf).collect()
+    }
+    assert got["A"] == 1
+    assert 8 <= got["R"] <= 12
+
+
 def test_sketch_state_is_bounded(spark, registry):
     """The scale contract: sketch outputs are O(sketch), not O(N) —
     CMS cells <= depth*width cells behind <= |keys| output rows, the
