@@ -254,9 +254,12 @@ def _reassign_delta_fn(C, cids):
 
       kind=0 — per-cluster delta partials (cid, psum, n), k rows per
                partition, where psum/n may be negative (removals);
-      kind=1 — per-point new assignments (vec_id, cid); these rows
-               are WRITTEN to the next assignment-state generation in
-               Spark, never collected.
+      kind=1 — per-point new assignments (vec_id, cid), ONE row per
+               distinct vec_id in the partition (the final overlay
+               entry — a within-batch duplicate must not commit two
+               state rows, or the next batch's join fans it out);
+               these rows are WRITTEN to the next assignment-state
+               generation in Spark, never collected.
 
     Assumes a point arrives at most once per micro-batch partition
     overlap-free (re-arrivals happen ACROSS batches — the reference's
@@ -272,8 +275,6 @@ def _reassign_delta_fn(C, cids):
         overlay: dict = {}
         sums = np.zeros((k, d))
         counts = np.zeros(k, dtype="int64")
-        out_ids: list = []
-        out_cids: list = []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -294,8 +295,9 @@ def _reassign_delta_fn(C, cids):
                     sums[jo] -= X[i]
                     counts[jo] -= 1
                 overlay[vid] = int(cids[j])
-                out_ids.append(vid)
-                out_cids.append(int(cids[j]))
+        # Final overlay entries — one kind=1 row per DISTINCT vec_id.
+        out_ids = list(overlay)
+        out_cids = [overlay[v] for v in out_ids]
         yield pd.DataFrame(
             {
                 "kind": np.zeros(k, dtype="int32"),

@@ -63,9 +63,11 @@ def register(name: str, oracle: str | None = None):
 #   udf(4, re-confirming 2) + streaming_ext(1, the r6 q_stream_slide)
 #   + lakehouse(5) + windows(9) + relational(9) + scalars(9) + ml(4)
 #   + llm(first 9) = 50. Round 8 then fronts llm(13, re-confirming 9)
-#   + textops(16) + training(6) + quality(2) + scans(first 13) = 50,
-#   by which point every registered query has a driver row no older
-#   than two testdata generations.
+#   + textops(16) + training(6) + quality(2) + scans(6) + filters(3)
+#   + joins(first 4) = 50, by which point every registered query has
+#   a driver row no older than two testdata generations except the
+#   joins tail/aggs/setops (all r5-driver-green on current data);
+#   round 9 fronts joins(13) + aggs(15) + setops(4) + next-oldest.
 #
 # NEVER add queries to modules inside the current window prefix
 # mid-round (it would shift the window and orphan tail queries); new

@@ -411,16 +411,28 @@ def q_stream_session(spark, sf_dir):
     from datetime import timedelta
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    top = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    stats = ev.agg(
+        F.max("ts").alias("m"), F.count(F.lit(1)).alias("cnt")
+    ).collect()[0]
+    top = stats.m
+    if top is None:
+        # Empty events: zero sessions (the oracle's answer); the
+        # sentinel arithmetic and replay prep would both choke.
+        return spark.createDataFrame(
+            [], "user_id bigint, session_start timestamp, n_events bigint"
+        )
     # Python timedelta == SQL INTERVAL here: both are fixed 72h
     # offsets on a UTC timestamp. local_df keeps the 1-row sentinel
     # write off the Python-RDD path (sources/loader.local_df).
     t3 = top + timedelta(days=3)
     sent1 = local_df(spark, [(-1, t3, -1)], ev.schema)
     d = _tmp_out("stream_session", sf_dir)
-    in_dir = _write_time_batches(ev, d, 2)
+    # ntile clamp for 1-row tables (same ADVICE-r5 guard as the
+    # documents-driven drives).
+    n_batches = min(2, int(stats.cnt))
+    in_dir = _write_time_batches(ev, d, n_batches)
     # appended file, not a union — see sources/replay.append_batch
-    append_batch(sent1, in_dir, 2)
+    append_batch(sent1, in_dir, n_batches)
 
     agg = (
         spark.readStream.schema(ev.schema)
@@ -712,7 +724,16 @@ def q_stream_join_left(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts"
     )
-    top = ev.agg(F.max("ts").alias("m")).collect()[0].m
+    stats = ev.agg(
+        F.max("ts").alias("m"), F.count(F.lit(1)).alias("cnt")
+    ).collect()[0]
+    top = stats.m
+    if top is None:
+        # Empty events: the LEFT join over an empty probe side is
+        # empty (the oracle's answer).
+        return spark.createDataFrame(
+            [], "user_id bigint, p_id bigint, c_id bigint"
+        )
     # Python timedelta == SQL INTERVAL on a UTC timestamp; local_df
     # keeps the 2-row sentinel write off the Python-RDD path.
     t3 = top + timedelta(days=3)
@@ -726,10 +747,11 @@ def q_stream_join_left(spark, sf_dir):
     # which was measured 8x slower): the outer semantics need only
     # (a) a batch boundary inside the data for mid-stream evictions
     # and (b) the sentinel to flush the tail via the final no-data
-    # batch.
+    # batch. ntile clamp for 1-row tables.
     d = _tmp_out("stream_join_left", sf_dir)
-    in_dir = _write_time_batches(ev, d, 2)
-    append_batch(s1, in_dir, 2)
+    n_batches = min(2, int(stats.cnt))
+    in_dir = _write_time_batches(ev, d, n_batches)
+    append_batch(s1, in_dir, n_batches)
 
     def src():
         return (

@@ -87,8 +87,6 @@ class StreamingKMeans:
         track_assignments: bool = False,
         assign_dir: str | None = None,
     ):
-        import tempfile
-
         import numpy as np
 
         self.C = np.array(init_centroids, dtype="float64")  # k×d
@@ -106,9 +104,15 @@ class StreamingKMeans:
         self._assign_gen = -1  # generation of the live state parquet
         self._assign_df: DataFrame | None = None  # lazy, session-bound
         if self.track:
-            self._assign_dir = assign_dir or tempfile.mkdtemp(
-                prefix="fsk_kmeans_assign_"
-            )
+            if assign_dir is None:
+                # Default home: the same age-GC'd root _tmp_out uses,
+                # so evidence/bench runs don't leak state dirs (the
+                # loader GC reaps >30-min-old siblings).
+                from ..sources.loader import _tmp_out
+
+                assign_dir = _tmp_out("kmeans_assign", "default")
+                os.makedirs(assign_dir, exist_ok=True)
+            self._assign_dir = assign_dir
         self.batches_seen = 0
         self.last_batch_id = -1
         self.state_path = state_path
@@ -202,7 +206,19 @@ class StreamingKMeans:
             meta = [int(x) for x in d["meta"]]
             self.batches_seen, self.last_batch_id = meta[0], meta[1]
             if file_track:
-                gen = meta[2] if len(meta) > 2 else -1
+                if len(meta) < 3 or "assign_ids" in d.files:
+                    # Round-5-format file: assignments lived INSIDE the
+                    # npz (driver-dict era). Silently resuming without
+                    # them would carry tracked mass in n/S with an
+                    # empty assignment table — exactly the
+                    # double-counting this check exists to prevent.
+                    raise ValueError(
+                        "state file uses the legacy driver-dict"
+                        " assignment format — cannot resume into the"
+                        " parquet-backed assignment store; restart"
+                        " from fresh state"
+                    )
+                gen = meta[2]
                 if gen >= 0 and not os.path.isdir(self._gen_path(gen)):
                     raise ValueError(
                         f"assignment state generation {gen} not found"
@@ -279,6 +295,16 @@ class StreamingKMeans:
                 out.unpersist()
             self._assign_gen = gen
             self._assign_df = spark.read.parquet(self._gen_path(gen))
+            # Prune generation gen-2: gen is live, gen-1 stays as the
+            # crash-recovery fallback (a crash between this commit and
+            # the npz _save leaves meta pointing at gen-1; deleting
+            # only gen-2 keeps that restart path intact). On-disk
+            # state is therefore <= 2 generations = O(distinct
+            # points), matching the module docstring.
+            if gen >= 2:
+                import shutil
+
+                shutil.rmtree(self._gen_path(gen - 2), ignore_errors=True)
         self.S += sums
         self.n += counts
         nz = self.n > 0

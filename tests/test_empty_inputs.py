@@ -121,6 +121,12 @@ EMPTY_CHECKED = [
     "q_sim_ann_multi",  # LSH buckets over an empty embedding table
     "q_ml_score",  # linear scorer over zero vectors
     "q_agg_approx_cd",  # empty register file -> zero estimate rows
+    # streaming drives with explicit empty-table guards (top-is-None
+    # early return; the unguarded drives keep the documented loud
+    # replay error instead)
+    "q_stream_session",
+    "q_stream_join_left",
+    "q_stream_slide",
 ]
 
 

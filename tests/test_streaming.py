@@ -559,6 +559,73 @@ def test_streaming_kmeans_reassignment_mass_conservation(spark):
     np.testing.assert_array_equal(skm2.S, skm.S)
 
 
+def test_streaming_kmeans_state_hygiene(spark, tmp_path):
+    """Three review-r6 pins on the parquet assignment store: (a) a
+    within-batch duplicate vec_id commits ONE state row (per-arrival
+    emission would fan the next batch's join out 2x and corrupt
+    mass); (b) on-disk state is bounded at <= 2 generations (live +
+    crash-recovery fallback); (c) a round-5-format npz (driver-dict
+    assignments inside the file) is refused loudly, not silently
+    resumed with an empty assignment table."""
+    import numpy as np
+
+    from flink_streaming_kmeans_spark.streaming.kmeans import StreamingKMeans
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        )
+
+    adir = str(tmp_path / "assign")
+    skm = StreamingKMeans(
+        [[1.0, 0.0], [0.0, 1.0]], [0, 1],
+        track_assignments=True, assign_dir=adir,
+    )
+    # (a) vec_id 100 arrives twice in one batch (identical vector).
+    skm.foreach_batch()(batch(
+        [(100, [1.0, 0.0]), (100, [1.0, 0.0]), (101, [0.0, 1.0])]
+    ), 0)
+    amap = skm.assignments(spark)
+    assert amap == {100: 0, 101: 1}
+    assert skm.assign_df(spark).count() == 2  # no duplicate state rows
+    # NOTE the duplicate arrival still adds twice to the delta (both
+    # copies processed; second subtracts the overlay's first) — net
+    # mass is one contribution per distinct point:
+    assert skm.n.tolist() == [1, 1]
+
+    # (b) after 4 applied batches, at most 2 generation dirs remain.
+    import os
+
+    for bid in range(1, 4):
+        skm.foreach_batch()(batch([(100 + bid, [1.0, 0.0])]), bid)
+    gens = [d for d in os.listdir(adir) if d.startswith("state-v")]
+    assert len(gens) <= 2, gens
+    assert f"state-v{skm._assign_gen}" in gens
+
+    # (c) legacy round-5 state file format is refused.
+    import io
+
+    buf = io.BytesIO()
+    np.savez(
+        buf,
+        C=skm.C, S=skm.S, cids=skm.cids, n=skm.n,
+        meta=np.array([1, 0], dtype="int64"),
+        track=np.array([1], dtype="int64"),
+        assign_ids=np.array([100], dtype="int64"),
+        assign_cids=np.array([0], dtype="int64"),
+    )
+    legacy = str(tmp_path / "legacy.npz")
+    with open(legacy, "wb") as f:
+        f.write(buf.getvalue())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="legacy"):
+        StreamingKMeans(
+            [[1.0, 0.0], [0.0, 1.0]], [0, 1],
+            state_path=legacy, track_assignments=True, assign_dir=adir,
+        )
+
+
 def test_streaming_kmeans_reassignment_property(spark):
     """Property: under arbitrary re-delivery patterns, reassignment
     tracking keeps (a) Σn == #distinct points, (b) per-cluster n equal
@@ -716,6 +783,11 @@ def test_streaming_drives_survive_tiny_tables(spark, registry, tmp_path):
         }
         # every event lands in exactly 2 sliding windows
         assert sum(slide.values()) == 2 * n
+        # events-driven drives with the same clamp (review r6):
+        sess = queries["q_stream_session"](spark, sf).collect()
+        assert sum(r.n_events for r in sess) == n
+        jl = queries["q_stream_join_left"](spark, sf).collect()
+        assert jl == []  # no purchases in the tiny corpus
 
 
 def test_complete_mode_agg_recovers_from_checkpoint(spark, tmp_path):
