@@ -294,14 +294,15 @@ def q_kmeans_stream_reassign(spark, sf_dir):
     online k-means where re-arriving points are REASSIGNED — removed
     from their old cluster, added to the new one (Feature add/subtract
     arithmetic, streaming/kmeans.py ``track_assignments``). The
-    embeddings table arrives as 5 vec_id-mod micro-batches, then
-    batches 0-1's vectors are RE-DELIVERED as batches 6-7; by then the
+    embeddings table arrives as 3 vec_id-mod micro-batches, then
+    batches 0-1's vectors are RE-DELIVERED as batches 4-5; by then the
     centroids have moved, so a fraction of the re-seen points flip
     clusters and their old contributions are subtracted. Output: one
     row per centroid (cluster_id, n_points, centroid_norm) + a
     mass-conservation proof column — Σ n_points equals the DISTINCT
-    point count (500 at sf0.01) although 700 rows were delivered,
-    which is exactly the invariant plain MacQueen cannot produce.
+    point count (500 at sf0.01) although ~5/3 of the table's rows
+    were delivered, which is exactly the invariant plain MacQueen
+    cannot produce.
 
     Rows-tier: iterative streaming state is outside DuckDB's model
     (SURVEY §2 rows-tier rule); Lloyd parity, flip arithmetic, and
@@ -320,13 +321,22 @@ def q_kmeans_stream_reassign(spark, sf_dir):
     )
 
     d = _tmp_out("kstream_reassign", sf_dir)
-    # 5 primary batches (vec_id mod 5) + re-delivery of batches 0-1.
+    # 3 primary batches (vec_id mod 3) + re-delivery of batches 0-1:
+    # 5 triggers. The evidence needs (a) multi-batch arrival so the
+    # centroids move between deliveries and (b) re-delivered batches
+    # whose flipped points exercise the subtract path — both are
+    # batch-count-invariant (7 triggers measured the same laws for
+    # 2 extra per-batch state commits of wall time).
     in_dir = batch_input_dir(
-        e.withColumn("bno", F.pmod("vec_id", F.lit(5))),
+        e.withColumn("bno", F.pmod("vec_id", F.lit(3))),
         d,
-        [0, 1, 2, 3, 4, 0, 1],
+        [0, 1, 2, 0, 1],
     )
 
+    # partitions=2: the per-batch state join shuffles ~5000 tiny rows,
+    # so 2 reducers beat 4 on pure task overhead (7 batches x join +
+    # state write each); the conf is load-sized, not code-sized — see
+    # session.scoped_shuffle_partitions.
     _run_available_now(
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", "1")
@@ -335,6 +345,7 @@ def q_kmeans_stream_reassign(spark, sf_dir):
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_kmeans_stream_reassign",
         spark,
+        partitions=2,
     )
 
     n_distinct = skm.assign_count(spark)

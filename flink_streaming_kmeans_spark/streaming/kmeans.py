@@ -259,10 +259,12 @@ class StreamingKMeans:
                 sums[j] += np.array(r.psum)
                 counts[j] += int(r.n)
         else:
-            # isEmpty short-circuits at the first row (the saw_points
-            # guard of the old driver-dict path, moved up front).
-            if batch_df.isEmpty():
-                return
+            # No empty-batch pre-check: the replay scaffolding never
+            # delivers an empty file (batch_input_dir raises on one),
+            # and a pathological empty batch is harmless here — zero
+            # partials, a state generation identical to its parent —
+            # so an isEmpty() probe would spend one job per batch
+            # guarding a case that cannot occur.
             spark = batch_df.sparkSession
             state = self._assign_state(spark)
             joined = batch_df.select("vec_id", "embedding").join(
