@@ -91,3 +91,31 @@ def asof_join(
     return matched.select(
         *lcols, *[F.col(f"_p.{p}").alias(p) for p in payload]
     )
+
+
+def clicks_and_purchases(ev, with_click_ts: bool = False):
+    """Shared prep for the as-of evidence family (q_join_asof /
+    q_join_asof_fwd / q_join_asof_tol — this block was once
+    copy-pasted per query, review r6): click rows deduped to ONE per
+    (user_id, ts) with the HIGHEST event_id winning (the asof_join
+    tie contract), plus the purchase probe side. ``with_click_ts``
+    adds the matched right timestamp to the payload (the tolerance
+    variant's window test needs it)."""
+    sel = [F.col("user_id"), F.col("ts")]
+    if with_click_ts:
+        sel.append(F.col("ts").alias("click_ts"))
+    sel += [
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    ]
+    clicks = ev.where(F.col("event_type") == "click").select(*sel)
+    dedup_w = W.partitionBy("user_id", "ts").orderBy(F.desc("click_id"))
+    clicks1 = (
+        clicks.withColumn("rn", F.row_number().over(dedup_w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return clicks1, purchases

@@ -172,6 +172,7 @@ def q_text_surprisal(spark, sf_dir):
                CAST(floor(embedding[CAST(r.range AS INT) + 1]::DOUBLE
                           * 1000000 + 0.5) AS BIGINT) AS qi
         FROM embeddings CROSS JOIN range(64) r
+        WHERE len(embedding) = 64
     ), st AS (
         SELECT dim, MIN(qi) AS lo, MAX(qi) AS hi FROM ex GROUP BY dim
     )
@@ -203,7 +204,13 @@ def q_emb_quantize(spark, sf_dir):
     table's natural partitioning, so AQE sees a shuffle both sides
     already share). Nothing quadratic, nothing single-node.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # size-64 guard on BOTH engines: the codebook is 64-dim by spec,
+    # and a short/empty vector would diverge between posexplode
+    # (drops it) and the oracle's CROSS JOIN range(64) (emits NULL
+    # rows) — the regenerated-data hazard class (review r6).
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.size("embedding") == 64
+    )
     ex = e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
     ).select(
@@ -357,9 +364,12 @@ def q_graph_pagerank(spark, sf_dir):
     lineitem x orders, symmetrized) — the canonical iterated
     join-aggregate of graph analytics, with FULL-VALUE oracle parity
     because the iteration count is fixed and the float discipline is
-    the repo's dsum pattern (per-contribution DECIMAL(30,6) cast,
-    exact order-independent decimal sum, one double cast, matched
-    round only on output).
+    per-contribution matched-floor quantization — each contribution
+    becomes floor(x*1e6 + 0.5) BEFORE the (exact, order-independent)
+    sum, then one double cast and a matched round on output. NOTE:
+    this is deliberately NOT the dsum DECIMAL(30,6)-cast pattern —
+    the oracle encodes the quantize-then-sum arithmetic, so
+    "aligning" the code to dsum would break parity (review r6).
 
     Every rank value flows through identical IEEE ops on both engines:
     1.0/d and pr/d are single double divisions of identical operands,
@@ -751,7 +761,12 @@ def q_evt_basket(spark, sf_dir):
     rather than silently wrapping, so the bound is enforced, not
     assumed."""
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # Materialize the presence set ONCE: four downstream references
+    # (a, b, singles, tot) would each replay the events scan + the
+    # distinct shuffle — the same per-reference recomputation
+    # q_graph_pagerank's edge list fixes with localCheckpoint
+    # (review r6).
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint()
     a = ut.select("user_id", F.col("event_type").alias("t1"))
     b = ut.select("user_id", F.col("event_type").alias("t2"))
     pairs = (

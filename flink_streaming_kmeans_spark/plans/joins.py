@@ -268,24 +268,10 @@ def q_join_asof(spark, sf_dir):
     shuffle on user_id); the DuckDB oracle uses its native ASOF JOIN.
     Right rows are deduped to one per (user_id, ts) first — the
     asof_join tie contract."""
-    from ..operators.asof import asof_join
-    from pyspark.sql import Window as W
+    from ..operators.asof import asof_join, clicks_and_purchases
 
     ev = load_table(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts",
-        F.col("event_id").alias("click_id"),
-        F.col("value").alias("click_value"),
-    )
-    dedup_w = W.partitionBy("user_id", "ts").orderBy(F.desc("click_id"))
-    clicks1 = (
-        clicks.withColumn("rn", F.row_number().over(dedup_w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
+    clicks1, purchases = clicks_and_purchases(ev)
     out = asof_join(
         purchases, clicks1, key="user_id", on="ts",
         payload=["click_id", "click_value"],

@@ -180,3 +180,42 @@ def test_grouping_sets_empty_divergence(
     assert queries[name](spark, empty_sf).count() == 0
     n_oracle = len(empty_duck.sql(oracles[name]).fetchall())
     assert n_oracle >= 1, n_oracle
+
+
+def test_ragged_embeddings_parity(spark, registry, tmp_path):
+    """Review-r6 hazard class: a vector whose embedding is EMPTY or
+    SHORT diverges between Spark's posexplode (drops it) and the
+    oracles' CROSS JOIN range(64) (fabricates NULL rows) unless both
+    sides carry the size-64 guard. Run the three posexplode queries
+    on a synthetic embeddings table with one empty, one short, and
+    two full vectors — full oracle parity must hold."""
+    import duckdb
+
+    full = [float(i % 7) / 8.0 for i in range(64)]
+    rows = [
+        (1, [v + 0.01 for v in full], 1),
+        (2, full, 0),
+        (3, [], 1),          # empty vector
+        (4, full[:10], 0),   # short vector
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "ragged_sf")
+    stage = f"{sf}/_stage"
+    df.coalesce(1).write.parquet(stage)
+    f = next(x for x in sorted(os.listdir(stage)) if x.endswith(".parquet"))
+    shutil.move(os.path.join(stage, f), f"{sf}/embeddings.parquet")
+    shutil.rmtree(stage, ignore_errors=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS"
+        f" SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    queries, oracles = registry
+    for name in ("q_emb_quantize", "q_sim_ann_multi", "q_ml_score"):
+        r = check_parity(spark, con, name, queries[name], oracles[name], sf)
+        assert r.ok, f"{name}: rows={r.rows_match} schema={r.schema_match} hash={r.hash_match}\n{r.detail}"
+        # and the full-width vectors survived the guard
+        assert r.spark_rows > 0, name
