@@ -27,9 +27,16 @@ from .registry import register
 
 @register(
     "q_json_extract",
+    # json_valid guard (review r6): DuckDB's json_extract RAISES on a
+    # malformed props string where Spark's get_json_object returns
+    # NULL — one bad row in regenerated data would crash the oracle
+    # side instead of comparing. The guard pins both engines to
+    # NULL-on-malformed.
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(CASE WHEN json_valid(props)
+                              THEN json_extract(props, '$.k')
+                              ELSE NULL END AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n_events
     FROM events
     GROUP BY event_type
@@ -101,7 +108,7 @@ def q_win_slide(spark, sf_dir):
     WITH marked AS (
         SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -111,21 +118,32 @@ def q_win_slide(spark, sf_dir):
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM marked
     )
-    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    SELECT user_id, date_trunc('second', MIN(ts)) AS session_start,
+           COUNT(*) AS n_events
     FROM sess
     GROUP BY user_id, sid
     """,
 )
 def q_win_session(spark, sf_dir):
-    # 30-minute-gap sessions per user. Spark's session_window end is
-    # exclusive (last_event + gap), so an event at exactly prev+30min
-    # opens a NEW session — the oracle's gaps-and-islands flag uses >=
-    # to match that boundary exactly.
+    # 30-minute-gap sessions per user. Spark's session_window MERGES
+    # an event arriving at exactly prev+30min into the open session
+    # (verified empirically, review r6 — a 00:00/00:30/01:00 triple
+    # is ONE session; the first draft's >= oracle split it into
+    # three, masked only because the fixture's µs-random timestamps
+    # never land exactly on the gap). The oracle's gaps-and-islands
+    # flag therefore opens a new session only when the gap EXCEEDS
+    # 30 minutes; boundary pinned in tests/test_streaming.py.
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .select(
+            "user_id",
+            # registry rule 2: second-truncate any returned events
+            # timestamp (review r6 — this column was raw microseconds)
+            F.date_trunc("second", F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
     )
 
 
@@ -340,9 +358,11 @@ def q_rollup_time(spark, sf_dir):
 @register(
     "q_scd2_intervals",
     oracle="""
-    SELECT user_id, event_type AS state, ts AS valid_from,
-           LEAD(ts) OVER (PARTITION BY user_id
-                          ORDER BY ts, event_id) AS valid_to,
+    SELECT user_id, event_type AS state,
+           date_trunc('second', ts) AS valid_from,
+           date_trunc('second',
+                      LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS valid_to,
            (LEAD(ts) OVER (PARTITION BY user_id
                            ORDER BY ts, event_id) IS NULL) AS is_current
     FROM events
@@ -365,7 +385,9 @@ def q_scd2_intervals(spark, sf_dir):
     return ev.select(
         "user_id",
         F.col("event_type").alias("state"),
-        F.col("ts").alias("valid_from"),
-        nxt.alias("valid_to"),
+        # registry rule 2: second-truncate returned events timestamps
+        # (review r6 — these columns were raw microseconds)
+        F.date_trunc("second", "ts").alias("valid_from"),
+        F.date_trunc("second", nxt).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )

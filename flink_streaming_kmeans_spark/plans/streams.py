@@ -26,11 +26,10 @@ strongest oracle tier its state shape admits:
   exercising the per-point remove/add arithmetic of the reference
   co-operator (streaming/kmeans.py track_assignments)
 
-WINDOW NOTE (r4 verdict task 8): these register AFTER the round-5
-correctness window, which was dictated query-by-query by the r4
-verdict (task 1) and is full. The round-6 rotation plan lives in
-plans/sketches.py's docstring (corpus.py's note defers to it). Do
-NOT add further out-of-window queries without extending that plan.
+WINDOW NOTE: INSIDE the round-6 correctness window (module registers
+fourth). The canonical rotation plan lives in plans/registry.py next
+to ``_MODULES``; do NOT add queries to this module while it is in
+the window prefix (round-6 additions went to plans/streaming_ext.py).
 
 The event-time drives replay their tables as CONTIGUOUS TIME-RANGE
 micro-batch files (sources/replay.py; monotone mtimes pin
@@ -376,7 +375,7 @@ def q_kmeans_stream_reassign(spark, sf_dir):
     WITH marked AS (
         SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -386,7 +385,8 @@ def q_kmeans_stream_reassign(spark, sf_dir):
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM marked
     )
-    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    SELECT user_id, date_trunc('second', MIN(ts)) AS session_start,
+           COUNT(*) AS n_events
     FROM sess
     GROUP BY user_id, sid
     """,
@@ -477,7 +477,12 @@ def q_stream_session(spark, sf_dir):
         .where(F.col("n") > 1)
     )
     assert dups.isEmpty(), "session re-emitted"
-    return res.select("user_id", "session_start", "n_events")
+    return res.select(
+        "user_id",
+        # registry rule 2 + lockstep with q_win_session (review r6)
+        F.date_trunc("second", "session_start").alias("session_start"),
+        "n_events",
+    )
 
 
 @register(

@@ -32,17 +32,25 @@ from ..sources.loader import load_table
 from .registry import register
 
 
-@register(
-    "q_udf_python",
-    oracle="""
-    SELECT event_id, LEAST(GREATEST(value, 0.0), 100.0) AS clipped
+# Shared by BOTH UDF tiers (review r6 — the literal was duplicated,
+# and its bare LEAST/GREATEST silently mapped NULL -> 0.0 where the
+# UDFs return NULL: DuckDB's LEAST/GREATEST IGNORE NULL arguments,
+# and order NaN greatest (-> 100.0) where pandas clip keeps NaN. The
+# pinned spec is therefore explicit: NULL and NaN both clip to NULL;
+# everything else clips to [0, 100].)
+_CLIP_ORACLE = """
+    SELECT event_id,
+           CASE WHEN value IS NULL OR isnan(value) THEN NULL
+                ELSE LEAST(GREATEST(value, 0.0), 100.0) END AS clipped
     FROM events
-    """,
-)
+    """
+
+
+@register("q_udf_python", oracle=_CLIP_ORACLE)
 def q_udf_python(spark, sf_dir):
     @F.udf("double")
     def clip_py(v):
-        if v is None:
+        if v is None or math.isnan(v):
             return None
         return max(0.0, min(100.0, v))
 
@@ -50,17 +58,17 @@ def q_udf_python(spark, sf_dir):
     return ev.select("event_id", clip_py("value").alias("clipped"))
 
 
-@register(
-    "q_udf_pandas",
-    oracle="""
-    SELECT event_id, LEAST(GREATEST(value, 0.0), 100.0) AS clipped
-    FROM events
-    """,
-)
+@register("q_udf_pandas", oracle=_CLIP_ORACLE)
 def q_udf_pandas(spark, sf_dir):
     @pandas_udf("double")
     def clip_pd(v):
-        return v.clip(0.0, 100.0)
+        # Arrow hands SQL NULL to the pandas tier as NaN, so NULL and
+        # NaN are indistinguishable here — the spec maps both to NULL
+        # (nullable Float64 + pd.NA survives the Arrow return as a
+        # real SQL NULL; a raw float NaN would not).
+        out = v.clip(0.0, 100.0).astype("Float64")
+        out[v.isna()] = None
+        return out
 
     ev = load_table(spark, sf_dir, "events")
     return ev.select("event_id", clip_pd("value").alias("clipped"))

@@ -911,3 +911,44 @@ def test_stream_cep_nfa_equals_replace_count_on_random_sequences(
         if s  # users with zero events never enter the stream
     }
     assert got == want
+
+
+def test_session_gap_boundary_semantics(spark, registry, tmp_path):
+    """Review-r6 CONFIRMED find: Spark's session_window MERGES an
+    event arriving at exactly prev + gap into the open session (the
+    first-draft oracle's >= flag split it — masked because fixture
+    timestamps never land exactly on the 30-minute boundary). Pin the
+    boundary on synthetic data through BOTH the batch query and the
+    streaming drive: exact-gap events are one session; gap + 1s
+    events split."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: three events exactly 30:00 apart -> ONE session
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=30), 1, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=60), 1, "view", 1.0, "{}"),
+        # user 2: gap of 30:00 + 1s -> TWO sessions
+        (4, base, 2, "view", 1.0, "{}"),
+        (5, base + dt.timedelta(minutes=30, seconds=1), 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "gap_sf")
+    df.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    queries, _ = registry
+    for name in ("q_win_session", "q_stream_session"):
+        got = {
+            (r.user_id, r.session_start): r.n_events
+            for r in queries[name](spark, sf).collect()
+        }
+        assert got == {
+            (1, base): 3,
+            (2, base): 1,
+            (2, base + dt.timedelta(minutes=30, seconds=1)): 1,
+        }, (name, got)
