@@ -401,3 +401,28 @@ def _final_assign_fn(C, cids):
             )
 
     return fn
+
+
+# Shared DuckDB oracle CTE: one Lloyd assignment step (ten seed
+# centroids by lowest vec_id, argmax dot with cid tie-break). Lives
+# HERE — a non-registering module — so plans modules (ml, llm,
+# quality) can share it without firing each other's @register calls
+# mid-import, which would shift the correctness window (registry.py
+# rotation invariant; review r6). The dot product is bit-identical to
+# Spark's dot64 (float->double exact products, sequential
+# left-to-right sum — verified over all 5000 pairs at sf0.01), so the
+# argmax ranking agrees exactly.
+ASSIGN_CTE = """
+    WITH c AS (
+        SELECT vec_id AS cid, embedding AS cemb
+        FROM embeddings ORDER BY vec_id LIMIT 10
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               list_inner_product(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) AS dot
+        FROM embeddings e CROSS JOIN c
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dot DESC, cid) AS rn
+        FROM scored
+    )
+"""

@@ -21,6 +21,45 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def ngram_rows(
+    docs: DataFrame,
+    n: int,
+    out_col: str = "s",
+    keep_cols: tuple = ("doc_id",),
+    distinct: bool = True,
+) -> DataFrame:
+    """One row per token-n-gram of ``text`` — THE canonical n-gram
+    construction (codegen posexplode + element_at; see q_dedup_near's
+    docstring for why not transform(sequence(...), λ)). The 1-based
+    element_at offset pairs with the 0-based posexplode index: token
+    k of the gram starting at pos is element_at(w, pos + k + 1), and
+    the ``pos <= size(w) - n`` guard keeps the last gram in bounds —
+    an off-by-one pair that was re-risked at every copy-paste before
+    this helper unified the bigram callers with shingle_rows
+    (review r6)."""
+    toks = docs.select(
+        *keep_cols, F.split("text", " ").alias("w")
+    ).where(F.size("w") >= n)
+    out = (
+        toks.select(*keep_cols, "w", F.posexplode("w").alias("pos", "t0"))
+        .where(F.col("pos") <= F.size("w") - n)
+        .select(
+            *keep_cols,
+            F.concat_ws(
+                " ",
+                "t0",
+                *[
+                    F.element_at("w", F.col("pos") + k)
+                    for k in range(2, n + 1)
+                ],
+            ).alias(out_col),
+        )
+    )
+    if distinct:
+        out = out.dropDuplicates([*keep_cols, out_col])
+    return out
+
+
 def shingle_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, s) — one row per DISTINCT token-3-gram per document.
 
@@ -28,25 +67,8 @@ def shingle_rows(docs: DataFrame) -> DataFrame:
     q_dedup_lsh (plans/llm.py) and the MinHashLSH path below all build
     on this one construction, so the exact oracle and every
     approximate variant can never silently diverge on what a shingle
-    is. Codegen posexplode + element_at form — see q_dedup_near's
-    docstring for why not transform(sequence(...), λ)."""
-    toks = docs.select("doc_id", F.split("text", " ").alias("w")).where(
-        F.size("w") >= 3
-    )
-    return (
-        toks.select("doc_id", "w", F.posexplode("w").alias("pos", "t0"))
-        .where(F.col("pos") <= F.size("w") - 3)
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                "t0",
-                F.element_at("w", F.col("pos") + 2),
-                F.element_at("w", F.col("pos") + 3),
-            ).alias("s"),
-        )
-        .dropDuplicates(["doc_id", "s"])
-    )
+    is."""
+    return ngram_rows(docs, 3)
 
 
 def shingle_sets(docs: DataFrame) -> DataFrame:

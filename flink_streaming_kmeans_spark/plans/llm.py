@@ -191,8 +191,13 @@ def q_dedup_cluster(spark, sf_dir):
         F.col("doc_id").alias("id")
     )
     labels = connected_components(nodes, edges)
+    # No broadcast hint on sizes: its cardinality is one row per
+    # COMPONENT — O(n_docs) when most docs are singletons (the common
+    # case the docstring states), which would be an unbounded driver
+    # collect + executor ship at scale (review r6). Both sides of the
+    # join share the label partitioning; AQE picks the strategy.
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
-    return labels.join(F.broadcast(sizes), "label").select(
+    return labels.join(sizes, "label").select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"), "n_members"
     )
 
@@ -204,6 +209,20 @@ def q_dedup_cluster(spark, sf_dir):
 # candidate sets — which is what lets the scale path be hash-checked.
 _LSH_P = 1_000_000_007
 _LSH_NH, _LSH_ROWS = 12, 3
+# Positional band-combine weight for row r of a band: 31^(ROWS-1-r).
+# DERIVED from _LSH_ROWS (review r6: the weights were hardcoded
+# {961,31,1} with period literally 3 — changing _LSH_ROWS would have
+# silently collapsed unordered row pairs into equal band hashes, in
+# BOTH engines, so parity could never catch it). One rendered SQL
+# string shared by the oracle and the Spark expr.
+_LSH_ROW_WEIGHT = (
+    "CASE "
+    + " ".join(
+        f"WHEN i % {_LSH_ROWS} = {r} THEN {31 ** (_LSH_ROWS - 1 - r)}"
+        for r in range(_LSH_ROWS - 1)
+    )
+    + " ELSE 1 END"
+)
 
 
 @register(
@@ -222,9 +241,7 @@ _LSH_NH, _LSH_ROWS = 12, 3
         GROUP BY doc_id, t.range
     ), bands AS (
         SELECT doc_id, CAST(i // {_LSH_ROWS} AS INT) AS band,
-               CAST(SUM(m * (CASE WHEN i % 3 = 0 THEN 961
-                                  WHEN i % 3 = 1 THEN 31
-                                  ELSE 1 END)) AS BIGINT) AS bh
+               CAST(SUM(m * ({_LSH_ROW_WEIGHT})) AS BIGINT) AS bh
         FROM sig GROUP BY doc_id, i // {_LSH_ROWS}
     ), cands AS (
         SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
@@ -287,8 +304,7 @@ def q_dedup_lsh(spark, sf_dir):
         "doc_id", F.expr(f"CAST(i DIV {_LSH_ROWS} AS INT)").alias("band")
     ).agg(
         F.sum(
-            F.col("m")
-            * F.expr("CASE WHEN i % 3 = 0 THEN 961 WHEN i % 3 = 1 THEN 31 ELSE 1 END")
+            F.col("m") * F.expr(_LSH_ROW_WEIGHT)
         ).cast("bigint").alias("bh")
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -445,7 +461,11 @@ def q_text_stats(spark, sf_dir):
     )
 
 
-from .ml import _ASSIGN_CTE as _IVF_ASSIGN_CTE
+# From the NON-registering operators module — importing it from
+# plans.ml would fire ml's @register calls mid-import and shift the
+# correctness window in any rotation fronting llm before ml
+# (review r6; registry.py rotation invariant).
+from ..operators.kmeans import ASSIGN_CTE as _IVF_ASSIGN_CTE
 
 
 @register(
@@ -587,6 +607,7 @@ def q_text_decontaminate(spark, sf_dir):
                                         + 0.5) AS BIGINT) AS VARCHAR)),
                ',') AS unit
     FROM n
+    WHERE norm_raw > 0
     """,
 )
 def q_emb_normalize(spark, sf_dir):
@@ -627,6 +648,11 @@ def q_emb_normalize(spark, sf_dir):
         "embedding",
         (F.sqrt(sq_sum.cast("double")) / 1000000).alias("norm_raw"),
     )
+    # A zero vector cannot be normalized — drop it on BOTH engines
+    # (review r6: Spark's x/0 yielded NULL components silently joined
+    # to unit='' while DuckDB's 0.0/0.0 NaN crashed the oracle's
+    # BIGINT cast; unreachable on unit-normalized fixture data).
+    n = n.where(F.col("norm_raw") > 0)
     # NB: the rounded output must NOT be aliased to the same name the
     # sibling transform divides by — Spark laterally resolves the
     # fresh alias (dividing by the ROUNDED norm) while DuckDB binds
@@ -682,8 +708,12 @@ def q_pipeline_clean(spark, sf_dir):
     actually runs, composed from this engine's own stages: language
     filter (en) → length floor (>=30 tokens) → repetition filter
     (top-token share <= 0.2) → near-dup removal (drop the larger
-    doc_id of each Jaccard>=0.8 pair, the canonical-survivor rule
-    q_dedup_cluster encodes) → per-source kept-corpus stats.
+    doc_id of each Jaccard>=0.8 PAIR — deliberately a pairwise rule,
+    NOT q_dedup_cluster's min-of-component rule: on a transitive
+    component {1,2,3} with edges (1,3),(2,3) the pair rule keeps
+    {1,2} where the component rule keeps {1}; the oracle encodes the
+    pair rule, so do not "unify" them — review r6) → per-source
+    kept-corpus stats.
 
     Composability is the point: the shingle join, the repetition
     aggregate, and the per-doc stats are the same constructions as
@@ -692,8 +722,17 @@ def q_pipeline_clean(spark, sf_dir):
     ids, and the final stats shuffle carries one row per source. At
     100 TB each stage stays the shape proven scalable standalone."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", "lang", F.split("text", " ").alias("w"))
-    stats = toks.select("doc_id", "source", "lang", F.size("w").alias("n_tok"))
+    # The lang filter applies BEFORE the token explode: Catalyst can't
+    # push a post-join predicate through the repetition aggregate, so
+    # an unfiltered topf would explode+aggregate every non-en doc
+    # (~80% of the corpus) only to discard it at the join (review r6).
+    # Equivalent because keep inner-joins stats (en-only) to topf.
+    # Only the near-dup side (_near_pairs/drops) must stay unfiltered.
+    d_en = d.where(F.col("lang") == "en")
+    toks = d_en.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    stats = toks.select("doc_id", "source", F.size("w").alias("n_tok"))
     topf = (
         toks.select("doc_id", F.explode("w").alias("t"))
         .groupBy("doc_id", "t")
@@ -706,11 +745,7 @@ def q_pipeline_clean(spark, sf_dir):
     ).distinct()
     keep = (
         stats.join(topf, "doc_id")
-        .where(
-            (F.col("lang") == "en")
-            & (F.col("n_tok") >= 30)
-            & (F.col("top_frac") <= 0.2)
-        )
+        .where((F.col("n_tok") >= 30) & (F.col("top_frac") <= 0.2))
         .join(drops, "doc_id", "left_anti")
     )
     return keep.groupBy("source").agg(

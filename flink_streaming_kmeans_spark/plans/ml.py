@@ -20,24 +20,13 @@ from ..sources.loader import _tmp_out, fan_out, load_table, local_df
 from ..sources.replay import batch_input_dir, run_available_now
 from .registry import register
 
-# Shared oracle CTE: one Lloyd assignment step in DuckDB. The dot
-# product is bit-identical to Spark's dot64 (both: float→double exact
-# products, sequential left-to-right sum — verified over all 5000
-# pairs at sf0.01), so the argmax ranking agrees exactly.
-_ASSIGN_CTE = """
-    WITH c AS (
-        SELECT vec_id AS cid, embedding AS cemb
-        FROM embeddings ORDER BY vec_id LIMIT 10
-    ), scored AS (
-        SELECT e.vec_id, e.embedding, c.cid,
-               list_inner_product(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) AS dot
-        FROM embeddings e CROSS JOIN c
-    ), ranked AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY dot DESC, cid) AS rn
-        FROM scored
-    )
-"""
+# Shared oracle CTE: one Lloyd assignment step in DuckDB — defined in
+# operators/kmeans.py (a NON-registering module) because importing it
+# from another plans module would fire that module's @register calls
+# mid-import and shift the correctness window (review r6: llm.py's
+# `from .ml import _ASSIGN_CTE` would have re-ordered registration in
+# any rotation that fronts llm before ml).
+from ..operators.kmeans import ASSIGN_CTE as _ASSIGN_CTE
 
 
 @register(

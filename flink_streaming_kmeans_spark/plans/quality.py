@@ -92,7 +92,8 @@ def q_text_quality(spark, sf_dir):
 
 # Round-1 assignment CTE shared with plans/ml.py's single-step queries
 # (duplicated here rather than imported so each module's oracle reads
-# standalone; keep in lockstep with ml._ASSIGN_CTE).
+# standalone; keep in lockstep with operators/kmeans.ASSIGN_CTE — the
+# canonical copy since review r6 moved it out of plans.ml).
 _R2_ORACLE = f"""
     WITH c0 AS (
         SELECT vec_id AS cid, embedding AS cemb

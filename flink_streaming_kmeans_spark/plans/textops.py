@@ -26,6 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import dot64, mround, sql_mround
+from ..operators.minhash import ngram_rows
 from ..sources.loader import fan_out, load_table
 from .registry import register
 
@@ -110,8 +111,11 @@ def q_dedup_embed(spark, sf_dir):
     == dot). Brute-force all-pairs BASELINE for oracle verification —
     the scale path is q_sim_ann's LSH bucketing (same re-rank)."""
     e = load_table(spark, sf_dir, "embeddings")
-    # Probe side fanned out so the nested-loop pair evaluation uses all
-    # cores; build side broadcast (it is the smaller, bounded side).
+    # Probe side fanned out so the nested-loop pair evaluation uses
+    # all cores. The broadcast build side is the SAME unbounded table
+    # as the probe side — acceptable ONLY because this query is the
+    # declared small-SF brute-force baseline (do NOT copy this
+    # pattern into a scale path; that's q_sim_ann's bucketed join).
     a = fan_out(
         e.select(F.col("vec_id").alias("vec_id1"), F.col("embedding").alias("ea"))
     )
@@ -232,8 +236,13 @@ def q_sim_ann(spark, sf_dir):
     oracle=f"""
     WITH feat AS (
         SELECT doc_id, lang,
+               -- NULLIF guard (review r6): a space-only/empty text has
+               -- zero letters; DuckDB's 0.0/0 is NaN (which its CASE
+               -- orders ABOVE every threshold -> 'es') while Spark
+               -- yields NULL (falls through) — NULL on both engines
+               -- pins the fall-through.
                CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE)
-               / length(replace(text, ' ', '')) AS vowel_ratio,
+               / NULLIF(length(replace(text, ' ', '')), 0) AS vowel_ratio,
                CAST(length(replace(text, ' ', '')) AS DOUBLE)
                / (len(string_split(text, ' '))) AS avg_tok_len
         FROM documents
@@ -263,7 +272,11 @@ def q_text_langid(spark, sf_dir):
     n_toks = F.size(F.split("text", " "))
     feat = d.select(
         "doc_id", "lang",
-        (vowels.cast("double") / letters).alias("vowel_ratio"),
+        # NULL (not NaN/error) on zero letters — lockstep with the
+        # oracle's NULLIF; both CASEs then fall through identically.
+        F.when(letters > 0, vowels.cast("double") / letters).alias(
+            "vowel_ratio"
+        ),
         (letters.cast("double") / n_toks).alias("avg_tok_len"),
     )
     pred = (
@@ -588,14 +601,9 @@ def q_text_ngram_freq(spark, sf_dir):
     the shuffle carries one row per distinct bigram, the top-k merge
     k rows per partition."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = d.select(F.split("text", " ").alias("w")).where(F.size("w") >= 2)
-    bi = (
-        toks.select("w", F.posexplode("w").alias("pos", "t0"))
-        .where(F.col("pos") <= F.size("w") - 2)
-        .select(
-            F.concat_ws(" ", "t0", F.element_at("w", F.col("pos") + 2)).alias("bigram")
-        )
-    )
+    # Canonical n-gram construction (operators/minhash.ngram_rows —
+    # shared with shingle_rows and q_text_repetition, review r6).
+    bi = ngram_rows(d, 2, out_col="bigram", keep_cols=(), distinct=False)
     return (
         bi.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -713,15 +721,8 @@ def q_text_repetition(spark, sf_dir):
             F.max("c").alias("top_c"),
         )
     )
-    big = (
-        toks.where(F.size("w") >= 2)
-        .select("doc_id", "w", F.posexplode("w").alias("pos", "t0"))
-        .where(F.col("pos") <= F.size("w") - 2)
-        .select(
-            "doc_id",
-            F.concat_ws(" ", "t0", F.element_at("w", F.col("pos") + 2)).alias("b"),
-        )
-    )
+    # Canonical n-gram construction (operators/minhash.ngram_rows).
+    big = ngram_rows(d, 2, out_col="b", distinct=False)
     m2 = (
         big.groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -1,0 +1,162 @@
+"""Degenerate-regime parity for the review-r6 divergence fixes.
+
+The r5 adversarial program's lesson (SURVEY §5.2.2): oracle parity on
+the generated fixture data is NOT sufficient — the generated corpus is
+unit-normalized and letter-bearing, so a zero embedding vector or a
+zero-letter document never reaches the two division sites that the r6
+review found diverging (Spark x/0 → NULL vs DuckDB 0.0/0 → NaN, which
+DuckDB orders above every float and crashes on BIGINT casts). These
+tests build synthetic parquet tables that contain exactly those rows
+and run the driver-shaped rows/schema/hash comparator on them, so the
+fixes (norm_raw > 0 filter, NULLIF/when guards) stay pinned.
+
+Also pinned here: q_pipeline_clean's PAIRWISE drop rule on a
+transitive near-dup component (review r6 finding #9 — the docstring
+now promises {1,2} survive where the component rule would keep {1};
+a behavior assert guards against both engines silently agreeing on
+the wrong rule), and the ngram_rows refactor's single-token /
+empty-text edges for q_text_repetition and q_text_ngram_freq.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from oracle import check_parity, make_duckdb
+
+from conftest import SF_SMOKE
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def _doc(i, text, lang="en", source="degen"):
+    return (i, text, lang, source, len(text))
+
+
+def _write_table(spark, sf, name, rows, schema):
+    from flink_streaming_kmeans_spark.sources.loader import local_df
+
+    stage = os.path.join(sf, f"_stage_{name}")
+    local_df(spark, rows, schema).coalesce(1).write.mode("overwrite").parquet(stage)
+    f = next(x for x in sorted(os.listdir(stage)) if x.endswith(".parquet"))
+    dest = os.path.join(sf, f"{name}.parquet")
+    if os.path.exists(dest):
+        os.remove(dest)
+    shutil.move(os.path.join(stage, f), dest)
+    shutil.rmtree(stage)
+
+
+# 40 distinct tokens; docs 1/2/3 form the transitive component the
+# pipeline docstring describes: d1 replaces the LAST three tokens, d2
+# the FIRST three, so vs hub d3 each shares trigrams {i: 0..34} resp.
+# {3..37} (35 of 38 → J = 35/41 ≈ 0.854 ≥ 0.8) while d1-vs-d2 share
+# only {3..34} (32 → J = 32/44 ≈ 0.727 < 0.8). The pair rule drops
+# only {3} and keeps {1, 2}; the component rule would keep {1} alone.
+_BASE = [f"w{i:02d}" for i in range(40)]
+_D1 = " ".join(_BASE[:-3] + ["endA", "endB", "endC"])
+_D2 = " ".join(["startA", "startB", "startC"] + _BASE[3:])
+_D3 = " ".join(_BASE)
+
+
+@pytest.fixture(scope="module")
+def degen_sf(spark, tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("degen_sf"))
+    for t in TABLES:
+        df = spark.read.parquet(os.path.join(SF_SMOKE, f"{t}.parquet"))
+        stage = os.path.join(sf, f"_stage_{t}")
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(stage)
+        f = next(x for x in sorted(os.listdir(stage)) if x.endswith(".parquet"))
+        shutil.move(os.path.join(stage, f), os.path.join(sf, f"{t}.parquet"))
+        shutil.rmtree(stage)
+    docs = [
+        _doc(1, _D1),
+        _doc(2, _D2),
+        _doc(3, _D3),
+        _doc(4, ""),  # empty text: zero letters, one "" token
+        _doc(5, "   "),  # space-only: zero letters, several "" tokens
+        _doc(6, "solo"),  # single token: no bigram, no trigram
+        _doc(7, "bcd fgh jkl mnp qrs"),  # consonants only: vowel_ratio 0
+        _doc(8, "aeiou aeiou aeiou"),  # repeated token: top_frac 1.0
+        _doc(9, "uno dos tres quatro cinco", lang="es"),
+    ]
+    _write_table(spark, sf, "documents", docs, DOC_SCHEMA)
+    dim = 64
+    zero = [0.0] * dim
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.6, 0.8] + [0.0] * (dim - 2)
+    e3 = [0.0, -1.0] + [0.0] * (dim - 2)
+    embs = [(1, zero, 0), (2, e1, 1), (3, e2, 1), (4, e3, 2)]
+    _write_table(spark, sf, "embeddings", embs, EMB_SCHEMA)
+    yield sf
+
+
+@pytest.fixture(scope="module")
+def degen_duck(degen_sf):
+    con = make_duckdb(degen_sf)
+    yield con
+    con.close()
+
+
+DEGEN_CHECKED = [
+    "q_emb_normalize",  # zero vector: dropped by norm_raw > 0 on BOTH engines
+    "q_text_langid",  # zero letters: NULL vowel_ratio (not NaN) on BOTH engines
+    "q_text_repetition",  # ngram_rows refactor: single-token + empty docs
+    "q_text_ngram_freq",  # ngram_rows refactor: corpus with no/short docs
+    "q_pipeline_clean",  # transitive component through the full pipeline
+    "q_dedup_near",  # shingle_rows→ngram_rows: the exact-pair oracle
+]
+
+
+@pytest.mark.parametrize("name", DEGEN_CHECKED)
+def test_degenerate_parity(spark, degen_duck, registry, degen_sf, name):
+    queries, oracles = registry
+    r = check_parity(
+        spark, degen_duck, name, queries[name], oracles[name], degen_sf
+    )
+    assert r.ok, (
+        f"{name} diverges on degenerate input: rows={r.rows_match} "
+        f"schema={r.schema_match} hash={r.hash_match}\n{r.detail}"
+    )
+
+
+def test_emb_normalize_drops_only_zero_vector(spark, registry, degen_sf):
+    queries, _ = registry
+    got = {r.vec_id for r in queries["q_emb_normalize"](spark, degen_sf).collect()}
+    assert got == {2, 3, 4}, got
+
+
+def test_langid_zero_letters_falls_through(spark, registry, degen_sf):
+    """NULL vowel_ratio must fall through the CASE (never 'es', which is
+    what DuckDB's NaN-above-everything ordering produced pre-fix)."""
+    queries, _ = registry
+    rows = {r.doc_id: r for r in queries["q_text_langid"](spark, degen_sf).collect()}
+    for d in (4, 5):
+        assert rows[d].vowel_ratio is None, rows[d]
+        assert rows[d].pred_lang != "es", rows[d]
+
+
+def test_pipeline_clean_pairwise_rule_keeps_two(spark, registry, degen_sf):
+    """On the {1,2,3} transitive component, the pairwise drop rule
+    keeps docs 1 and 2 (only hub doc 3 is ever a doc_id2); doc 8's
+    top_frac=1.0 and the short docs fail the filters, so n_kept == 2.
+    A component-rule regression would report 1."""
+    queries, _ = registry
+    rows = {r.source: r for r in queries["q_pipeline_clean"](spark, degen_sf).collect()}
+    assert rows["degen"].n_kept == 2, rows
+    assert rows["degen"].total_tokens == 80, rows
