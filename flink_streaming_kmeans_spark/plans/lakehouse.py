@@ -17,11 +17,16 @@ swap, and every historical snapshot stays readable for free.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from ..functions.vector import mround, sql_mround
 from ..operators.lakehouse import (
+    _manifest_path,
+    compact,
     create_table,
+    load_manifest,
     merge_cow,
     read_changes,
     read_table,
@@ -35,18 +40,45 @@ from .registry import register
 _SEGMENTS = ("BUILDING", "AUTOMOBILE")
 
 
-def _seed_table(spark, sf_dir) -> str:
+def _seed_table(spark, sf_dir, prefix: str = "lake", fragment: bool = False) -> str:
     """Snapshot 0: customer projected to (custkey, name, acctbal,
-    segment), partitioned by segment."""
+    segment), partitioned by segment. ``fragment=True`` range-splits
+    the input into ~8 files per partition — the deliberately
+    small-file layout q_lake_compact starts from (the projection
+    lives HERE in one place so the compact seed cannot drift from the
+    other four lakehouse queries' seed — review r6)."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"),
         F.col("c_name").alias("name"),
         F.col("c_acctbal").cast("double").alias("acctbal"),
         F.col("c_mktsegment").alias("segment"),
     )
-    root = _tmp_out("lake", sf_dir)
+    if fragment:
+        c = c.repartitionByRange(8, "custkey")
+    root = _tmp_out(prefix, sf_dir)
     create_table(c, root, "segment")
     return root
+
+
+# Process-scoped memo of the seed+merge pipeline shared verbatim by
+# q_merge_cow / q_lake_time_travel / q_lake_incremental (review r6:
+# each rebuilt the identical full snapshot write + broadcast-join
+# aggregate + copy-on-write rewrite from scratch, 3x the heavy work
+# per sweep). Snapshots are immutable once committed, so reuse cannot
+# change any result; the manifest existence check re-seeds if
+# _tmp_out's 30-minute GC reclaimed the directory between uses.
+_MERGED_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def _seeded_merged(spark, sf_dir) -> tuple[str, int]:
+    """(root, merged_version) of the canonical seed+_merge_fn table."""
+    cached = _MERGED_CACHE.get(sf_dir)
+    if cached is not None and os.path.exists(_manifest_path(*cached)):
+        return cached
+    root = _seed_table(spark, sf_dir)
+    v = merge_cow(spark, root, _merge_source(spark, sf_dir), _merge_fn)
+    _MERGED_CACHE[sf_dir] = (root, v)
+    return root, v
 
 
 def _merge_source(spark, sf_dir):
@@ -130,8 +162,7 @@ def q_merge_cow(spark, sf_dir):
     through the manifest. The oracle recomputes the post-merge state
     relationally — passing hash-exact proves write → commit → snapshot
     read reproduces the logical MERGE bit-for-bit."""
-    root = _seed_table(spark, sf_dir)
-    merge_cow(spark, root, _merge_source(spark, sf_dir), _merge_fn)
+    root, _ = _seeded_merged(spark, sf_dir)
     t = read_table(spark, root)
     return t.select(
         "custkey", "name", mround("acctbal").alias("acctbal"), "segment"
@@ -168,8 +199,7 @@ def q_lake_time_travel(spark, sf_dir):
     equality proves the historical snapshot is exactly the pre-merge
     state (nothing leaked across versions) and the latest is exactly
     the post-merge state."""
-    root = _seed_table(spark, sf_dir)
-    merge_cow(spark, root, _merge_source(spark, sf_dir), _merge_fn)
+    root, _ = _seeded_merged(spark, sf_dir)
 
     def agg(df, tag):
         return df.groupBy("segment").agg(
@@ -219,9 +249,12 @@ def q_lake_incremental(spark, sf_dir):
     O(churn), never O(table) — the lakehouse twin of q_cdc_diff (which
     diffs two full relational states). The oracle recomputes the
     changeset relationally over only the touched segments."""
-    root = _seed_table(spark, sf_dir)
-    merge_cow(spark, root, _merge_source(spark, sf_dir), _merge_fn)
-    ch = read_changes(spark, root, "custkey", ["acctbal"], 0, 1)
+    # The merged version comes from merge_cow's return, not a
+    # hardcoded 1 — a future second maintenance commit before the CDF
+    # read would otherwise silently diff the wrong snapshot pair
+    # (review r6; q_lake_compact already captures its version).
+    root, v = _seeded_merged(spark, sf_dir)
+    ch = read_changes(spark, root, "custkey", ["acctbal"], 0, v)
     return ch.select(
         "custkey",
         "op",
@@ -315,20 +348,7 @@ def q_lake_compact(spark, sf_dir):
     untouched snapshots stay time-travelable (compaction is just
     another commit; vacuum — test-tier — is the separate physical
     reclaim step)."""
-    from ..operators.lakehouse import compact, load_manifest
-
-    c = (
-        load_table(spark, sf_dir, "customer")
-        .select(
-            F.col("c_custkey").alias("custkey"),
-            F.col("c_name").alias("name"),
-            F.col("c_acctbal").cast("double").alias("acctbal"),
-            F.col("c_mktsegment").alias("segment"),
-        )
-        .repartitionByRange(8, "custkey")  # fragment: ~8 files/partition
-    )
-    root = _tmp_out("lakecompact", sf_dir)
-    create_table(c, root, "segment")
+    root = _seed_table(spark, sf_dir, prefix="lakecompact", fragment=True)
     merge_cow(spark, root, _merge_source(spark, sf_dir), _merge_fn)
     v = compact(spark, root)
 

@@ -35,13 +35,18 @@ from .registry import register
 
 @register(
     "q_stream_slide",
-    # Oracle: identical to q_win_slide's (plans/events.py) — the
-    # hand-built slide enumeration the streaming execution must
-    # converge to (kept inline so this module's oracles read
-    # standalone; lockstep with plans/events.q_win_slide).
+    # Oracle: q_win_slide's slide enumeration (plans/events.py) plus
+    # an explicit ts IS NOT NULL — a DELIBERATE divergence from the
+    # batch twin (review r6): an event without an event time cannot be
+    # windowed by a watermarked stream (Spark's window(NULL) group is
+    # structurally filtered by win_start <= top), while the batch
+    # twin keeps SQL GROUP BY semantics and emits a NULL-bucket row.
+    # The WHERE makes the oracle state the streaming contract instead
+    # of silently relying on fixture data never carrying NULL ts.
     oracle=f"""
     WITH buckets AS (
-        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5, value FROM events
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5, value
+        FROM events WHERE ts IS NOT NULL
     ), slides AS (
         SELECT b5 AS win_start, value FROM buckets
         UNION ALL

@@ -42,36 +42,42 @@ def q_win_rank(spark, sf_dir):
 
 @register(
     "q_win_lag",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
-           ROUND(LAG(o_totalprice) OVER w, 4) AS prev_price,
-           ROUND(LEAD(o_totalprice) OVER w, 4) AS next_price
+           {sql_mround('LAG(o_totalprice) OVER w')} AS prev_price,
+           {sql_mround('LEAD(o_totalprice) OVER w')} AS next_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
 )
 def q_win_lag(spark, sf_dir):
+    # mround, not native ROUND: safe today (2-decimal prices round to
+    # 4 decimals as identity) but a regenerated dataset with longer
+    # fractions would land on the Spark-vs-DuckDB midpoint divergence
+    # q_win_range_frame documents (review r6).
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_orderkey",
-        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
-        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+        mround(F.lag("o_totalprice").over(w)).alias("prev_price"),
+        mround(F.lead("o_totalprice").over(w)).alias("next_price"),
     )
 
 
 @register(
     "q_win_running",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE), 4) AS running_total
+           {sql_mround('CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER ('
+                       ' PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey'
+                       ' ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW'
+                       ') AS DOUBLE)')} AS running_total
     FROM orders
     """,
 )
 def q_win_running(spark, sf_dir):
+    # mround, not native ROUND, for the same regenerated-data midpoint
+    # hazard as q_win_lag (review r6); identical output on current data.
     o = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
@@ -80,7 +86,7 @@ def q_win_running(spark, sf_dir):
     )
     running = F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w)
     return o.select(
-        "o_orderkey", F.round(running.cast("double"), 4).alias("running_total")
+        "o_orderkey", mround(running.cast("double")).alias("running_total")
     )
 
 

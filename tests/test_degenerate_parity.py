@@ -43,6 +43,10 @@ TABLES = [
 
 DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+EVT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+    " value double, props string"
+)
 
 
 def _doc(i, text, lang="en", source="degen"):
@@ -103,6 +107,20 @@ def degen_sf(spark, tmp_path_factory):
     e3 = [0.0, -1.0] + [0.0] * (dim - 2)
     embs = [(1, zero, 0), (2, e1, 1), (3, e2, 1), (4, e3, 2)]
     _write_table(spark, sf, "embeddings", embs, EMB_SCHEMA)
+    # Events spanning 3 five-minute buckets PLUS one NULL-ts row: an
+    # event without an event time cannot be windowed by a watermarked
+    # stream, so q_stream_slide's oracle now filters it explicitly
+    # (review r6) — this table is what makes that contract testable.
+    from datetime import datetime
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    evts = [
+        (1, t0, 10, "click", 1.5, "{}"),
+        (2, t0.replace(minute=6), 11, "click", 2.5, "{}"),
+        (3, t0.replace(minute=13), 10, "view", 4.0, "{}"),
+        (4, None, 12, "click", 8.0, "{}"),  # NULL ts: un-windowable
+    ]
+    _write_table(spark, sf, "events", evts, EVT_SCHEMA)
     yield sf
 
 
@@ -120,6 +138,7 @@ DEGEN_CHECKED = [
     "q_text_ngram_freq",  # ngram_rows refactor: corpus with no/short docs
     "q_pipeline_clean",  # transitive component through the full pipeline
     "q_dedup_near",  # shingle_rows→ngram_rows: the exact-pair oracle
+    "q_stream_slide",  # NULL-ts row: dropped by BOTH engines by contract
 ]
 
 
@@ -149,6 +168,15 @@ def test_langid_zero_letters_falls_through(spark, registry, degen_sf):
     for d in (4, 5):
         assert rows[d].vowel_ratio is None, rows[d]
         assert rows[d].pred_lang != "es", rows[d]
+
+
+def test_stream_slide_drops_null_ts_row(spark, registry, degen_sf):
+    """The NULL-ts event contributes to NO window: 3 windowable events
+    × 2 overlapping windows each = 6 window memberships total."""
+    queries, _ = registry
+    rows = queries["q_stream_slide"](spark, degen_sf).collect()
+    assert sum(r.n_events for r in rows) == 6, rows
+    assert all(r.win_start is not None for r in rows), rows
 
 
 def test_pipeline_clean_pairwise_rule_keeps_two(spark, registry, degen_sf):
