@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import davg, dsum, mround, sql_davg, sql_dsum
+from ..functions.vector import davg, dsum, mround, sql_davg, sql_dsum, sql_mround
 from ..sources.loader import fan_out, load_table
 from .registry import register
 
@@ -154,39 +154,79 @@ def q_agg_groupingsets(spark, sf_dir):
     # Spark 4 parameterized sql: the DataFrame is passed as an argument,
     # not registered under a session-global view name (no collisions
     # across concurrent callers).
+    #
+    # The revenue aggregate interpolates the SAME sql_dsum rendering
+    # the oracle uses (its isnan/abs/floor/CASE forms are valid Spark
+    # SQL too) — the previous native ROUND had no NaN/1e12 guard and
+    # rounds midpoints differently from the oracle's matched floor
+    # form, a deterministic hash mismatch on the grand-total grouping
+    # set once SUM(o_totalprice) passes the 1e12 guard (SF≈3) and a
+    # midpoint hazard everywhere below it (review r6).
     o = load_table(spark, sf_dir, "orders")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS revenue
-        FROM {orders}
+               {sql_dsum('o_totalprice', 'revenue')}
+        FROM {{orders}}
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         """,
         orders=o,
     )
 
 
+_STATS_VAR = "(n * sxx - sx * sx) / (n * (n - 1.0))"
+
+
 @register(
     "q_agg_stats",
-    oracle="""
+    oracle=f"""
+    WITH m AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,6)))
+                    AS DOUBLE) AS sxx
+        FROM customer GROUP BY c_mktsegment
+    )
     SELECT c_mktsegment,
-           ROUND(MIN(c_acctbal), 4) AS min_bal,
-           ROUND(MAX(c_acctbal), 4) AS max_bal,
-           ROUND(AVG(c_acctbal), 4) AS avg_bal,
-           ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal,
-           ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal
-    FROM customer GROUP BY c_mktsegment
+           {sql_mround('mn')} AS min_bal,
+           {sql_mround('mx')} AS max_bal,
+           {sql_mround('sx / n')} AS avg_bal,
+           {sql_mround(f'SQRT({_STATS_VAR})')} AS std_bal,
+           {sql_mround(_STATS_VAR)} AS var_bal
+    FROM m
     """,
 )
 def q_agg_stats(spark, sf_dir):
+    """Per-group MIN/MAX/AVG/STDDEV_SAMP/VAR_SAMP — NOT via the native
+    avg/stddev aggregates, whose double streaming-update order is
+    partition-dependent (registry determinism rule 1; review r6: this
+    query was the file's one violation). Exact decimal moment sums
+    (order-independent), then the closed-form sample variance in
+    identically-ordered double arithmetic + matched round — the same
+    construction q_agg_corr uses. Same partial+final hash-aggregate
+    shuffle shape as native avg; the moments all combine map-side."""
     c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.round(F.min("c_acctbal"), 4).alias("min_bal"),
-        F.round(F.max("c_acctbal"), 4).alias("max_bal"),
-        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
-        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
-        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+    dec = lambda col: col.cast("decimal(30,6)")  # noqa: E731
+    x = F.col("c_acctbal")
+    m = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.min(x).alias("mn"),
+        F.max(x).alias("mx"),
+        F.sum(dec(x)).cast("double").alias("sx"),
+        F.sum(dec(x * x)).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    return m.select(
+        "c_mktsegment",
+        mround(F.col("mn")).alias("min_bal"),
+        mround(F.col("mx")).alias("max_bal"),
+        mround(sx / n).alias("avg_bal"),
+        mround(F.sqrt(var)).alias("std_bal"),
+        mround(var).alias("var_bal"),
     )
 
 
@@ -325,7 +365,11 @@ def q_agg_approx_cd(spark, sf_dir):
     lookup both engines index by the empty-register count — needed
     because sf0.001 has only ~200 distinct parts per flag, inside the
     2.5m = 640 crossover where raw HLL overestimates ~50%."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # fan_out: per-row md5+conv+bin work on the single-file lineitem
+    # scan is the same single-core hazard q_agg_corr documents; the
+    # partial aggregate collapses to <=256 rows per group before the
+    # shuffle, so the fan-out costs nothing downstream (review r6).
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     br = li.select(
         "l_returnflag",
         F.expr(
@@ -408,9 +452,15 @@ def q_agg_mode(spark, sf_dir):
     )
 
 
+_CORR_EXPR = (
+    "((n * sxy - sx * sy)"
+    " / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))"
+)
+
+
 @register(
     "q_agg_corr",
-    oracle="""
+    oracle=f"""
     WITH m AS (
         SELECT l_returnflag,
                COUNT(*) AS n,
@@ -422,9 +472,7 @@ def q_agg_mode(spark, sf_dir):
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           FLOOR(((n * sxy - sx * sy)
-                  / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
-                 * 10000.0 + 0.5) / 10000.0 AS corr_qty_price
+           {sql_mround(_CORR_EXPR)} AS corr_qty_price
     FROM m
     """,
 )

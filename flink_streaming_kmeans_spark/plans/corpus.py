@@ -453,7 +453,7 @@ def q_graph_pagerank(spark, sf_dir):
     WITH seq AS (
         SELECT user_id, event_type,
                LAG(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev
+                                     ORDER BY ts NULLS LAST, event_id) AS prev
         FROM events
     ), trans AS (
         SELECT prev, event_type AS next, COUNT(*) AS n
@@ -484,9 +484,10 @@ def q_evt_markov(spark, sf_dir):
     hash-aggregates on (prev,next) / prev with map-side combine, and
     a join on prev against the per-prev totals (a |event_type|-sized
     table: broadcast). The same lag-window shape already scales
-    q_win_lag and the funnel."""
+    q_win_lag and the funnel. NULL ts pinned LAST on both engines
+    (NULL-events adversarial sweep, r6)."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     seq = ev.select(
         "user_id",
         "event_type",

@@ -58,14 +58,17 @@ def q_json_extract(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS win_start,
            COUNT(*) AS n_events,
            {sql_dsum('value', 'sum_value')}
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY date_trunc('hour', ts)
     """,
 )
 def q_win_tumble(spark, sf_dir):
     # Tumbling 1-hour windows — batch equivalent of the streaming
     # groupBy(window(...)); window starts are epoch-aligned, which for
-    # whole hours equals date_trunc('hour').
+    # whole hours equals date_trunc('hour'). The oracle filters NULL
+    # ts explicitly: Spark's F.window drops NULL event times
+    # structurally (un-windowable), where bare SQL GROUP BY would emit
+    # a NULL-bucket row (NULL-events adversarial sweep, r6).
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
@@ -78,7 +81,10 @@ def q_win_tumble(spark, sf_dir):
     "q_win_slide",
     oracle=f"""
     WITH buckets AS (
-        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5, value FROM events
+        -- ts IS NOT NULL: F.window drops NULL event times structurally
+        -- (NULL-events adversarial sweep, r6)
+        SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5, value
+        FROM events WHERE ts IS NOT NULL
     ), slides AS (
         -- each event belongs to exactly 10min/5min = 2 sliding windows:
         -- the one starting at its 5-minute bucket and the one 5 minutes
@@ -106,11 +112,13 @@ def q_win_slide(spark, sf_dir):
     "q_win_session",
     oracle="""
     WITH marked AS (
+        -- ts IS NOT NULL: session_window drops NULL event times
+        -- structurally (NULL-events adversarial sweep, r6)
         SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id, ts,
@@ -362,9 +370,11 @@ def q_rollup_time(spark, sf_dir):
            date_trunc('second', ts) AS valid_from,
            date_trunc('second',
                       LEAD(ts) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id)) AS valid_to,
+                                     ORDER BY ts NULLS LAST, event_id))
+               AS valid_to,
            (LEAD(ts) OVER (PARTITION BY user_id
-                           ORDER BY ts, event_id) IS NULL) AS is_current
+                           ORDER BY ts NULLS LAST, event_id) IS NULL)
+               AS is_current
     FROM events
     """,
 )
@@ -375,12 +385,14 @@ def q_scd2_intervals(spark, sf_dir):
     interval per user is open (is_current). The standard
     warehouse-history shape, built with one lead() window — one
     shuffle on user_id, per-key sort, no joins. event_id breaks ts
-    ties so interval boundaries are deterministic at any
-    partitioning."""
+    ties so interval boundaries are deterministic at any partitioning;
+    NULL ts pinned LAST on both engines (Spark defaults NULLS FIRST,
+    DuckDB LAST — a NULL-ts event would otherwise shift every
+    interval in its user's chain; NULL-events adversarial sweep, r6)."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     nxt = F.lead("ts").over(w)
     return ev.select(
         "user_id",

@@ -9,24 +9,29 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.vector import mround, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 
 
 @register(
     "q_project_compute",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount), 4) AS net
+           {sql_mround('l_extendedprice * (1 - l_discount)')} AS net
     FROM lineitem
     """,
 )
 def q_project_compute(spark, sf_dir):
+    # mround, not native ROUND: the product of two doubles lands on
+    # 4-decimal midpoints (ROUND(169738.83 * 0.125, 4) splits .3538
+    # Spark vs .3537 DuckDB) the moment a regenerated dataset carries
+    # >2-decimal prices or discounts (review r6).
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+        mround(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
     )
 
 

@@ -83,9 +83,12 @@ def _seeded_merged(spark, sf_dir) -> tuple[str, int]:
 
 def _merge_source(spark, sf_dir):
     """Per-customer order spend for customers in the touched segments;
-    keys %3==0 shifted +1,000,000 to exercise the NOT MATCHED (insert)
-    branch — same derivation as q_merge_upsert so the two queries stay
-    comparable. Dim side broadcast; the aggregate shuffles on custkey."""
+    keys %3==0 NEGATED to exercise the NOT MATCHED (insert) branch —
+    same derivation as q_merge_upsert so the two queries stay
+    comparable (and the same review-r6 reason: a "+1,000,000" shift
+    collides with real custkeys from SF≈7, silently degrading inserts
+    to updates; negated positive keys can never collide at any SF).
+    Dim side broadcast; the aggregate shuffles on custkey."""
     o = load_table(spark, sf_dir, "orders")
     seg = (
         load_table(spark, sf_dir, "customer")
@@ -95,7 +98,7 @@ def _merge_source(spark, sf_dir):
     return (
         o.join(F.broadcast(seg), o.o_custkey == seg.c_custkey)
         .groupBy(
-            F.when(F.col("o_custkey") % 3 == 0, F.col("o_custkey") + 1000000)
+            F.when(F.col("o_custkey") % 3 == 0, -F.col("o_custkey"))
             .otherwise(F.col("o_custkey"))
             .alias("custkey"),
             F.col("c_mktsegment").alias("segment"),
@@ -127,7 +130,7 @@ def _merge_fn(target, src):
 
 _SQL_SRC = f"""
     src AS (
-        SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 1000000
+        SELECT CASE WHEN o_custkey % 3 = 0 THEN -o_custkey
                     ELSE o_custkey END AS custkey,
                c_mktsegment AS segment,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.vector import mround, sql_davg, sql_mround
-from ..operators.kmeans import assign, init_centroids, update
+from ..operators.kmeans import ASSIGN_CTE, assign, init_centroids, update
 from ..sources.loader import fan_out, load_table
 from .registry import register
 
@@ -90,24 +90,15 @@ def q_text_quality(spark, sf_dir):
     )
 
 
-# Round-1 assignment CTE shared with plans/ml.py's single-step queries
-# (duplicated here rather than imported so each module's oracle reads
-# standalone; keep in lockstep with operators/kmeans.ASSIGN_CTE — the
-# canonical copy since review r6 moved it out of plans.ml).
+# Round-1 assignment: operators/kmeans.ASSIGN_CTE, the canonical copy
+# (review r6 follow-up: this module previously re-inlined the CTE as
+# c0/s1/r1 with only a "keep in lockstep" comment — the exact drift
+# hazard hoisting it to a non-registering module was meant to end;
+# importing from operators fires no @register call, so registration
+# order is untouched).
 _R2_ORACLE = f"""
-    WITH c0 AS (
-        SELECT vec_id AS cid, embedding AS cemb
-        FROM embeddings ORDER BY vec_id LIMIT 10
-    ), s1 AS (
-        SELECT e.vec_id, e.embedding, c.cid,
-               list_inner_product(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) AS dot
-        FROM embeddings e CROSS JOIN c0 c
-    ), r1 AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY dot DESC, cid) AS rn
-        FROM s1
-    ), a1 AS (
-        SELECT cid, embedding FROM r1 WHERE rn = 1
+    {ASSIGN_CTE}, a1 AS (
+        SELECT cid, embedding FROM ranked WHERE rn = 1
     ), u1 AS (
         SELECT cid, CAST(t.range AS INT) AS dim,
                {sql_davg('embedding[CAST(t.range AS INT) + 1]::DOUBLE', 'cq')}

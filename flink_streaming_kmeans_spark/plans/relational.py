@@ -34,9 +34,15 @@ from .registry import register
 
 def _view(spark, sf_dir, *tables):
     """Register per-(table, sf) temp views for spark.sql queries; names
-    are unique per sf_dir so concurrent callers never collide."""
+    are unique per sf_dir so concurrent callers never collide. The tag
+    is an md5 prefix of sf_dir, NOT Python hash(): str hashes are
+    salted per process (non-reproducible view names) and a mod-1e8
+    fold of them can collide across sf_dirs, silently swapping one
+    scale factor's tables under the other's query (review r6)."""
+    import hashlib
+
     names = {}
-    tag = abs(hash(sf_dir)) % 10**8
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     for t in tables:
         name = f"{t}_v{tag}"
         load_table(spark, sf_dir, t).createOrReplaceTempView(name)
@@ -243,9 +249,8 @@ def q_win_dist(spark, sf_dir):
     "q_merge_upsert",
     oracle="""
     WITH src AS (
-        SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 1000000
+        SELECT CASE WHEN o_custkey % 3 = 0 THEN -o_custkey
                     ELSE o_custkey END AS custkey,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
                    AS spend
         FROM orders
@@ -264,8 +269,13 @@ def q_win_dist(spark, sf_dir):
 )
 def q_merge_upsert(spark, sf_dir):
     """MERGE INTO (upsert) semantics over plain parquet: target =
-    customer, source = per-customer order spend (keys shifted for
-    custkey%3=0 to exercise the NOT MATCHED branch). WHEN MATCHED →
+    customer, source = per-customer order spend (keys NEGATED for
+    custkey%3=0 to exercise the NOT MATCHED branch — negation, not a
+    "+1,000,000" shift, because custkeys exceed 1M from SF≈7 up and a
+    shifted key colliding with a real customer silently turns the
+    intended insert into an update of an unrelated row at exactly the
+    scales this docstring advertises; keys are positive, so negatives
+    can never collide at ANY SF — review r6). WHEN MATCHED →
     update balance; WHEN NOT MATCHED → insert; unmatched target rows
     kept. This full-outer-join + conditional-project is EXACTLY the
     join plan Delta/Iceberg MERGE compiles to — what those formats
@@ -278,14 +288,11 @@ def q_merge_upsert(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     src = (
         o.groupBy(
-            F.when(
-                F.col("o_custkey") % 3 == 0, F.col("o_custkey") + 1000000
-            )
+            F.when(F.col("o_custkey") % 3 == 0, -F.col("o_custkey"))
             .otherwise(F.col("o_custkey"))
             .alias("custkey")
         )
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
             .cast("double")
             .alias("spend"),
@@ -311,8 +318,8 @@ def q_merge_upsert(spark, sf_dir):
     "q_cdc_diff",
     oracle="""
     WITH snap_b AS (
-        SELECT o_orderkey + 1000000000 AS k, o_totalprice AS price
-        FROM orders WHERE o_orderkey % 13 = 0
+        SELECT -o_orderkey AS k, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey <> 0
         UNION ALL
         SELECT o_orderkey AS k,
                CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
@@ -336,7 +343,13 @@ def q_cdc_diff(spark, sf_dir):
     emit the I/U/D changeset (inserts, updates with old+new values,
     deletes) — the inverse of q_merge_upsert and the batch form of a
     CDC feed. Snapshot B is derived deterministically from A (delete
-    keys %97, reprice keys %5, insert shifted keys %13). One
+    keys %97, reprice keys %5, insert NEGATED keys %13 — negation
+    rather than a "+1e9" shift because orderkeys pass 1e9 around
+    SF≈250, where a shifted key colliding with a real one puts
+    duplicate k values in snap_b and the full-outer join fans out;
+    negatives of positive keys can never collide at any SF, and the
+    one self-negating key 0 is excluded from the insert branch on
+    both engines — review r6). One
     co-partitioned full-outer join on the key + a row-level predicate;
     unchanged rows are filtered before any downstream consumer, so at
     100 TB the changeset shuffle is proportional to churn, not table
@@ -344,9 +357,9 @@ def q_cdc_diff(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     snap_a = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price"))
     snap_b = (
-        o.where(F.col("o_orderkey") % 13 == 0)
+        o.where((F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") != 0))
         .select(
-            (F.col("o_orderkey") + 1000000000).alias("k"),
+            (-F.col("o_orderkey")).alias("k"),
             F.col("o_totalprice").alias("price"),
         )
         .unionAll(

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.vector import mround, sql_mround
+from ..functions.vector import l2_norm, mround, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 
@@ -48,15 +48,21 @@ def q_str_funcs(spark, sf_dir):
     "q_str_regexp",
     oracle="""
     SELECT p_partkey,
-           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num
+           TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num
     FROM part
     """,
 )
 def q_str_regexp(spark, sf_dir):
+    # try_cast, not cast: regexp_extract returns '' when the brand has
+    # no digit, and CAST('' AS BIGINT) throws under ANSI mode (both
+    # engines) — a digit-free brand in a synthetic/adversarial part
+    # table must yield NULL, not crash the query (review r6).
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.regexp_extract("p_brand", "([0-9]+)", 1).cast("long").alias("brand_num"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1)
+        .try_cast("long")
+        .alias("brand_num"),
     )
 
 
@@ -92,29 +98,32 @@ def q_date_funcs(spark, sf_dir):
 
 @register(
     "q_math_funcs",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           ROUND(sqrt(l_extendedprice), 4) AS sqrt_price,
-           ROUND(abs(l_discount - 0.05), 4) AS abs_disc,
+           {sql_mround('sqrt(l_extendedprice)')} AS sqrt_price,
+           {sql_mround('abs(l_discount - 0.05)')} AS abs_disc,
            CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
            CAST(floor(l_quantity) AS BIGINT) AS floor_qty,
-           ROUND(ln(l_extendedprice), 4) AS ln_price,
-           ROUND(power(l_quantity, 2), 4) AS qty_sq,
+           {sql_mround('ln(l_extendedprice)')} AS ln_price,
+           {sql_mround('power(l_quantity, 2)')} AS qty_sq,
            CAST(l_linenumber % 3 AS INT) AS mod3
     FROM lineitem
     """,
 )
 def q_math_funcs(spark, sf_dir):
+    # mround, not native ROUND: sqrt/ln outputs are irrational doubles
+    # whose 4-decimal midpoints are exactly where Spark and DuckDB
+    # native rounds diverge (functions/vector.py doctrine; review r6).
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
-        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc"),
+        mround(F.sqrt("l_extendedprice")).alias("sqrt_price"),
+        mround(F.abs(F.col("l_discount") - 0.05)).alias("abs_disc"),
         F.ceil("l_quantity").alias("ceil_qty"),
         F.floor("l_quantity").alias("floor_qty"),
-        F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
-        F.round(F.pow("l_quantity", 2), 4).alias("qty_sq"),
+        mround(F.log("l_extendedprice")).alias("ln_price"),
+        mround(F.pow("l_quantity", 2)).alias("qty_sq"),
         (F.col("l_linenumber") % 3).alias("mod3"),
     )
 
@@ -150,26 +159,26 @@ def q_try_arith(spark, sf_dir):
 
 @register(
     "q_array_funcs",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           ROUND(embedding[1]::DOUBLE, 4) AS first_val,
-           ROUND(sqrt(list_aggregate(
-               list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum'
-           )), 4) AS l2
+           {sql_mround('embedding[1]::DOUBLE')} AS first_val,
+           {sql_mround("sqrt(list_aggregate("
+                       "list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),"
+                       " 'sum'))")} AS l2
     FROM embeddings
     """,
 )
 def q_array_funcs(spark, sf_dir):
-    """Vector arithmetic via higher-order functions (Feature.java analog)."""
-    from ..functions.vector import l2_norm
-
+    """Vector arithmetic via higher-order functions (Feature.java
+    analog). mround, not native ROUND: float components are dyadic
+    doubles that land exactly on 4-decimal midpoints (review r6)."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
-        F.round(l2_norm("embedding"), 4).alias("l2"),
+        mround(F.element_at("embedding", 1).cast("double")).alias("first_val"),
+        mround(l2_norm("embedding")).alias("l2"),
     )
 
 
@@ -238,13 +247,22 @@ def q_str_levenshtein(spark, sf_dir):
     )
 
 
+# The struct's field list, shared by the Spark build AND the oracle's
+# n_fields literal (review r6: the count was hardcoded 2 against a
+# 3-field struct — parity held only because the oracle hardcoded the
+# same wrong constant; deriving both sides from this one tuple makes
+# the emitted count true by construction and keeps it true when a
+# field is added).
+_STRUCT_FIELDS = ("st", "ck", "price")
+
+
 @register(
     "q_struct_funcs",
-    oracle="""
+    oracle=f"""
     SELECT o_orderkey,
            o_orderstatus AS st,
            o_totalprice AS price,
-           2 AS n_fields,
+           {len(_STRUCT_FIELDS)} AS n_fields,
            o_orderstatus || ':' || CAST(o_custkey AS VARCHAR) AS packed_key
     FROM orders
     """,
@@ -252,22 +270,25 @@ def q_str_levenshtein(spark, sf_dir):
 def q_struct_funcs(spark, sf_dir):
     """STRUCT column round-trip (the nested type q_map_funcs/
     q_array_funcs don't cover): pack fields into a struct, read them
-    back via dot access / getField, count fields, derive a key from
-    struct members. Oracle is the scalar ground truth the round-trip
-    must reproduce. Structs are Tungsten-columnar and codegen-friendly
-    — the natural shape for typed metadata (multimodal meta, source
-    provenance) in a training-data pipeline."""
+    back via dot access / getField, count fields (derived from the
+    shared _STRUCT_FIELDS tuple — struct width is static schema, not
+    a runtime expression), derive a key from struct members. Oracle is
+    the scalar ground truth the round-trip must reproduce. Structs are
+    Tungsten-columnar and codegen-friendly — the natural shape for
+    typed metadata (multimodal meta, source provenance) in a
+    training-data pipeline."""
     o = load_table(spark, sf_dir, "orders")
-    s = F.struct(
-        F.col("o_orderstatus").alias("st"),
-        F.col("o_custkey").alias("ck"),
-        F.col("o_totalprice").alias("price"),
-    )
+    src = {
+        "st": F.col("o_orderstatus"),
+        "ck": F.col("o_custkey"),
+        "price": F.col("o_totalprice"),
+    }
+    s = F.struct(*[src[name].alias(name) for name in _STRUCT_FIELDS])
     return o.select(
         "o_orderkey",
         s.getField("st").alias("st"),
         s.getField("price").alias("price"),
-        F.lit(2).alias("n_fields"),
+        F.lit(len(_STRUCT_FIELDS)).alias("n_fields"),
         F.concat_ws(
             ":", s.getField("st"), s.getField("ck").cast("string")
         ).alias("packed_key"),

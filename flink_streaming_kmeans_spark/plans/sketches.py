@@ -55,14 +55,16 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import DUCK_H60, SPARK_H60
 from ..sources.loader import load_table, local_df
 from .registry import register
 
 # The shared md5 -> 60-bit-integer bridge (same construction as
 # plans/textops.py `_SPARK_H60`/`_DUCK_H60`, restated here so this
 # module's oracles read standalone).
-_SPARK_H60 = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
-_DUCK_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+# Canonical copies live in functions/hashing.py (non-registering —
+# review r6 hoist); local underscore aliases keep call sites short.
+_SPARK_H60, _DUCK_H60 = SPARK_H60, DUCK_H60
 
 # ---------------------------------------------------------------------------
 # q_sketch_cms

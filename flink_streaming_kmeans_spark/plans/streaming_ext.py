@@ -35,14 +35,12 @@ from .registry import register
 
 @register(
     "q_stream_slide",
-    # Oracle: q_win_slide's slide enumeration (plans/events.py) plus
-    # an explicit ts IS NOT NULL — a DELIBERATE divergence from the
-    # batch twin (review r6): an event without an event time cannot be
-    # windowed by a watermarked stream (Spark's window(NULL) group is
-    # structurally filtered by win_start <= top), while the batch
-    # twin keeps SQL GROUP BY semantics and emits a NULL-bucket row.
-    # The WHERE makes the oracle state the streaming contract instead
-    # of silently relying on fixture data never carrying NULL ts.
+    # Oracle: q_win_slide's slide enumeration (plans/events.py) with
+    # the explicit ts IS NOT NULL both now carry (review r6, then the
+    # NULL-events sweep): an event without an event time cannot be
+    # windowed — Spark's F.window drops it structurally in batch AND
+    # streaming, so the oracle states that contract instead of
+    # silently relying on fixture data never carrying NULL ts.
     oracle=f"""
     WITH buckets AS (
         SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5, value

@@ -208,7 +208,7 @@ def q_stream_join(spark, sf_dir):
     # module's oracles read standalone; lockstep with plans/lakehouse).
     oracle="""
     WITH src AS (
-        SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 1000000
+        SELECT CASE WHEN o_custkey % 3 = 0 THEN -o_custkey
                     ELSE o_custkey END AS custkey,
                c_mktsegment AS segment,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
@@ -256,9 +256,9 @@ def q_stream_upsert(spark, sf_dir):
     src = _merge_source(spark, sf_dir)
 
     d = _tmp_out("stream_upsert", sf_dir)
-    # 3 batches of DISJOINT, contiguous custkey ranges (the merge
-    # source's key-shift means custkey % 3 == 0 never occurs — a mod
-    # split would make batch 0 empty).
+    # 3 batches of DISJOINT, contiguous custkey ranges (ntile on the
+    # ordered key — insert keys are negated custkeys, so range-split
+    # keeps every batch non-empty where a mod split would not).
     in_dir = batch_input_dir(
         time_batch_col(src, 3, order_cols=("custkey",)), d, range(3)
     )
@@ -373,11 +373,14 @@ def q_kmeans_stream_reassign(spark, sf_dir):
     # converge to.
     oracle="""
     WITH marked AS (
+        -- ts IS NOT NULL: session_window drops NULL event times
+        -- structurally (lockstep with q_win_session's oracle;
+        -- NULL-events sweep, r6)
         SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id, ts,
@@ -467,7 +470,12 @@ def q_stream_session(spark, sf_dir):
         spark,
     )
 
-    res = spark.read.parquet(sink_dir).where(F.col("user_id") >= 0)
+    # Exclude only the sentinel user (-1): `>= 0` alone also dropped
+    # NULL-user sessions, which session_window DOES emit and the
+    # oracle keeps (NULL-events sweep, r6).
+    res = spark.read.parquet(sink_dir).where(
+        F.col("user_id").isNull() | (F.col("user_id") >= 0)
+    )
     # Append mode emits each finalized session exactly once; a
     # re-emission would surface as a duplicate (user, session_start)
     # key in the sink. Bounded check: one empty/non-empty probe.
@@ -557,14 +565,26 @@ def q_stream_cep(spark, sf_dir):
     state = {"df": spark.createDataFrame([], state_schema)}
 
     def fold_bucket(key, state_pdf, batch_pdf):
+        # NULL user_id arrives as NaN in the Arrow→pandas frame;
+        # int(NaN) raised before this key helper existed (NULL-events
+        # sweep, r6). None is a perfectly good dict key and writes
+        # back as a NULL bigint, so the NULL user gets its own NFA —
+        # matching the oracle's GROUP BY user_id NULL group.
+        def ukey(v):
+            return None if pd.isna(v) else int(v)
+
         st = {
-            int(r.user_id): [int(r.n_events), int(r.nfa), int(r.rel), int(r.n_funnels)]
+            ukey(r.user_id): [int(r.n_events), int(r.nfa), int(r.rel), int(r.n_funnels)]
             for r in state_pdf.itertuples()
         }
         for r in batch_pdf.itertuples():
-            n_ev, nfa, rel, nf = st.get(int(r.user_id), (0, 0, 0, 0))
+            n_ev, nfa, rel, nf = st.get(ukey(r.user_id), (0, 0, 0, 0))
+            # Event count from the batch COUNT, not len(bseq):
+            # array_join SKIPS a NULL sequence char (NULL event_type),
+            # but the event still happened — the oracle's COUNT(*)
+            # counts it (NULL-events sweep, r6).
+            n_ev += int(r.bn)
             for ch in r.bseq:
-                n_ev += 1
                 if nfa == 0:
                     nfa = 1 if ch == "v" else 0
                 elif nfa == 1:
@@ -581,7 +601,7 @@ def q_stream_cep(spark, sf_dir):
                     rel = 2
                 elif rel == 2 and ch == "p":
                     rel = 3
-            st[int(r.user_id)] = [n_ev, nfa, rel, nf]
+            st[ukey(r.user_id)] = [n_ev, nfa, rel, nf]
         return pd.DataFrame(
             [[u, *v] for u, v in st.items()],
             columns=["user_id", "n_events", "nfa", "rel", "n_funnels"],
@@ -600,7 +620,8 @@ def q_stream_cep(spark, sf_dir):
                     lambda s: s["i"],
                 ),
                 "",
-            ).alias("bseq")
+            ).alias("bseq"),
+            F.count(F.lit(1)).alias("bn"),
         )
         bucket = F.pmod("user_id", F.lit(_N_BUCKETS))
         new = (

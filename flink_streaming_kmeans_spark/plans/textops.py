@@ -25,14 +25,16 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import DUCK_H60, SPARK_H60
 from ..functions.vector import dot64, mround, sql_mround
 from ..operators.minhash import ngram_rows
 from ..sources.loader import fan_out, load_table
 from .registry import register
 
 # 60-bit deterministic token hash, identical on both engines.
-_SPARK_H60 = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
-_DUCK_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+# Canonical copies live in functions/hashing.py (non-registering —
+# review r6 hoist); local underscore aliases keep call sites short.
+_SPARK_H60, _DUCK_H60 = SPARK_H60, DUCK_H60
 
 
 @register(
@@ -496,6 +498,14 @@ def q_multimodal_binary(spark, sf_dir):
                     # Deliberate stub: no image/audio codecs in this
                     # container (see docstring).
                     raise NotImplementedError(f"no decoder for {mime}")
+                if blob is None:
+                    # NULL payload: NULL features, matching the
+                    # oracle's strlen(NULL)/md5(NULL) — bytes(None)
+                    # crashed the Arrow batch before this guard
+                    # (found by the NULL-row adversarial sweep, r6).
+                    n_bytes.append(None)
+                    md5s.append(None)
+                    continue
                 b = bytes(blob)
                 n_bytes.append(len(b))
                 md5s.append(hashlib.md5(b).hexdigest())
@@ -548,7 +558,7 @@ def q_sample_hash(spark, sf_dir):
         SELECT doc_id, lang,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY {_DUCK_H60.format(x='text')}, doc_id
+                   ORDER BY {_DUCK_H60.format(x='text')} NULLS LAST, doc_id
                ) AS rn
         FROM documents
     )
@@ -563,10 +573,13 @@ def q_sample_stratified(spark, sf_dir):
     the companion to q_sample_hash's global split. One shuffle on the
     stratum key; per-stratum top-k via window (WindowGroupLimit prunes
     map-side, so the shuffle carries ~k rows per stratum, not the
-    table)."""
+    table). NULL ordering pinned NULLS LAST on both engines: a
+    NULL-text doc hashes to NULL, which Spark's default orders FIRST
+    and DuckDB's LAST — shifting every rank in that stratum (found by
+    the NULL-row adversarial sweep, r6)."""
     d = load_table(spark, sf_dir, "documents")
     w = W.partitionBy("lang").orderBy(
-        F.expr(_SPARK_H60.format(x="text")), F.asc("doc_id")
+        F.asc_nulls_last(F.expr(_SPARK_H60.format(x="text"))), F.asc("doc_id")
     )
     return (
         d.withColumn("rn", F.row_number().over(w))
@@ -879,7 +892,7 @@ def q_text_redact(spark, sf_dir):
     oracle="""
     WITH wts AS (
         SELECT source, COUNT(*) AS n_total,
-               CAST(CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+               CAST(CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
                          THEN 3 ELSE 1 END AS BIGINT) AS wt
         FROM documents GROUP BY source
     ), wa AS (
@@ -914,11 +927,15 @@ def q_sample_mixture(spark, sf_dir):
     (high-cardinality at real scale), no data-dependent driver
     logic."""
     d = load_table(spark, sf_dir, "documents")
+    # try_cast, not cast: a source name whose 4th character onward is
+    # not an integer ('degen' → 'en') crashes the ANSI cast on BOTH
+    # engines; NULL falls through the CASE to weight 1 identically
+    # (found by the NULL-row adversarial sweep, r6).
     wts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total")).select(
         "source",
         "n_total",
         F.when(
-            F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(3)
+            F.substring("source", 4, 10).try_cast("int") % 2 == 0, F.lit(3)
         )
         .otherwise(F.lit(1))
         .cast("bigint")

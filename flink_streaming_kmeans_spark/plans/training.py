@@ -8,9 +8,12 @@ second-moment (Gram) statistics over the embedding corpus, cohort
 retention analytics, and a value histogram — plus the streaming twin
 of the tumbling-window aggregate promoted to a driver-recorded query.
 
-Registered AFTER the correctness window (registry._MODULES appends
-this module last) so round-4's window rotation stays pinned; every
-hash query here follows the repo determinism discipline
+Registration order is governed by registry._MODULES — the CANONICAL
+rotation plan lives there, next to the list (this module was appended
+last in round 4; the rotation has moved it since, and the round-8 plan
+fronts it inside the window — do not trust module-local framing over
+registry.py). Every hash query here follows the repo determinism
+discipline
 (registry.py:10-14): integer bucketing, decimal sums, matched rounds,
 md5-based hashing shared with textops.
 """
@@ -20,14 +23,15 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import DUCK_H60, SPARK_H60
 from ..functions.vector import davg, dsum, mround, sql_davg, sql_dsum, sql_mround
 from ..sources.loader import _tmp_out, fan_out, load_table, local_df
 from ..sources.replay import batch_input_dir, run_available_now, time_batch_col
 from .registry import register
 
-# 60-bit md5 prefix as BIGINT — same primitive as textops._SPARK_H60.
-_SPARK_H60 = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
-_DUCK_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+# 60-bit md5 prefix as BIGINT — canonical copies in
+# functions/hashing.py (non-registering — review r6 hoist).
+_SPARK_H60, _DUCK_H60 = SPARK_H60, DUCK_H60
 
 
 @register(
@@ -80,13 +84,14 @@ def q_shard_assign(spark, sf_dir):
         FROM documents
     ), r AS (
         SELECT doc_id, band,
-               ROW_NUMBER() OVER (PARTITION BY band ORDER BY h, doc_id) AS rn
+               ROW_NUMBER() OVER (PARTITION BY band
+                                  ORDER BY h NULLS LAST, doc_id) AS rn
         FROM b
     ), o AS (
         SELECT band, COUNT(*) AS c FROM b GROUP BY band
     ), oo AS (
         SELECT band,
-               COALESCE(SUM(c) OVER (ORDER BY band
+               COALESCE(SUM(c) OVER (ORDER BY band NULLS LAST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                    0) AS off
         FROM o
@@ -105,7 +110,12 @@ def q_curriculum_order(spark, sf_dir):
     serial state is the 10-row offset table.
 
     Determinism: bands are integer division of n_chars, intra-band
-    order is (md5(text), doc_id) — rerun- and partitioning-stable."""
+    order is (md5(text), doc_id) — rerun- and partitioning-stable.
+    NULL ordering is pinned NULLS LAST on both engines (review r6:
+    Spark defaults ASC NULLS FIRST, DuckDB NULLS LAST — a NULL
+    n_chars/text row would shift EVERY band offset or intra-band rank
+    without the pin; NULL-band rows themselves drop at the equi-join
+    identically on both engines)."""
     d = load_table(spark, sf_dir, "documents")
     b = d.select(
         "doc_id",
@@ -115,7 +125,9 @@ def q_curriculum_order(spark, sf_dir):
     r = b.withColumn(
         "rn",
         F.row_number().over(
-            W.partitionBy("band").orderBy(F.asc("h"), F.asc("doc_id"))
+            W.partitionBy("band").orderBy(
+                F.asc_nulls_last("h"), F.asc("doc_id")
+            )
         ),
     )
     o = b.groupBy("band").agg(F.count(F.lit(1)).alias("c"))
@@ -123,7 +135,9 @@ def q_curriculum_order(spark, sf_dir):
         "off",
         F.coalesce(
             F.sum("c").over(
-                W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+                W.orderBy(F.asc_nulls_last("band")).rowsBetween(
+                    W.unboundedPreceding, -1
+                )
             ),
             F.lit(0),
         ),
@@ -274,10 +288,12 @@ def q_evt_histogram(spark, sf_dir):
 @register(
     "q_stream_tumble",
     oracle=f"""
+    -- ts IS NOT NULL: F.window drops NULL event times structurally
+    -- (lockstep with q_win_tumble's oracle; NULL-events sweep, r6)
     SELECT date_trunc('hour', ts) AS win_start,
            COUNT(*) AS n_events,
            {sql_dsum('value', 'sum_value')}
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY date_trunc('hour', ts)
     """,
 )

@@ -47,7 +47,8 @@ def q_win_rank(spark, sf_dir):
            {sql_mround('LAG(o_totalprice) OVER w')} AS prev_price,
            {sql_mround('LEAD(o_totalprice) OVER w')} AS next_price
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey)
     """,
 )
 def q_win_lag(spark, sf_dir):
@@ -56,7 +57,9 @@ def q_win_lag(spark, sf_dir):
     # fractions would land on the Spark-vs-DuckDB midpoint divergence
     # q_win_range_frame documents (review r6).
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey"
+    )
     return o.select(
         "o_orderkey",
         mround(F.lag("o_totalprice").over(w)).alias("prev_price"),
@@ -69,7 +72,7 @@ def q_win_lag(spark, sf_dir):
     oracle=f"""
     SELECT o_orderkey,
            {sql_mround('CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER ('
-                       ' PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey'
+                       ' PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey'
                        ' ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW'
                        ') AS DOUBLE)')} AS running_total
     FROM orders
@@ -81,7 +84,7 @@ def q_win_running(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     running = F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w)
@@ -245,7 +248,7 @@ def q_sort_limit(spark, sf_dir):
            NTH_VALUE(o_totalprice, 2) OVER w AS second_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -259,7 +262,7 @@ def q_win_first_last(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     return o.select(

@@ -37,10 +37,21 @@ def time_batch_col(
     monotonically across batches and never late-drop (the
     q_stream_tumble lesson, r4 ADVICE). Drive-side scaffolding: the
     single-partition ntile sort is over the bounded evidence table,
-    not a production path."""
+    not a production path.
+
+    NULLS LAST (not Spark's ASC default of NULLS FIRST): batch-fold
+    order must concatenate to the GLOBAL sequence order the batch
+    oracles use, and both engines' sequence aggregates put NULL sort
+    keys last — a NULL-ts event split into batch 0 replayed q_stream_
+    cep's NFA out of oracle order (NULL-events sweep, r6). Windowed
+    drives drop NULL event times either way, so this pin only affects
+    sequence-order consumers."""
     return df.withColumn(
         "bno",
-        F.ntile(n_batches).over(W.orderBy(*[F.col(c) for c in order_cols])) - 1,
+        F.ntile(n_batches).over(
+            W.orderBy(*[F.asc_nulls_last(F.col(c)) for c in order_cols])
+        )
+        - 1,
     )
 
 

@@ -98,6 +98,13 @@ def degen_sf(spark, tmp_path_factory):
         _doc(7, "bcd fgh jkl mnp qrs"),  # consonants only: vowel_ratio 0
         _doc(8, "aeiou aeiou aeiou"),  # repeated token: top_frac 1.0
         _doc(9, "uno dos tres quatro cinco", lang="es"),
+        # NULL-row regime (r6 adversarial sweep — found 3 real bugs:
+        # NULL-hash rank order in q_sample_stratified, ANSI cast crash
+        # in q_sample_mixture's source weights, bytes(None) crash in
+        # q_multimodal_binary's decode):
+        (9001, None, "en", "degen", None),  # NULL text + n_chars
+        _doc(9002, "a normal short doc", lang=None),  # NULL stratum
+        (9003, "another doc with null n_chars", "en", "degen", None),
     ]
     _write_table(spark, sf, "documents", docs, DOC_SCHEMA)
     dim = 64
@@ -115,12 +122,32 @@ def degen_sf(spark, tmp_path_factory):
 
     t0 = datetime(2024, 3, 1, 12, 0, 0)
     evts = [
-        (1, t0, 10, "click", 1.5, "{}"),
+        (1, t0, 10, "view", 1.5, "{}"),
         (2, t0.replace(minute=6), 11, "click", 2.5, "{}"),
-        (3, t0.replace(minute=13), 10, "view", 4.0, "{}"),
+        (3, t0.replace(minute=13), 10, "click", 4.0, "{}"),
         (4, None, 12, "click", 8.0, "{}"),  # NULL ts: un-windowable
+        (5, t0.replace(minute=20), None, "view", 1.0, "{}"),  # NULL user
+        (6, t0.replace(minute=25), 10, None, None, None),  # NULL type/value
+        (7, t0.replace(minute=40), 10, "purchase", 9.0, "{}"),
     ]
     _write_table(spark, sf, "events", evts, EVT_SCHEMA)
+    # Orders with a NULL o_orderdate (and NULL price/custkey): the
+    # r6 NULL-relational sweep caught Spark's ASC NULLS FIRST vs
+    # DuckDB's NULLS LAST shifting every lag/running/first-last chain
+    # in that customer's window partition.
+    ord_schema = (
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    t0o = datetime(1995, 6, 1)
+    orders = [
+        (1, 7, "O", 100.25, t0o, "1-URGENT"),
+        (2, 7, "F", 250.5, t0o.replace(day=3), "2-HIGH"),
+        (3, 7, "O", 75.0, None, "3-MEDIUM"),  # NULL date: orders last
+        (4, None, "O", None, t0o.replace(day=5), None),  # NULL cust/price
+        (5, 8, "F", 10.0, t0o.replace(day=2), "1-URGENT"),
+    ]
+    _write_table(spark, sf, "orders", orders, ord_schema)
     yield sf
 
 
@@ -139,6 +166,25 @@ DEGEN_CHECKED = [
     "q_pipeline_clean",  # transitive component through the full pipeline
     "q_dedup_near",  # shingle_rows→ngram_rows: the exact-pair oracle
     "q_stream_slide",  # NULL-ts row: dropped by BOTH engines by contract
+    "q_sample_stratified",  # NULL text/lang: NULLS LAST rank pin
+    "q_sample_mixture",  # non-numeric source name: try_cast weight
+    "q_multimodal_binary",  # NULL blob: NULL features, no crash
+    "q_curriculum_order",  # NULL band/hash: NULLS LAST offset pin
+    "q_text_quality",  # NULL text through the quality featurizer
+    # NULL-events regime (r6 sweep — found 6 divergences: F.window
+    # drops NULL ts while bare GROUP BY keeps it, NULLS FIRST/LAST
+    # rank splits in scd2/markov, a sentinel filter eating NULL-user
+    # sessions, int(NaN)/skipped-NULL-char crashes in the CEP fold):
+    "q_win_tumble",
+    "q_win_session",
+    "q_scd2_intervals",
+    "q_evt_markov",
+    "q_stream_session",  # streaming twin incl. NULL-user session
+    "q_stream_cep",  # NFA fold over NULL user/event_type
+    # NULL-relational regime (NULL o_orderdate in the window order):
+    "q_win_lag",
+    "q_win_running",
+    "q_win_first_last",
 ]
 
 
@@ -171,11 +217,11 @@ def test_langid_zero_letters_falls_through(spark, registry, degen_sf):
 
 
 def test_stream_slide_drops_null_ts_row(spark, registry, degen_sf):
-    """The NULL-ts event contributes to NO window: 3 windowable events
-    × 2 overlapping windows each = 6 window memberships total."""
+    """The NULL-ts event contributes to NO window: 6 windowable events
+    × 2 overlapping windows each = 12 window memberships total."""
     queries, _ = registry
     rows = queries["q_stream_slide"](spark, degen_sf).collect()
-    assert sum(r.n_events for r in rows) == 6, rows
+    assert sum(r.n_events for r in rows) == 12, rows
     assert all(r.win_start is not None for r in rows), rows
 
 

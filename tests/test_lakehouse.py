@@ -69,11 +69,12 @@ def test_time_travel_reads_premerge_state(spark, merged_root):
         "c_custkey", "c_acctbal"
     )
     assert v0.count() == seed.count()
-    # No post-merge artifacts in v0: inserted keys are shifted +1e6.
-    assert v0.where(v0.custkey >= 1000000).count() == 0
+    # No post-merge artifacts in v0: inserted keys are NEGATED
+    # custkeys (collision-free at any SF, review r6).
+    assert v0.where(v0.custkey < 0).count() == 0
     # And v1 does contain inserts.
     v1 = read_table(spark, root)
-    assert v1.where(v1.custkey >= 1000000).count() > 0
+    assert v1.where(v1.custkey < 0).count() > 0
 
 
 def test_manifest_pruned_read(spark, merged_root):
