@@ -43,34 +43,52 @@ def _cosine(a: str, b: str):
     return dot64(a, b) / (l2_norm(a) * l2_norm(b))
 
 # Same Rademacher-from-LCG hyperplane stream as q_sim_ann: sign of
-# component d of hyperplane h is LCG(h*64+d) % 2.
+# component d of hyperplane h is LCG(h*dim+d) % 2, where dim is the
+# embedding width (the STREAM STRIDE — hardcoding 64 made hyperplane
+# h's component 64 collide with hyperplane h+1's component 0 on any
+# wider corpus, silently correlating consecutive hyperplanes and
+# degrading recall; review r6).
 # Bit 16, not bit 0: an LCG's low bit has period 2 in the stream
-# index, and h*64+d steps the index by an even stride across h — the
+# index, and h*dim+d steps the index by an even stride across h — the
 # parity bit would make every hyperplane identical (verified: recall
 # flat in L). The high bit mixes through carries and is balanced.
-_SIGN = (
-    "CASE WHEN (((1103515245 * (CAST(h AS BIGINT) * 64 + d) + 12345)"
-    " % 2147483648) div 65536) % 2 = 0 THEN 1.0 ELSE -1.0 END"
-)
+def _sign_expr(dim: int) -> str:
+    return (
+        f"CASE WHEN (((1103515245 * (CAST(h AS BIGINT) * {dim} + d)"
+        " + 12345) % 2147483648) div 65536) % 2 = 0"
+        " THEN 1.0 ELSE -1.0 END"
+    )
 
 
-def lsh_buckets(e: DataFrame, n_tables: int = 4, n_bits: int = 8) -> DataFrame:
+def lsh_buckets(
+    e: DataFrame, n_tables: int = 4, n_bits: int = 8, dim: int = 64
+) -> DataFrame:
     """(vec_id, table, bucket): one bucket id per vector per table.
 
     Hyperplane h = table*n_bits + j draws its signs from the shared
-    LCG stream, so (n_tables=1, n_bits=8) reproduces q_sim_ann's
-    buckets exactly.
-    """
+    LCG stream, so (n_tables=1, n_bits=8, dim=64) reproduces
+    q_sim_ann's buckets exactly. ``dim`` must equal the embedding
+    width — it is the hyperplane stream stride; a mismatched row
+    raises in-engine rather than silently correlating hyperplanes
+    (review r6)."""
     hs = e.sparkSession.range(n_tables * n_bits).select(
         F.col("id").cast("int").alias("h")
     )
+    checked = e.where(
+        F.expr(
+            f"CASE WHEN size(embedding) = {dim} THEN TRUE"
+            f" ELSE raise_error(concat('lsh_buckets: dim={dim} but"
+            " embedding width is ', CAST(size(embedding) AS STRING)))"
+            " END"
+        )
+    )
     proj = (
-        e.select("vec_id", F.posexplode("embedding").alias("d", "x"))
+        checked.select("vec_id", F.posexplode("embedding").alias("d", "x"))
         .crossJoin(F.broadcast(hs))
         .select(
             "vec_id",
             "h",
-            (F.expr(_SIGN) * F.col("x").cast("double")).alias("c"),
+            (F.expr(_sign_expr(dim)) * F.col("x").cast("double")).alias("c"),
         )
     )
     bits = proj.groupBy("vec_id", "h").agg(
@@ -87,21 +105,13 @@ def lsh_buckets(e: DataFrame, n_tables: int = 4, n_bits: int = 8) -> DataFrame:
     )
 
 
-def ann_topk(
-    e: DataFrame,
-    n_tables: int = 4,
-    n_bits: int = 8,
-    k: int = 3,
-    n_probes: int = 10,
-) -> DataFrame:
-    """Approximate top-k cosine neighbors for probe vectors
-    (vec_id < n_probes): union of same-bucket candidates over all
-    tables, exact dot64 re-rank, deterministic tie-break on
-    neighbor_id. Returns (query_id, neighbor_id, sim, rn<=k)."""
-    b = lsh_buckets(e, n_tables, n_bits)
-    probes = b.where(F.col("vec_id") < n_probes).select(
-        F.col("vec_id").alias("query_id"), "table", "bucket"
-    )
+def _bucket_search(e, b, probes, k, n_probes):
+    """Shared candidate-join + exact cosine re-rank: same-bucket
+    candidates per (table, bucket) probe row, exact re-rank,
+    deterministic tie-break on neighbor_id. ONE audited copy — the
+    single-probe and multi-probe entry points previously duplicated
+    this block verbatim, a drift hazard for any re-rank change
+    (review r6)."""
     cand_ids = (
         F.broadcast(probes)
         .join(b.withColumnRenamed("vec_id", "neighbor_id"), ["table", "bucket"])
@@ -122,6 +132,24 @@ def ann_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+
+
+def ann_topk(
+    e: DataFrame,
+    n_tables: int = 4,
+    n_bits: int = 8,
+    k: int = 3,
+    n_probes: int = 10,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors for probe vectors
+    (vec_id < n_probes): union of same-bucket candidates over all
+    tables, exact dot64 re-rank, deterministic tie-break on
+    neighbor_id. Returns (query_id, neighbor_id, sim, rn<=k)."""
+    b = lsh_buckets(e, n_tables, n_bits)
+    probes = b.where(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    return _bucket_search(e, b, probes, k, n_probes)
 
 
 def ann_topk_multiprobe(
@@ -159,23 +187,4 @@ def ann_topk_multiprobe(
             .alias("bucket"),
         )
     )
-    cand_ids = (
-        F.broadcast(probes)
-        .join(b.withColumnRenamed("vec_id", "neighbor_id"), ["table", "bucket"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    qemb = e.where(F.col("vec_id") < n_probes).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
-    )
-    cands = (
-        cand_ids.join(
-            e.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
-            "neighbor_id",
-        )
-        .join(F.broadcast(qemb), "query_id")
-        .select("query_id", "neighbor_id", _cosine("embedding", "qemb").alias("sim"))
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return cands.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return _bucket_search(e, b, probes, k, n_probes)

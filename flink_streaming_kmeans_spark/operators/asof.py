@@ -54,6 +54,15 @@ def asof_join(
     |L|+|R| shuffle on the key."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    # The union tagging claims _p/_tag as working columns; a left frame
+    # that already has either would be silently overwritten by
+    # withColumn (review r6) — fail as loudly as a bad direction.
+    clash = {"_p", "_tag"} & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"left columns {sorted(clash)} collide with asof_join's "
+            "internal working columns; rename them before joining"
+        )
     l_tag, r_tag = (1, 0) if direction == "backward" else (0, 1)
     lcols = left.columns
     r_packed = right.select(key, on, F.struct(*payload).alias("_p"))

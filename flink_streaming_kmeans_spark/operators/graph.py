@@ -25,7 +25,12 @@ def connected_components(
 
     nodes: one column ``id`` (distinct). edges: columns ``src, dst``
     (undirected — pass each pair once; both directions are derived).
-    Returns (id, label).
+    Returns (id, label) — one row per node in ``nodes``, exactly: an
+    id appearing only in ``edges`` contributes its label to the
+    component min but gets no output row (review r6: the propagation
+    path used to leak such ids into the output while the star path
+    did not, so the star_after handoff could change the ROW SET for
+    the same input).
 
     Rounds needed = component diameter, so near-dup chains (diameter
     2-3) converge immediately — but a long-path graph (redirect chains,
@@ -60,7 +65,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            return labels
+            # Restrict to the node set (row-set contract above).
+            return labels.join(nodes.select("id"), "id", "left_semi")
         if rnd + 1 >= star_after:
             # High-diameter graph: switch to contraction.
             return connected_components_star(nodes, edges)

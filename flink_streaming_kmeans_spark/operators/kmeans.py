@@ -76,8 +76,13 @@ def kmeans_parallel_init(
     import numpy as np
 
     ids_emb = embeddings.select("vec_id", "embedding")
-    first = ids_emb.orderBy("vec_id").limit(1).collect()[0]
-    C = np.array([list(first.embedding)], dtype="float64")
+    seed_rows = ids_emb.orderBy("vec_id").limit(1).collect()
+    if not seed_rows:
+        # k-means needs at least one point; a bare IndexError here
+        # (or a numpy shape error deep in a worker) hid the actual
+        # problem (review r6).
+        raise ValueError("kmeans_parallel_init: embeddings table is empty")
+    C = np.array([list(seed_rows[0].embedding)], dtype="float64")
     ell = oversample or 2 * k
 
     def pass_fn(Cm, ell, denom, rnd):
@@ -348,6 +353,10 @@ def lloyd_iterate(
         cids = np.array(cids)
     else:
         cent_rows = init_centroids(embeddings, k).collect()
+        if not cent_rows:
+            # Clear message instead of a numpy shape error deep in a
+            # mapInPandas worker (review r6).
+            raise ValueError("lloyd_iterate: embeddings table is empty")
         cids = np.array(sorted(int(r.cid) for r in cent_rows))
         by_cid = {int(r.cid): [float(x) for x in r.cemb] for r in cent_rows}
         C = np.array([by_cid[c] for c in cids])  # k×d, row j ↔ cids[j]
@@ -413,13 +422,21 @@ def _final_assign_fn(C, cids):
 # left-to-right sum — verified over all 5000 pairs at sf0.01), so the
 # argmax ranking agrees exactly.
 ASSIGN_CTE = """
-    WITH c AS (
+    WITH emb AS (
+        -- a NULL embedding cannot participate in vector ops: the
+        -- contract twin of the NULL-ts window filter (a NULL-only
+        -- centroid made c1 a NULL-element list and crashed DuckDB's
+        -- list_inner_product in q_ml_kmeans_iter2; NULL-embeddings
+        -- sweep, r6). Spark sides filter isNotNull in lockstep.
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL
+    ), c AS (
         SELECT vec_id AS cid, embedding AS cemb
-        FROM embeddings ORDER BY vec_id LIMIT 10
+        FROM emb ORDER BY vec_id LIMIT 10
     ), scored AS (
         SELECT e.vec_id, e.embedding, c.cid,
                list_inner_product(e.embedding::DOUBLE[], c.cemb::DOUBLE[]) AS dot
-        FROM embeddings e CROSS JOIN c
+        FROM emb e CROSS JOIN c
     ), ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                      ORDER BY dot DESC, cid) AS rn

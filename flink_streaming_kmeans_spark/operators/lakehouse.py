@@ -373,6 +373,15 @@ def merge_cow(
     pcol = prev["partition_col"]
     version = prev["version"] + 1
     touched = [r[0] for r in source.select(pcol).distinct().collect()]
+    # A NULL partition value lands on disk (and in the manifest) as
+    # Hive's __HIVE_DEFAULT_PARTITION__ directory; normalize the
+    # touched set to that marker so (a) the touched-partition read
+    # actually selects the table's existing NULL-partition files and
+    # (b) the stray-partition check doesn't spuriously reject the
+    # staged NULL partition as 'None' ∉ want (review r6).
+    touched = [
+        "__HIVE_DEFAULT_PARTITION__" if t is None else t for t in touched
+    ]
     target_touched = read_table(
         spark, root, version=prev["version"], partitions=touched
     )

@@ -65,9 +65,15 @@ def fit_pca(df: DataFrame, k: int, dim: int = 64):
     Returns (mean: np.ndarray[dim], components: np.ndarray[k, dim],
     explained_var: np.ndarray[k] — descending).
     """
-    parts = df.select("embedding").mapInPandas(
-        _moments_fn(dim), _MOMENTS_SCHEMA
-    ).collect()  # P rows of bounded size — driver state, not data
+    # A NULL embedding cannot contribute moments — np.vstack raised a
+    # shape error deep in the worker (NULL-embeddings sweep, r6); the
+    # vector-op contract everywhere else is the same filter.
+    parts = (
+        df.where(F.col("embedding").isNotNull())
+        .select("embedding")
+        .mapInPandas(_moments_fn(dim), _MOMENTS_SCHEMA)
+        .collect()
+    )  # P rows of bounded size — driver state, not data
     n = sum(r.n for r in parts)
     if n < 2:
         raise ValueError("PCA needs at least 2 vectors")

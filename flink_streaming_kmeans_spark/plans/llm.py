@@ -500,7 +500,11 @@ def q_sim_ivf(spark, sf_dir):
     on the cluster id, so cost per probe is the list size, never the
     corpus. Single-probe geometry for oracle determinism; production
     raises nprobe and trains the quantizer with q_ml_kmeans_iter."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # embedding IS NOT NULL: lockstep with ASSIGN_CTE's emb CTE
+    # (NULL-embeddings sweep, r6).
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     from ..operators.kmeans import assign, init_centroids
 
     asg = assign(fan_out(e), init_centroids(e)).select(

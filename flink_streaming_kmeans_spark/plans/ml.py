@@ -43,7 +43,9 @@ def q_ml_kmeans_assign(spark, sf_dir):
     centroids fixed to the 10 smallest-vec_id embeddings; every vector
     goes to the nearest centroid by cosine (== dot on unit vectors),
     ties to the lowest cluster id. dist = 1 - cosine."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     a = assign(fan_out(e), init_centroids(e))
     return a.select(
         "vec_id",
@@ -67,7 +69,9 @@ def q_ml_kmeans_assign(spark, sf_dir):
 def q_ml_kmeans_update(spark, sf_dir):
     """One Lloyd step, update half: new centroid = per-dimension mean
     of assigned vectors (exact decimal summation + matched round)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     a = assign(fan_out(e), init_centroids(e))
     upd = update(a)  # (cid, dim, c_val) — c_val unrounded double
     return upd.select(
@@ -82,7 +86,9 @@ def q_ml_kmeans_iter(spark, sf_dir):
     """Full Lloyd's to convergence (≤20 iters, deterministic init).
     Rows-only for the driver; tests/test_kmeans.py checks ≥0.95 label
     purity against embeddings.label ground truth and MLlib agreement."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     # No fan_out here: each iteration is one vectorized numpy pass over
     # the persisted input, and at this row count 32-way task launch per
     # iteration costs more than it buys (measured 2.9 s → 4.5 s). At
@@ -115,7 +121,9 @@ def q_kmeans_stream(spark, sf_dir):
 
     from ..streaming.kmeans import StreamingKMeans
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", "embedding")
     cent = init_centroids(e).collect()
     skm = StreamingKMeans(
         [list(r.cemb) for r in cent], [int(r.cid) for r in cent]

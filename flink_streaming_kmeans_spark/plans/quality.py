@@ -107,9 +107,12 @@ _R2_ORACLE = f"""
     ), c1 AS (
         SELECT cid, list(cq ORDER BY dim) AS cemb FROM u1 GROUP BY cid
     ), s2 AS (
+        -- embedding IS NOT NULL: lockstep with ASSIGN_CTE's emb CTE
+        -- (NULL-embeddings sweep, r6)
         SELECT e.vec_id, c.cid,
                list_inner_product(e.embedding::DOUBLE[], c.cemb) AS dot
-        FROM embeddings e CROSS JOIN c1 c
+        FROM (SELECT vec_id, embedding FROM embeddings
+              WHERE embedding IS NOT NULL) e CROSS JOIN c1 c
     ), r2 AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                      ORDER BY dot DESC, cid) AS rn
@@ -141,7 +144,9 @@ def q_ml_kmeans_iter2(spark, sf_dir):
     Scale: two broadcast-centroid scans + one k×64-group shuffle — the
     same per-iteration cost profile lloyd_iterate pays; nothing here
     grows with corpus size except the embarrassingly parallel scans."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     a1 = assign(fan_out(e), init_centroids(e))
     u1 = update(a1)  # (cid, dim, c_val) — unrounded double means
     c1 = (

@@ -311,7 +311,11 @@ def q_kmeans_stream_reassign(spark, sf_dir):
     from ..operators.kmeans import init_centroids
     from ..streaming.kmeans import StreamingKMeans
 
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("embedding").isNotNull())  # vector-op contract, r6
+        .select("vec_id", "embedding")
+    )
     cent = init_centroids(e).collect()
     skm = StreamingKMeans(
         [list(r.cemb) for r in cent],

@@ -105,12 +105,31 @@ class StreamingKMeans:
         self._assign_df: DataFrame | None = None  # lazy, session-bound
         if self.track:
             if assign_dir is None:
-                # Default home: the same age-GC'd root _tmp_out uses,
-                # so evidence/bench runs don't leak state dirs (the
-                # loader GC reaps >30-min-old siblings).
-                from ..sources.loader import _tmp_out
+                # Default home: a SEPARATE state root with a 24-hour
+                # age GC — NOT loader._tmp_out's 30-minute root
+                # (review r6: a stream idle >30 min would have had its
+                # LIVE assignment state rmtree'd by any other query's
+                # _tmp_out call — durable-state loss from an unrelated
+                # process). Each generation commit refreshes the dir
+                # mtime, so only runs dead for a full day are reaped.
+                import shutil
+                import tempfile
+                import time
+                import uuid
 
-                assign_dir = _tmp_out("kmeans_assign", "default")
+                root = os.path.join(tempfile.gettempdir(), "fsk_spark_state")
+                os.makedirs(root, exist_ok=True)
+                cutoff = time.time() - 86400
+                for name in os.listdir(root):
+                    p = os.path.join(root, name)
+                    try:
+                        if os.path.getmtime(p) < cutoff:
+                            shutil.rmtree(p, ignore_errors=True)
+                    except OSError:
+                        pass
+                assign_dir = os.path.join(
+                    root, f"kmeans_assign-{uuid.uuid4().hex[:12]}"
+                )
                 os.makedirs(assign_dir, exist_ok=True)
             self._assign_dir = assign_dir
         self.batches_seen = 0
@@ -270,6 +289,19 @@ class StreamingKMeans:
             joined = batch_df.select("vec_id", "embedding").join(
                 state.withColumnRenamed("cid", "old_cid"), "vec_id", "left"
             )
+            # Co-locate every copy of a vec_id in ONE mapInPandas
+            # partition (review r6): when the state side broadcasts
+            # (tiny state, the common case) the join preserves the
+            # batch's scan partitioning, and a within-batch duplicate
+            # spanning two scan splits would run the overlay twice —
+            # double-subtracting its old cluster and committing two
+            # state rows that the next batch's join fans out. The
+            # overlay's sequential semantics are order-independent
+            # here because a re-arrival carries the same vector
+            # (module contract), so argmax lands on the same cluster.
+            # (Partition count follows spark.sql.shuffle.partitions,
+            # which the evidence drive scopes down to 2.)
+            joined = joined.repartition("vec_id")
             out = joined.mapInPandas(
                 _reassign_delta_fn(self.C, self.cids),
                 "kind int, vec_id bigint, cid int,"

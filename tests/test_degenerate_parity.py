@@ -112,7 +112,17 @@ def degen_sf(spark, tmp_path_factory):
     e1 = [1.0] + [0.0] * (dim - 1)
     e2 = [0.6, 0.8] + [0.0] * (dim - 2)
     e3 = [0.0, -1.0] + [0.0] * (dim - 2)
-    embs = [(1, zero, 0), (2, e1, 1), (3, e2, 1), (4, e3, 2)]
+    embs = [
+        (1, zero, 0),
+        (2, e1, 1),
+        (3, e2, 1),
+        (4, e3, 2),
+        # NULL embedding: excluded from every vector op on both
+        # engines (r6 sweep — it crashed PCA's np.vstack and made a
+        # NULL-element centroid list that killed the DuckDB oracle's
+        # list_inner_product in q_ml_kmeans_iter2).
+        (5, None, None),
+    ]
     _write_table(spark, sf, "embeddings", embs, EMB_SCHEMA)
     # Events spanning 3 five-minute buckets PLUS one NULL-ts row: an
     # event without an event time cannot be windowed by a watermarked
@@ -185,6 +195,11 @@ DEGEN_CHECKED = [
     "q_win_lag",
     "q_win_running",
     "q_win_first_last",
+    # NULL-embedding regime (vector-op contract: filtered both sides):
+    "q_ml_kmeans_assign",
+    "q_ml_kmeans_iter2",
+    "q_sim_ivf",
+    "q_emb_quantize",
 ]
 
 

@@ -653,3 +653,51 @@ def test_batch_replay_is_exactly_once(spark):
 
     assert v2 == v1 + 1  # versions stay linear (audit trail keeps both)
     assert state1 == state2  # but the logical state is exactly-once
+
+
+def test_merge_cow_null_partition(spark, tmp_path):
+    """A NULL partition value round-trips the merge protocol: the
+    source's NULL-partition rows merge against the table's existing
+    NULL-partition files (not silently miss them), and the stray-
+    partition check accepts the staged __HIVE_DEFAULT_PARTITION__
+    directory (review r6: touched=[None] compared 'None' against the
+    Hive marker — spurious ValueError and dropped rows)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "nulltable")
+    seed = spark.createDataFrame(
+        [(1, "a", 10.0, "X"), (2, "b", 20.0, None), (3, "c", 30.0, "Y")],
+        "custkey bigint, name string, acctbal double, segment string",
+    )
+    create_table(seed, root, "segment")
+
+    src = spark.createDataFrame(
+        [(2, 99.0, None), (4, 44.0, None)],
+        "custkey bigint, spend double, segment string",
+    )
+
+    def fn(target, s):
+        t, sa = target.alias("t"), s.alias("s")
+        j = t.join(sa, F.col("t.custkey") == F.col("s.custkey"), "full_outer")
+        return j.select(
+            F.coalesce("t.custkey", "s.custkey").alias("custkey"),
+            F.coalesce("t.name", F.lit("NEW")).alias("name"),
+            F.when(F.col("s.custkey").isNull(), F.col("t.acctbal"))
+            .otherwise(F.col("s.spend"))
+            .alias("acctbal"),
+            F.coalesce("t.segment", "s.segment").alias("segment"),
+        )
+
+    v = merge_cow(spark, root, src, fn)
+    got = {
+        r.custkey: (r.acctbal, r.segment)
+        for r in read_table(spark, root, version=v).collect()
+    }
+    # Existing NULL-partition row 2 updated, new NULL row 4 inserted,
+    # X/Y partitions untouched.
+    assert got == {
+        1: (10.0, "X"),
+        2: (99.0, None),
+        3: (30.0, "Y"),
+        4: (44.0, None),
+    }, got

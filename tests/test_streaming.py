@@ -952,3 +952,56 @@ def test_session_gap_boundary_semantics(spark, registry, tmp_path):
             (2, base): 1,
             (2, base + dt.timedelta(minutes=30, seconds=1)): 1,
         }, (name, got)
+
+
+def test_streaming_kmeans_duplicate_across_partitions(spark):
+    """A within-batch duplicate vec_id whose copies land in DIFFERENT
+    scan partitions must still commit exactly one state row and
+    subtract its old cluster exactly once (review r6: the broadcast
+    state join preserved the batch's partitioning, so each partition
+    ran the overlay independently — double-subtraction and a fanned-out
+    next-batch join)."""
+    import numpy as np
+
+    from flink_streaming_kmeans_spark.streaming.kmeans import StreamingKMeans
+
+    root = tempfile.mkdtemp(prefix="fsk_duppart_")
+    skm = StreamingKMeans(
+        [[1.0, 0.0], [0.0, 1.0]], [0, 1],
+        state_path=root + "/state.npz",
+        track_assignments=True, assign_dir=root + "/assign",
+    )
+
+    def batch(rows, nparts):
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        ).repartition(nparts)
+
+    # Batch 1 (the mass-conservation test's geometry): p,q -> c0;
+    # s -> c1; the moved c0 then loses the tie for p in batch 2.
+    skm.foreach_batch()(
+        batch([(100, [0.75, 0.75]), (101, [1.0, 0.0]),
+               (102, [0.5, 0.875])], 2),
+        0,
+    )
+    assert skm.assignments(spark) == {100: 0, 101: 0, 102: 1}
+    assert skm.n.tolist() == [2, 1]
+
+    # Batch 2: p re-arrives TWICE, copies forced across 4 partitions.
+    # Against the moved centroids p flips to c1; the flip must be
+    # subtracted from c0 exactly once, and the state must hold ONE row.
+    skm.foreach_batch()(
+        batch([(100, [0.75, 0.75]), (100, [0.75, 0.75]),
+               (103, [0.0, 1.0])], 4),
+        1,
+    )
+    a = skm.assignments(spark)
+    assert a == {100: 1, 101: 0, 102: 1, 103: 1}
+    # One state row per distinct vec_id (the join must not fan out).
+    state_rows = skm._assign_state(spark).groupBy("vec_id").count()
+    assert state_rows.where("count > 1").count() == 0
+    # Mass conserved: 4 distinct points; the duplicate arrival of p
+    # nets one re-add/remove pair, not a double subtraction.
+    assert int(skm.n.sum()) == 4
+    assert (skm.n >= 0).all()
+    assert skm.n.tolist() == [1, 3]
