@@ -40,6 +40,15 @@ QUERY_CAP_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_CAP", "150"))
 def run_capped(spark, df, name: str) -> bool:
     """Run with a cancellation watchdog. Returns True if completed,
     False if cancelled at the cap."""
+    return run_capped_callable(spark, lambda: df, name)
+
+
+def run_capped_callable(spark, make_df, name: str) -> bool:
+    """Like :func:`run_capped`, but the watchdog also covers the
+    CONSTRUCTION of the DataFrame: streaming drives run their replay
+    prep + writeStream + sink read-back inside the query callable, so
+    every Spark job it launches must sit inside the job group the
+    watchdog cancels (review r6)."""
     import threading
 
     sc = spark.sparkContext
@@ -53,7 +62,7 @@ def run_capped(spark, df, name: str) -> bool:
     timer = threading.Timer(QUERY_CAP_SEC, cancel)
     timer.start()
     try:
-        run_one(df)
+        run_one(make_df())
         return not cancelled.is_set()
     except Exception:
         if cancelled.is_set():
@@ -73,17 +82,41 @@ def main() -> int:
     queries, _ = collect()
     spark = get_spark("bench")
 
-    # Warmup: JVM + codegen + parquet footer reads off the clock.
-    run_one(queries["q_scan_parquet"](spark, sf_dir))
+    # Warmup: JVM + codegen + parquet footer reads off the clock —
+    # capped and guarded like every measured query (review r6: an
+    # uncapped/unguarded warmup could stall or abort the suite before
+    # a single measurement existed).
+    try:
+        run_capped(spark, queries["q_scan_parquet"](spark, sf_dir), "warmup")
+    except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+        print(f"[bench] warmup failed: {exc!r}", file=sys.stderr)
+
+    errors: dict[str, str] = {}
 
     # One full pass, then re-measure outliers. This box takes multi-
     # minute bursts of external load (plus occasional GC pauses) that
     # charge tens of seconds to whichever query they land on; a second
     # temporally-separated measurement of just the suspicious queries
     # recovers the real engine time without doubling the suite.
+    #
+    # The CALLABLE runs inside the timed/guarded region too (review
+    # r6): streaming drives do essentially all their work — replay
+    # prep, writeStream, sink read-back — inside the callable, so
+    # capping only the noop write left them watchdog-exempt. The job-
+    # group cancel covers any Spark job the callable launches; a
+    # raising query records an error and the suite CONTINUES — one
+    # broken query must not cost the whole run's output (review r6).
     def timed(name: str) -> float:
         t0 = time.perf_counter()
-        ok = run_capped(spark, queries[name](spark, sf_dir), name)
+        try:
+            ok = run_capped_callable(
+                spark, lambda: queries[name](spark, sf_dir), name
+            )
+        except Exception as exc:  # noqa: BLE001 — record, keep going
+            dt = time.perf_counter() - t0
+            errors[name] = repr(exc)[:200]
+            print(f"[bench] {name}: ERROR {exc!r}", file=sys.stderr)
+            return dt
         dt = time.perf_counter() - t0
         print(
             f"[bench] {name}: {dt:.2f}s" + ("" if ok else " (CAPPED)"),
@@ -99,7 +132,7 @@ def main() -> int:
     med = sorted(times.values())[len(times) // 2]
     retry_cutoff = max(2.0, 4 * med)
     for name in sorted(times, key=times.get, reverse=True):
-        if times[name] > retry_cutoff:
+        if name not in errors and times[name] > retry_cutoff:
             times[name] = min(times[name], timed(name))
     times = {k: round(v, 3) for k, v in times.items()}
 
@@ -113,6 +146,8 @@ def main() -> int:
         "n_queries": len(times),
         "agg": "min_of_pass_plus_outlier_retry",
     }
+    if errors:
+        full["errors"] = errors
     # The driver keeps only a bounded tail of stdout (r2: 2000 chars) and
     # parses the final JSON line; the full 110-query map is ~3000 chars,
     # which truncated the head of the line and broke the parse in r2.
@@ -126,7 +161,7 @@ def main() -> int:
     # right before the compact line and ate the driver's 2000-char
     # tail as mid-line JSON garbage (r5 verdict task 8). The sidecar
     # holds the full map; stdout gets only the compact final line.
-    print(f"[bench] full per-query map written to {sidecar}")
+    print(f"[bench] full per-query map written to {sidecar}", file=sys.stderr)
     # Degrade the slowest-queries preview until the line fits the
     # driver's tail capture — never abort a finished bench run over
     # presentation (the sidecar always holds the full map).

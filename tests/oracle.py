@@ -36,7 +36,10 @@ def make_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _canon_cell(v) -> str:
     if v is None:
-        return ""
+        # A reserved byte no str() of a real value can produce — NULL
+        # collapsing to "" made NULL vs empty-string divergences hash
+        # identically, i.e. a masked engine disagreement (review r6).
+        return "\x00"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -54,13 +57,23 @@ def _canon_cell(v) -> str:
     return str(v)
 
 
-def _canon_rows(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+def _canon_rows(
+    cols: list[str], rows: list[tuple]
+) -> tuple[int, list[str], str, list[str]]:
+    # Duplicate output column names make the name-sort tie-break fall
+    # back to each engine's physical column order — a spurious
+    # mismatch (or masked swap) on semantically identical results.
+    # Fail loudly: a registered query must alias every column uniquely
+    # (review r6).
+    if len(set(cols)) != len(cols):
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        raise ValueError(f"duplicate output column names: {dupes}")
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
         "\x1f".join(_canon_cell(r[i]) for i in order) for r in rows
     )
     h = hashlib.sha256("\x1e".join(lines).encode()).hexdigest()
-    return len(rows), sorted(cols), h
+    return len(rows), sorted(cols), h, lines
 
 
 @dataclass
@@ -81,16 +94,16 @@ class ParityResult:
 def check_parity(spark, con, name: str, query_fn, sql: str, sf_dir: str) -> ParityResult:
     sdf = query_fn(spark, sf_dir)
     s_rows = [tuple(r) for r in sdf.collect()]
-    s_n, s_cols, s_hash = _canon_rows(list(sdf.columns), s_rows)
+    s_n, s_cols, s_hash, s_lines = _canon_rows(list(sdf.columns), s_rows)
 
     res = con.execute(sql)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
-    d_n, d_cols_sorted, d_hash = _canon_rows(d_cols, d_rows)
+    d_n, d_cols_sorted, d_hash, d_lines = _canon_rows(d_cols, d_rows)
 
     detail = ""
     if s_hash != d_hash and s_n == d_n and s_cols == d_cols_sorted:
-        detail = _first_diff(s_cols, s_rows, list(sdf.columns), d_rows, d_cols)
+        detail = _first_diff(s_lines, d_lines)
     return ParityResult(
         name=name,
         rows_match=s_n == d_n,
@@ -102,11 +115,10 @@ def check_parity(spark, con, name: str, query_fn, sql: str, sf_dir: str) -> Pari
     )
 
 
-def _first_diff(sorted_cols, s_rows, s_colnames, d_rows, d_colnames) -> str:
-    s_ord = sorted(range(len(s_colnames)), key=lambda i: s_colnames[i])
-    d_ord = sorted(range(len(d_colnames)), key=lambda i: d_colnames[i])
-    s_lines = sorted("\x1f".join(_canon_cell(r[i]) for i in s_ord) for r in s_rows)
-    d_lines = sorted("\x1f".join(_canon_cell(r[i]) for i in d_ord) for r in d_rows)
+def _first_diff(s_lines: list[str], d_lines: list[str]) -> str:
+    # Consumes _canon_rows' own canonical lines — re-deriving them
+    # here duplicated the recipe and could silently disagree with the
+    # hash verdict it explains (review r6).
     for i, (a, b) in enumerate(zip(s_lines, d_lines)):
         if a != b:
             return f"first diff at sorted row {i}:\n  spark={a!r}\n  duck ={b!r}"

@@ -66,7 +66,10 @@ CANDIDATES = [
 
 def _hash_of(df):
     rows = [tuple(r) for r in df.collect()]
-    return _canon_rows(list(df.columns), rows)
+    # _canon_rows also returns the canonical lines (4th element) since
+    # the r6 first-diff unification; the hash triple is what we pin.
+    n, cols, h, _lines = _canon_rows(list(df.columns), rows)
+    return n, cols, h
 
 
 @pytest.mark.parametrize("name", CANDIDATES)

@@ -7,11 +7,15 @@ Prints one line per query; exits nonzero on any failure.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
-sys.path.insert(0, "tests")
+# Anchor to the repo root via __file__, not the cwd — the script must
+# work from any directory (review r6; bench.py already does this).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 from oracle import check_parity, make_duckdb  # noqa: E402
 
@@ -20,9 +24,22 @@ from flink_streaming_kmeans_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
+    # Arg classification by SHAPE, not position (review r6: the old
+    # position-0-with-a-slash rule silently ran `preflight.py q_x
+    # /path/to/sf` against the DEFAULT sf dir — a false-green check at
+    # the wrong scale factor). A directory path (exists, or contains a
+    # separator) is the sf_dir wherever it appears; two dirs is an
+    # error; everything else must be a query name.
     args = sys.argv[1:]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    names = [a for a in args if "/" not in a]
+    dirs = [a for a in args if os.sep in a or os.path.isdir(a)]
+    if len(dirs) > 1:
+        print(f"ERROR: multiple sf_dir arguments: {dirs}", file=sys.stderr)
+        return 2
+    sf_dir = dirs[0] if dirs else "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        print(f"ERROR: sf_dir does not exist: {sf_dir}", file=sys.stderr)
+        return 2
+    names = [a for a in args if a not in dirs]
 
     queries, oracles = collect()
     todo = names or sorted(queries)
