@@ -80,42 +80,85 @@ def sql_mround(expr: str, scale: int = 4) -> str:
     )
 
 
+def dec2dbl(col) -> Column:
+    """DECIMAL → DOUBLE through a STRING — identical on both engines
+    BY CONSTRUCTION. A direct decimal→double cast is NOT: DuckDB
+    converts the scaled int128 to double and divides by 10^scale (two
+    roundings), Spark rounds once — measured 25% ulp disagreement for
+    values ≥1e10 (r6 extreme-value sweep; the 4-decimal mround masked
+    it below ~5e11 because adjacent doubles there collapse to the same
+    1e-4 grid point, and the sweep's >1e12 sums surfaced it raw).
+    decimal→string is exact on both engines; string→double is
+    correctly-rounded strtod on both — 0/24000 disagreements measured
+    across 1e9..1e14. SQL twin: :func:`sql_dec2dbl`."""
+    return col.cast("string").cast("double")
+
+
+def sql_dec2dbl(expr: str) -> str:
+    """DuckDB SQL twin of :func:`dec2dbl` (keep in lockstep)."""
+    return f"CAST(CAST(({expr}) AS STRING) AS DOUBLE)"
+
+
+def dbl2dec(col) -> Column:
+    """DOUBLE → DECIMAL(30,6) through a STRING — identical on both
+    engines BY CONSTRUCTION, the input-side twin of :func:`dec2dbl`.
+    The direct cast is NOT: Spark converts via the double's SHORTEST
+    decimal repr (BigDecimal(Double.toString)), DuckDB expands the
+    exact binary value — for |x| ≥ ~1e9 the exact expansion carries
+    non-zero digits inside the 6-decimal scale that the shortest repr
+    does not (r6 extreme-value sweep: a 999999999999.1234 input became
+    ...123400 in Spark vs ...123456 in DuckDB, shifting every
+    downstream sum). Both engines' double→string is the shortest
+    round-trip repr (the same rational number, whatever the notation)
+    and their string→decimal parses round half-up identically
+    (probe-verified incl. the .0000005 boundary). SQL twin:
+    :func:`sql_dbl2dec`."""
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("string").cast("decimal(30,6)")
+
+
+def sql_dbl2dec(expr: str) -> str:
+    """DuckDB SQL twin of :func:`dbl2dec` (keep in lockstep)."""
+    return f"CAST(CAST(({expr}) AS STRING) AS DECIMAL(30,6))"
+
+
 def dsum(col, alias: str, scale: int = 4) -> Column:
     """Hash-stable SUM of a double expression.
 
     Routes through DECIMAL(30,6): per-row cast is deterministic, decimal
-    summation is exact (order-independent), final DOUBLE cast is the
-    same IEEE value on both engines, matched-round finishes the job.
-    DuckDB twin: :func:`sql_dsum`.
+    summation is exact (order-independent), the final DOUBLE conversion
+    goes through :func:`dec2dbl`'s string route (the direct cast is NOT
+    the same IEEE value on both engines at ≥1e10 — see dec2dbl),
+    matched-round finishes the job. DuckDB twin: :func:`sql_dsum`.
     """
     col = F.col(col) if isinstance(col, str) else col
-    total = F.sum(col.cast("decimal(30,6)")).cast("double")
+    total = dec2dbl(F.sum(dbl2dec(col)))
     return mround(total, scale).alias(alias)
 
 
 def davg(col, alias: str, scale: int = 4) -> Column:
     """Hash-stable AVG: exact decimal sum, one double division, matched round.
 
-    The double division (identical dividend/divisor on both engines)
-    yields an identical double; native ROUND of that double does NOT
-    match across engines at midpoints (the round-1 q_win_range_frame
-    bug) — mround does. DuckDB twin: :func:`sql_davg`.
+    The double division (identical dividend/divisor on both engines via
+    dec2dbl) yields an identical double; native ROUND of that double
+    does NOT match across engines at midpoints (the round-1
+    q_win_range_frame bug) — mround does. DuckDB twin: :func:`sql_davg`.
     """
     col = F.col(col) if isinstance(col, str) else col
-    total = F.sum(col.cast("decimal(30,6)")).cast("double")
+    total = dec2dbl(F.sum(dbl2dec(col)))
     return mround(total / F.count(col), scale).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, scale: int = 4) -> str:
     """DuckDB SQL twin of :func:`dsum` (keep in lockstep)."""
-    inner = f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+    inner = sql_dec2dbl(f"SUM({sql_dbl2dec(expr)})")
     return f"{sql_mround(inner, scale)} AS {alias}"
 
 
 def sql_davg(expr: str, alias: str, scale: int = 4) -> str:
     """DuckDB SQL twin of :func:`davg` (keep in lockstep)."""
     inner = (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
-        f" / COUNT(({expr}))"
+        sql_dec2dbl(f"SUM({sql_dbl2dec(expr)})")
+        + f" / COUNT(({expr}))"
     )
     return f"{sql_mround(inner, scale)} AS {alias}"

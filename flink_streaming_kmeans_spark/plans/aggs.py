@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import davg, dsum, mround, sql_davg, sql_dsum, sql_mround
+from ..functions.vector import davg, dec2dbl, dsum, mround, sql_davg, sql_dsum, sql_mround
 from ..sources.loader import fan_out, load_table
 from .registry import register
 
@@ -185,9 +185,8 @@ _STATS_VAR = "(n * sxx - sx * sx) / (n * (n - 1.0))"
         SELECT c_mktsegment,
                CAST(COUNT(*) AS DOUBLE) AS n,
                MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,6)))
-                    AS DOUBLE) AS sxx
+               CAST(CAST(SUM(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(CAST(c_acctbal * c_acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sxx
         FROM customer GROUP BY c_mktsegment
     )
     SELECT c_mktsegment,
@@ -209,14 +208,14 @@ def q_agg_stats(spark, sf_dir):
     construction q_agg_corr uses. Same partial+final hash-aggregate
     shuffle shape as native avg; the moments all combine map-side."""
     c = load_table(spark, sf_dir, "customer")
-    dec = lambda col: col.cast("decimal(30,6)")  # noqa: E731
+    dec = lambda col: col.cast("string").cast("decimal(30,6)")  # noqa: E731
     x = F.col("c_acctbal")
     m = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.min(x).alias("mn"),
         F.max(x).alias("mx"),
-        F.sum(dec(x)).cast("double").alias("sx"),
-        F.sum(dec(x * x)).cast("double").alias("sxx"),
+        dec2dbl(F.sum(dec(x))).alias("sx"),
+        dec2dbl(F.sum(dec(x * x))).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
@@ -464,11 +463,11 @@ _CORR_EXPR = (
     WITH m AS (
         SELECT l_returnflag,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS syy
+               CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(CAST(l_quantity * l_extendedprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(CAST(CAST(l_quantity * l_quantity AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(CAST(l_extendedprice * l_extendedprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS syy
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -493,15 +492,15 @@ def q_agg_corr(spark, sf_dir):
     single-core (measured 3.5 s at sf0.1 → 1.2 s warm fanned out; at
     100 TB the lake's natural row-group splits make this a no-op)."""
     li = fan_out(load_table(spark, sf_dir, "lineitem"))
-    dec = lambda c: c.cast("decimal(30,6)")  # noqa: E731
+    dec = lambda c: c.cast("string").cast("decimal(30,6)")  # noqa: E731
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec(x)).cast("double").alias("sx"),
-        F.sum(dec(y)).cast("double").alias("sy"),
-        F.sum(dec(x * y)).cast("double").alias("sxy"),
-        F.sum(dec(x * x)).cast("double").alias("sxx"),
-        F.sum(dec(y * y)).cast("double").alias("syy"),
+        dec2dbl(F.sum(dec(x))).alias("sx"),
+        dec2dbl(F.sum(dec(y))).alias("sy"),
+        dec2dbl(F.sum(dec(x * y))).alias("sxy"),
+        dec2dbl(F.sum(dec(x * x))).alias("sxx"),
+        dec2dbl(F.sum(dec(y * y))).alias("syy"),
     )
     corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))

@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import dsum, mround, sql_dsum, sql_mround
+from ..functions.vector import dec2dbl, dsum, mround, sql_dsum, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 
@@ -521,8 +521,8 @@ def q_evt_markov(spark, sf_dir):
     oracle="""
     WITH st AS (
         SELECT user_id,
-               CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
-               CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS s1,
+               CAST(CAST(SUM(CAST(CAST(value * value AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
                    AS s2,
                COUNT(*) AS n
         FROM events GROUP BY user_id
@@ -562,11 +562,11 @@ def q_evt_anomaly(spark, sf_dir):
     single effective shuffle of the fact side. Nothing quadratic, no
     window over a hot key, no driver state."""
     ev = load_table(spark, sf_dir, "events")
-    dec = F.col("value").cast("decimal(30,6)")
-    dec2 = (F.col("value") * F.col("value")).cast("decimal(30,6)")
+    dec = F.col("value").cast("string").cast("decimal(30,6)")
+    dec2 = (F.col("value") * F.col("value")).cast("string").cast("decimal(30,6)")
     st = ev.groupBy("user_id").agg(
-        F.sum(dec).cast("double").alias("s1"),
-        F.sum(dec2).cast("double").alias("s2"),
+        dec2dbl(F.sum(dec)).alias("s1"),
+        dec2dbl(F.sum(dec2)).alias("s2"),
         F.count(F.lit(1)).alias("n"),
     )
     mean = F.col("s1") / F.col("n")
@@ -901,7 +901,7 @@ def q_profile_table(spark, sf_dir):
     WITH o AS (
         SELECT o_custkey,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
                    AS spend_raw,
                MAX(CAST(o_orderdate AS DATE)) AS last_d
         FROM orders
@@ -938,7 +938,8 @@ def q_feat_snapshot(spark, sf_dir):
     )
     feats = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        F.sum(F.col("o_totalprice").cast("string").cast("decimal(30,6)"))
+        .cast("string")
         .cast("double")
         .alias("spend_raw"),
         F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
@@ -1099,7 +1100,7 @@ def q_tpch_q10(spark, sf_dir):
     WITH big AS (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > 180
+        HAVING SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) > 180
     )
     SELECT c_custkey, c_name, o_orderkey,
            CAST(o_orderdate AS DATE) AS odate,
@@ -1133,7 +1134,7 @@ def q_tpch_q18(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("q"))
+        .agg(F.sum(F.col("l_quantity").cast("string").cast("decimal(30,6)")).alias("q"))
         .where(F.col("q") > 180)
         .select("l_orderkey")
     )

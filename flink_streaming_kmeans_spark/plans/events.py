@@ -300,7 +300,7 @@ def q_ts_gapfill(spark, sf_dir):
                  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
     """.format(
         dsum_over_w=(
-            "CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)"
+            "CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6))) OVER w AS STRING) AS DOUBLE)"
             " AS sum_value_10m"
         )
     ),
@@ -323,8 +323,8 @@ def q_win_time_range(spark, sf_dir):
         "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
         "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS BIGINT)"
         " AS n_prev_10m",
-        "CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (PARTITION BY user_id ORDER BY ts "
-        "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        "CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6))) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)"
         " AS sum_value_10m",
     )
 

@@ -104,7 +104,8 @@ def _merge_source(spark, sf_dir):
             F.col("c_mktsegment").alias("segment"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            F.sum(F.col("o_totalprice").cast("string").cast("decimal(30,6)"))
+            .cast("string")
             .cast("double")
             .alias("spend")
         )
@@ -133,7 +134,7 @@ _SQL_SRC = f"""
         SELECT CASE WHEN o_custkey % 3 = 0 THEN -o_custkey
                     ELSE o_custkey END AS custkey,
                c_mktsegment AS segment,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
                    AS spend
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment IN {_SEGMENTS!r}
@@ -179,14 +180,14 @@ def q_merge_cow(spark, sf_dir):
     v0 AS (
         SELECT c_mktsegment AS segment,
                CAST(COUNT(*) AS BIGINT) AS n_v0,
-               {sql_mround('CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)')}
+               {sql_mround('CAST(CAST(SUM(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)')}
                    AS bal_v0
         FROM customer GROUP BY 1
     ),
     v1 AS (
         SELECT segment,
                CAST(COUNT(*) AS BIGINT) AS n_v1,
-               {sql_mround('CAST(SUM(CAST(acctbal AS DECIMAL(30,6))) AS DOUBLE)')}
+               {sql_mround('CAST(CAST(SUM(CAST(CAST(acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)')}
                    AS bal_v1
         FROM merged GROUP BY 1
     )
@@ -208,7 +209,7 @@ def q_lake_time_travel(spark, sf_dir):
         return df.groupBy("segment").agg(
             F.count(F.lit(1)).alias(f"n_{tag}"),
             mround(
-                F.sum(F.col("acctbal").cast("decimal(30,6)")).cast("double")
+                F.sum(F.col("acctbal").cast("string").cast("decimal(30,6)")).cast("string").cast("double")
             ).alias(f"bal_{tag}"),
         )
 
@@ -324,7 +325,7 @@ def q_lake_delete(spark, sf_dir):
     WITH {_SQL_SRC}
     SELECT segment,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {sql_mround('CAST(SUM(CAST(acctbal AS DECIMAL(30,6))) AS DOUBLE)')}
+           {sql_mround('CAST(CAST(SUM(CAST(CAST(acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)')}
                AS bal,
            CAST(1 AS BIGINT) AS n_files
     FROM merged
@@ -369,7 +370,7 @@ def q_lake_compact(spark, sf_dir):
     agg = t.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_rows"),
         mround(
-            F.sum(F.col("acctbal").cast("decimal(30,6)")).cast("double")
+            F.sum(F.col("acctbal").cast("string").cast("decimal(30,6)")).cast("string").cast("double")
         ).alias("bal"),
     )
     return agg.join(F.broadcast(nf), "segment").select(

@@ -101,7 +101,7 @@ def q_sub_in(spark, sf_dir):
     oracle=f"""
     WITH nat_avg AS (
         SELECT c_nationkey,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
                / COUNT(c_acctbal) AS navg
         FROM customer GROUP BY c_nationkey
     )
@@ -120,7 +120,7 @@ def q_sub_scalar(spark, sf_dir):
     df = spark.sql(f"""
         SELECT c.c_custkey,
                c.c_acctbal - (
-                   SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                   SELECT CAST(CAST(SUM(CAST(CAST(c2.c_acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
                           / COUNT(c2.c_acctbal)
                    FROM {v['customer']} c2
                    WHERE c2.c_nationkey = c.c_nationkey
@@ -137,10 +137,10 @@ def q_sub_scalar(spark, sf_dir):
     oracle=f"""
     WITH rev AS (
         SELECT c.c_nationkey AS nationkey,
-               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS r
+               CAST(CAST(SUM(CAST(CAST(o.o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS r
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_nationkey
-    ), tot AS (SELECT CAST(SUM(CAST(r AS DECIMAL(30,6))) AS DOUBLE) AS t FROM rev)
+    ), tot AS (SELECT CAST(CAST(SUM(CAST(CAST(r AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS t FROM rev)
     SELECT n.n_name, {sql_mround('rev.r')} AS revenue,
            {sql_mround('100.0 * rev.r / tot.t')} AS pct
     FROM rev JOIN nation n ON rev.nationkey = n.n_nationkey
@@ -154,10 +154,10 @@ def q_cte_reuse(spark, sf_dir):
     df = spark.sql(f"""
         WITH rev AS (
             SELECT c.c_nationkey AS nationkey,
-                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS r
+                   CAST(CAST(SUM(CAST(CAST(o.o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS r
             FROM {v['orders']} o JOIN {v['customer']} c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_nationkey
-        ), tot AS (SELECT CAST(SUM(CAST(r AS DECIMAL(30,6))) AS DOUBLE) AS t FROM rev)
+        ), tot AS (SELECT CAST(CAST(SUM(CAST(CAST(r AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS t FROM rev)
         SELECT n.n_name, rev.r AS revenue, 100.0 * rev.r / tot.t AS pct
         FROM rev JOIN {v['nation']} n ON rev.nationkey = n.n_nationkey
         CROSS JOIN tot
@@ -251,7 +251,7 @@ def q_win_dist(spark, sf_dir):
     WITH src AS (
         SELECT CASE WHEN o_custkey % 3 = 0 THEN -o_custkey
                     ELSE o_custkey END AS custkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
                    AS spend
         FROM orders
         GROUP BY 1
@@ -293,7 +293,8 @@ def q_merge_upsert(spark, sf_dir):
             .alias("custkey")
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+            F.sum(F.col("o_totalprice").cast("string").cast("decimal(30,6)"))
+            .cast("string")
             .cast("double")
             .alias("spend"),
         )

@@ -70,7 +70,7 @@ def q_sink_roundtrip(spark, sf_dir):
     "q_sink_partitioned",
     oracle="""
     SELECT l_linestatus, COUNT(*) AS cnt,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_qty
     FROM lineitem
     WHERE l_returnflag = 'R'
     GROUP BY l_linestatus
@@ -91,7 +91,7 @@ def q_sink_partitioned(spark, sf_dir):
     back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
     return back.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_quantity").cast("string").cast("decimal(30,6)")).cast("string").cast("double").alias("sum_qty"),
     )
 
 
@@ -99,7 +99,7 @@ def q_sink_partitioned(spark, sf_dir):
     "q_source_csv",
     oracle="""
     SELECT s_nationkey, COUNT(*) AS n_suppliers,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_bal
+           CAST(CAST(SUM(CAST(CAST(s_acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_bal
     FROM supplier
     GROUP BY s_nationkey
     """,
@@ -120,7 +120,7 @@ def q_source_csv(spark, sf_dir):
     ).option("header", True).csv(out)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum(F.col("s_acctbal").cast("decimal(30,6)")).cast("double").alias("sum_bal"),
+        F.sum(F.col("s_acctbal").cast("string").cast("decimal(30,6)")).cast("string").cast("double").alias("sum_bal"),
     )
 
 

@@ -211,7 +211,7 @@ def q_stream_join(spark, sf_dir):
         SELECT CASE WHEN o_custkey % 3 = 0 THEN -o_custkey
                     ELSE o_custkey END AS custkey,
                c_mktsegment AS segment,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
                    AS spend
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')

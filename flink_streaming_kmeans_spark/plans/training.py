@@ -344,7 +344,8 @@ def q_stream_tumble(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)"))
+            F.sum(F.col("value").cast("string").cast("decimal(30,6)"))
+            .cast("string")
             .cast("double")
             .alias("sum_value"),
         )

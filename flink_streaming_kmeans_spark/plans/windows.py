@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import mround, sql_mround
+from ..functions.vector import dec2dbl, mround, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 
@@ -71,10 +71,10 @@ def q_win_lag(spark, sf_dir):
     "q_win_running",
     oracle=f"""
     SELECT o_orderkey,
-           {sql_mround('CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER ('
+           {sql_mround('CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) OVER ('
                        ' PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey'
                        ' ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW'
-                       ') AS DOUBLE)')} AS running_total
+                       ') AS STRING) AS DOUBLE)')} AS running_total
     FROM orders
     """,
 )
@@ -87,9 +87,9 @@ def q_win_running(spark, sf_dir):
         .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    running = F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w)
+    running = F.sum(F.col("o_totalprice").cast("string").cast("decimal(30,6)")).over(w)
     return o.select(
-        "o_orderkey", mround(running.cast("double")).alias("running_total")
+        "o_orderkey", mround(dec2dbl(running)).alias("running_total")
     )
 
 
@@ -97,7 +97,7 @@ def q_win_running(spark, sf_dir):
     "q_win_range_frame",
     oracle=f"""
     SELECT o_orderkey,
-           {sql_mround('CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)'
+           {sql_mround('CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) OVER w AS STRING) AS DOUBLE)'
                        ' / (COUNT(*) OVER w)')} AS avg_near
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus, o_orderpriority
@@ -126,7 +126,7 @@ def q_win_range_frame(spark, sf_dir):
         .orderBy("o_totalprice")
         .rangeBetween(-1000, W.currentRow)
     )
-    s = F.sum(F.col("o_totalprice").cast("decimal(30,6)")).over(w).cast("double")
+    s = dec2dbl(F.sum(F.col("o_totalprice").cast("string").cast("decimal(30,6)")).over(w))
     n = F.count(F.lit(1)).over(w)
     return o.select("o_orderkey", mround(s / n).alias("avg_near"))
 

@@ -156,6 +156,13 @@ def degen_sf(spark, tmp_path_factory):
         (3, 7, "O", 75.0, None, "3-MEDIUM"),  # NULL date: orders last
         (4, None, "O", None, t0o.replace(day=5), None),  # NULL cust/price
         (5, 8, "F", 10.0, t0o.replace(day=2), "1-URGENT"),
+        # Extreme-value regime (r6 sweep): a price past the 1e12 mround
+        # guard and one just below it — the running-sum chain crosses
+        # both the guard boundary and the 2^53 scaled-integer ceiling
+        # where direct decimal<->double casts diverge between engines
+        # (the string-route dec2dbl/dbl2dec fix this pins).
+        (6, 8, "O", 2.5e12, t0o.replace(day=4), "2-HIGH"),
+        (7, 8, "F", 999999999999.1234, t0o.replace(day=6), "5-LOW"),
     ]
     _write_table(spark, sf, "orders", orders, ord_schema)
     yield sf
