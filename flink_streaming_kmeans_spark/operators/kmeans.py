@@ -192,18 +192,29 @@ def kmeans_parallel_init(
     return M, cids
 
 
-def assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Score every vector against every centroid, keep the argmax-dot
-    row per vector (ties → lowest cid). Columns:
-    (vec_id, embedding, cid, dot)."""
+def assign(
+    embeddings: DataFrame, centroids: DataFrame, euclidean: bool = False
+) -> DataFrame:
+    """Score every vector against every centroid, keep the best row
+    per vector (ties → lowest cid). Columns: (vec_id, embedding, cid,
+    dot). Default metric is argmax-dot — correct for unit-normalized
+    vectors (the embeddings contract); ``euclidean=True`` subtracts
+    the per-centroid ||c||²/2 bias, turning the ranking into exact
+    argmin-Euclidean for raw-coordinate inputs (see _euclid_bias)."""
     scored = embeddings.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "embedding", "cid", dot64("embedding", "cemb").alias("dot")
+        "vec_id", "embedding", "cid", dot64("embedding", "cemb").alias("dot"),
+        *(
+            [(dot64("cemb", "cemb") / 2).alias("_b")]
+            if euclidean
+            else []
+        ),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cid"))
+    rank_on = (F.col("dot") - F.col("_b")) if euclidean else F.col("dot")
+    w = W.partitionBy("vec_id").orderBy(rank_on.desc(), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .drop("rn")
+        .drop("rn", *(["_b"] if euclidean else []))
     )
 
 
@@ -218,12 +229,27 @@ def update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _partial_stats_fn(C, cids):
+def _euclid_bias(C, euclidean: bool):
+    """Per-centroid score bias turning argmax-dot into argmin-Euclidean:
+    argmin ||x−c||² == argmax (x·c − ||c||²/2), EXACTLY (the ||x||²
+    term is constant per point). The default dot metric is correct
+    only for unit-normalized vectors (the embeddings contract);
+    raw-coordinate inputs (the CLI's CSV lat/lon mode) without the
+    bias let large-magnitude centroids absorb everything (review r6).
+    """
+    import numpy as np
+
+    return 0.5 * (C * C).sum(axis=1) if euclidean else np.float64(0.0)
+
+
+def _partial_stats_fn(C, cids, euclidean: bool = False):
     """Per-partition combiner: vectorized assignment (numpy GEMM) +
     per-cluster partial sums/counts. Emits k rows per partition — the
     map-side combine that makes an iteration shuffle-free."""
     import numpy as np
     import pandas as pd
+
+    bias = _euclid_bias(C, euclidean)
 
     def fn(batches):
         k, d = C.shape
@@ -233,7 +259,7 @@ def _partial_stats_fn(C, cids):
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            best = np.argmax(X @ C.T, axis=1)  # ties → lowest index == lowest cid
+            best = np.argmax(X @ C.T - bias, axis=1)  # ties → lowest index == lowest cid
             for j in range(k):
                 members = X[best == j]
                 if len(members):
@@ -246,7 +272,7 @@ def _partial_stats_fn(C, cids):
     return fn
 
 
-def _reassign_delta_fn(C, cids):
+def _reassign_delta_fn(C, cids, euclidean: bool = False):
     """Per-partition combiner for REASSIGNMENT-aware streaming k-means
     (the reference co-operator's Feature add/remove arithmetic,
     SURVEY.md §1.1/§3.1 [PK]): each arriving point is assigned to the
@@ -277,6 +303,7 @@ def _reassign_delta_fn(C, cids):
     def fn(batches):
         k, d = C.shape
         pos = {int(c): j for j, c in enumerate(cids)}
+        bias = _euclid_bias(C, euclidean)
         overlay: dict = {}
         sums = np.zeros((k, d))
         counts = np.zeros(k, dtype="int64")
@@ -286,7 +313,7 @@ def _reassign_delta_fn(C, cids):
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy()
             olds = pdf["old_cid"].to_numpy()  # NaN where never seen
-            best = np.argmax(X @ C.T, axis=1)  # ties → lowest index/cid
+            best = np.argmax(X @ C.T - bias, axis=1)  # ties → lowest index/cid
             for i in range(len(ids)):
                 vid = int(ids[i])
                 j = int(best[i])
@@ -333,6 +360,7 @@ def lloyd_iterate(
     max_iter: int = 20,
     tol: float = 1e-6,
     init=None,
+    euclidean: bool = False,
 ) -> DataFrame:
     """Full Lloyd's to convergence; returns final (vec_id, cluster_id).
 
@@ -365,7 +393,7 @@ def lloyd_iterate(
     try:
         for _ in range(max_iter):
             partials = cached.mapInPandas(
-                _partial_stats_fn(C, cids),
+                _partial_stats_fn(C, cids, euclidean),
                 "cid int, psum array<double>, n bigint",
             ).collect()
             sums = np.zeros_like(C)
@@ -383,7 +411,7 @@ def lloyd_iterate(
             if shift < tol:
                 break
 
-        final_fn = _final_assign_fn(C, cids)
+        final_fn = _final_assign_fn(C, cids, euclidean)
         # Materialize the final assignment BEFORE the finally-block
         # unpersists the input: the returned DataFrame is lazy, and
         # without this the cache would be gone by the time any caller
@@ -395,16 +423,18 @@ def lloyd_iterate(
         cached.unpersist()
 
 
-def _final_assign_fn(C, cids):
+def _final_assign_fn(C, cids, euclidean: bool = False):
     import numpy as np
     import pandas as pd
+
+    bias = _euclid_bias(C, euclidean)
 
     def fn(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            best = np.argmax(X @ C.T, axis=1)
+            best = np.argmax(X @ C.T - bias, axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "cluster_id": cids[best]}
             )

@@ -50,11 +50,22 @@ def shuffle_partitions() -> str:
 
 def ensure_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (idempotent)."""
+    import sys
+
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # non-settable on this build; get_spark sets it at build time
+        except Exception as exc:
+            # Not silently (review r6): several of these confs are
+            # correctness-critical (UTC session timezone, parquet
+            # nanosAsLong) — a dropped one shows up later only as
+            # undiagnosable hash drift against the oracle. Name the
+            # key so the drift is attributable; still continue (the
+            # conf may be build-time-only and already right).
+            print(
+                f"[session] WARNING: could not set {k}={v!r}: {exc!r}",
+                file=sys.stderr,
+            )
     return spark
 
 

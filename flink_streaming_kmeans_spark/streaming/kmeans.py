@@ -86,9 +86,15 @@ class StreamingKMeans:
         state_path: str | None = None,
         track_assignments: bool = False,
         assign_dir: str | None = None,
+        euclidean: bool = False,
     ):
         import numpy as np
 
+        # Metric: argmax-dot by default (unit-vector contract);
+        # euclidean=True applies the ||c||²/2 bias (operators/kmeans.
+        # _euclid_bias) so raw-coordinate streams cluster by true
+        # Euclidean distance (review r6 — the CLI's CSV mode).
+        self.euclidean = bool(euclidean)
         self.C = np.array(init_centroids, dtype="float64")  # k×d
         self.cids = np.array(cids)
         self.n = np.zeros(len(cids), dtype="int64")
@@ -268,7 +274,7 @@ class StreamingKMeans:
         pos = {int(c): j for j, c in enumerate(self.cids)}
         if not self.track:
             partials = batch_df.select("vec_id", "embedding").mapInPandas(
-                _partial_stats_fn(self.C, self.cids),
+                _partial_stats_fn(self.C, self.cids, self.euclidean),
                 "cid int, psum array<double>, n bigint",
             ).collect()
             if not partials:
@@ -303,7 +309,7 @@ class StreamingKMeans:
             # which the evidence drive scopes down to 2.)
             joined = joined.repartition("vec_id")
             out = joined.mapInPandas(
-                _reassign_delta_fn(self.C, self.cids),
+                _reassign_delta_fn(self.C, self.cids, self.euclidean),
                 "kind int, vec_id bigint, cid int,"
                 " psum array<double>, n bigint",
             ).persist()

@@ -87,7 +87,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def load_points(spark, path: str, fmt: str, header: bool = True):
-    """Load points as (vec_id bigint, embedding array<float>)."""
+    """Load points as (vec_id bigint, embedding array<float>).
+    Returns (df, resolved_fmt)."""
     if fmt == "auto":
         fmt = "parquet" if path.rstrip("/").endswith(".parquet") else "csv"
     if fmt == "parquet":
@@ -97,17 +98,31 @@ def load_points(spark, path: str, fmt: str, header: bool = True):
                 "parquet input must have columns (vec_id, embedding); "
                 f"got {df.columns}"
             )
-        return df.select("vec_id", "embedding")
+        return df.select("vec_id", "embedding"), fmt
     # CSV text lines: first column is the id, the rest are coordinates
     # (the reference parsed "lat,lon"-style lines into Feature POJOs).
     df = spark.read.option("header", header).option("inferSchema", True).csv(path)
     id_col, *coord_cols = df.columns
     if not coord_cols:
         raise SystemExit("csv input needs an id column plus >=1 coordinate column")
-    return df.select(
-        F.col(id_col).cast("bigint").alias("vec_id"),
+    pts = df.select(
+        # try_cast: ANSI cast would throw a bare JVM NumberFormat
+        # exception mid-job; NULL + the count below gives an
+        # actionable message instead (review r6).
+        F.col(id_col).try_cast("bigint").alias("vec_id"),
         F.array(*[F.col(c).cast("float") for c in coord_cols]).alias("embedding"),
     )
+    # Fail loudly on non-numeric ids: the silent bigint-cast-to-NULL
+    # corrupted batch output and VANISHED rows from the streaming
+    # replay (NULL pmod partition is never copied) — review r6.
+    n_bad = pts.where(F.col("vec_id").isNull()).count()
+    if n_bad:
+        raise SystemExit(
+            f"csv input has {n_bad} rows whose id column ('{id_col}') is "
+            "not a number — ids must be integers (did you mean to drop "
+            "--no-header, or is there a header row without --header?)"
+        )
+    return pts, fmt
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -119,18 +134,35 @@ def main(argv: list[str] | None = None) -> int:
     if args.parallelism:
         spark.conf.set("spark.sql.shuffle.partitions", str(args.parallelism))
 
-    pts = load_points(spark, args.input, args.format, header=not args.no_header)
+    pts, fmt = load_points(
+        spark, args.input, args.format, header=not args.no_header
+    )
+    # CSV inputs are raw coordinates (the reference's lat/lon lines):
+    # cluster by TRUE Euclidean distance via the ||c||²/2 score bias
+    # (operators/kmeans._euclid_bias — review r6: plain argmax-dot let
+    # large-magnitude centroids absorb everything on non-unit data).
+    # Parquet embeddings keep the unit-vector dot contract.
+    euclidean = fmt == "csv"
     init = (
         kmeans_parallel_init(pts, k=args.k) if args.init == "kmeans||" else None
     )
     extra: dict = {}
     if args.stream:
-        assigned, extra = _run_streaming(spark, pts, args, init)
+        assigned, extra = _run_streaming(spark, pts, args, init, euclidean)
     else:
         assigned = lloyd_iterate(
-            spark, pts, k=args.k, max_iter=args.max_iters, init=init
+            spark, pts, k=args.k, max_iter=args.max_iters, init=init,
+            euclidean=euclidean,
         )
+    skm = extra.pop("_skm", None)
     assigned.write.mode("overwrite").parquet(args.output)
+    if skm is not None and skm._assign_dir:
+        # The O(points) parquet assignment-state generations served
+        # their purpose once the output is written — don't leave them
+        # for the 24-hour state-root GC (review r6).
+        import shutil
+
+        shutil.rmtree(skm._assign_dir, ignore_errors=True)
 
     back = spark.read.parquet(args.output)
     sizes = {
@@ -152,7 +184,7 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
-def _run_streaming(spark, pts, args, init):
+def _run_streaming(spark, pts, args, init, euclidean=False):
     """KMeansTool's streaming topology: micro-batch replay through a
     file-source Structured Streaming query + online MacQueen state
     (streaming/kmeans.py). Returns (assignments DataFrame, summary)."""
@@ -167,23 +199,30 @@ def _run_streaming(spark, pts, args, init):
         C, cids = init
         skm = StreamingKMeans(
             C.tolist(), [int(c) for c in cids],
-            track_assignments=args.reassign,
+            track_assignments=args.reassign, euclidean=euclidean,
         )
     else:
         cent = init_centroids(pts, k=args.k).collect()
+        if not cent:
+            raise SystemExit("input has no points")
         skm = StreamingKMeans(
             [list(r.cemb) for r in cent],
             [int(r.cid) for r in cent],
-            track_assignments=args.reassign,
+            track_assignments=args.reassign, euclidean=euclidean,
         )
 
-    from .sources.replay import batch_input_dir, run_available_now
+    from .sources.replay import batch_input_dir, run_available_now, time_batch_col
 
     d = tempfile.mkdtemp(prefix="fsk_tool_stream_")
     try:
-        n_b = max(1, args.stream_batches)
+        # Contiguous ntile ranges, clamped to the point count — the
+        # previous pmod(vec_id, n) split raised on any empty residue
+        # class (fewer points than batches, or id patterns skipping a
+        # residue) — review r6. ntile over vec_id order can never
+        # leave a batch empty.
+        n_b = max(1, min(args.stream_batches, pts.limit(args.stream_batches).count()))
         in_dir = batch_input_dir(
-            pts.withColumn("bno", F.pmod("vec_id", F.lit(n_b))), d, range(n_b)
+            time_batch_col(pts, n_b, order_cols=("vec_id",)), d, range(n_b)
         )
         run_available_now(
             spark.readStream.schema(pts.schema)
@@ -194,9 +233,17 @@ def _run_streaming(spark, pts, args, init):
             "--stream",
             spark,
             timeout=600,
+            # Honor the user's knob inside the scoped streaming run —
+            # run_available_now pinned its own default otherwise
+            # (review r6).
+            partitions=args.parallelism or 4,
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+        # The parquet assignment-state generations are O(points) per
+        # batch; drop them as soon as the output is derived... they
+        # are still needed below for assign_df, so cleanup happens in
+        # main() after the output write (see _cleanup_state).
 
     from .sources.loader import local_df
 
@@ -216,13 +263,14 @@ def _run_streaming(spark, pts, args, init):
             ],
             "cid int, cemb array<float>",
         )
-        assigned = assign(pts, cdf).select(
+        assigned = assign(pts, cdf, euclidean=euclidean).select(
             "vec_id", F.col("cid").alias("cluster_id")
         )
     return assigned, {
         "mode": "stream",
         "batches_seen": skm.batches_seen,
         "reassign": bool(args.reassign),
+        "_skm": skm,
     }
 
 

@@ -114,3 +114,62 @@ def test_tool_stream_mode(spark, capsys):
         assert back.select("vec_id").distinct().count() == 500
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tool_csv_clusters_by_euclidean_distance(spark, tmp_path):
+    """Raw-coordinate CSV must cluster by TRUE Euclidean distance
+    (review r6: plain argmax-dot let the larger-magnitude centroid
+    absorb everything — a point AT centroid (1,0) was assigned to
+    (5,0) because 5 > 1). Two tight blobs around (1,0) and (5,0),
+    k=2, first-k init seeds one centroid in each blob: every point
+    must stay with its own blob."""
+    from flink_streaming_kmeans_spark.tool import main
+
+    csv = tmp_path / "pts.csv"
+    rows = ["id,x,y"]
+    # ids 0..3 near (1,0) — includes the exact centroid point;
+    # ids 4..7 near (5,0).
+    near_a = [(0, 1.0, 0.0), (1, 1.1, 0.1), (2, 0.9, -0.1), (3, 1.0, 0.2)]
+    near_b = [(4, 5.0, 0.0), (5, 5.1, 0.1), (6, 4.9, -0.1), (7, 5.0, 0.2)]
+    for i, x, y in near_a + near_b:
+        rows.append(f"{i},{x},{y}")
+    csv.write_text("\n".join(rows) + "\n")
+
+    out = str(tmp_path / "out")
+    rc = main(["--input", str(csv), "--k", "2", "--max-iters", "10",
+               "--output", out])
+    assert rc == 0
+    got = {r.vec_id: r.cluster_id for r in spark.read.parquet(out).collect()}
+    a_clusters = {got[i] for i, _, _ in near_a}
+    b_clusters = {got[i] for i, _, _ in near_b}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+
+
+def test_tool_csv_rejects_non_numeric_ids(spark, tmp_path):
+    """Non-numeric ids must fail loudly, not silently become NULL
+    vec_ids (review r6: batch output carried NULL rows; streaming
+    replay silently dropped them)."""
+    import pytest
+
+    from flink_streaming_kmeans_spark.tool import main
+
+    csv = tmp_path / "bad.csv"
+    csv.write_text("id,x,y\nabc,1.0,2.0\n7,3.0,4.0\n")
+    with pytest.raises(SystemExit, match="not a number"):
+        main(["--input", str(csv), "--k", "2", "--output",
+              str(tmp_path / "out")])
+
+
+def test_tool_stream_fewer_points_than_batches(spark, tmp_path):
+    """--stream with more batches than points must clamp, not raise
+    (review r6: the pmod split errored on any empty residue class)."""
+    from flink_streaming_kmeans_spark.tool import main
+
+    csv = tmp_path / "tiny.csv"
+    csv.write_text("id,x,y\n1,1.0,0.0\n2,5.0,0.0\n3,5.1,0.1\n")
+    out = str(tmp_path / "out")
+    rc = main(["--input", str(csv), "--k", "2", "--stream",
+               "--stream-batches", "5", "--output", out])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 3
