@@ -99,7 +99,7 @@ def sql_dec2dbl(expr: str) -> str:
     return f"CAST(CAST(({expr}) AS STRING) AS DOUBLE)"
 
 
-def dbl2dec(col) -> Column:
+def dbl2dec(col, prec: int = 30) -> Column:
     """DOUBLE → DECIMAL(30,6) through a STRING — identical on both
     engines BY CONSTRUCTION, the input-side twin of :func:`dec2dbl`.
     The direct cast is NOT: Spark converts via the double's SHORTEST
@@ -112,14 +112,23 @@ def dbl2dec(col) -> Column:
     round-trip repr (the same rational number, whatever the notation)
     and their string→decimal parses round half-up identically
     (probe-verified incl. the .0000005 boundary). SQL twin:
-    :func:`sql_dbl2dec`."""
+    :func:`sql_dbl2dec`.
+
+    ``prec``: decimal precision — the default 30 (24 integer digits)
+    overflows (an ANSI crash, not a wrong value) once |x| ≥ 1e24;
+    SQUARED-moment sums (q_agg_stats/q_agg_corr) pass 38, whose 32
+    integer digits carry x² for |x| up to 1e16 — past the 1e12 mround
+    pass-through and the 2^53 exact-integer ceiling, so every
+    representable-at-4-decimals input is safe. The string route's
+    determinism is precision-independent (same exact parse both
+    engines)."""
     col = F.col(col) if isinstance(col, str) else col
-    return col.cast("string").cast("decimal(30,6)")
+    return col.cast("string").cast(f"decimal({prec},6)")
 
 
-def sql_dbl2dec(expr: str) -> str:
+def sql_dbl2dec(expr: str, prec: int = 30) -> str:
     """DuckDB SQL twin of :func:`dbl2dec` (keep in lockstep)."""
-    return f"CAST(CAST(({expr}) AS STRING) AS DECIMAL(30,6))"
+    return f"CAST(CAST(({expr}) AS STRING) AS DECIMAL({prec},6))"
 
 
 def dsum(col, alias: str, scale: int = 4) -> Column:

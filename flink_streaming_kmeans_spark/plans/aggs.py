@@ -11,7 +11,18 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import davg, dec2dbl, dsum, mround, sql_davg, sql_dsum, sql_mround
+from ..functions.vector import (
+    davg,
+    dbl2dec,
+    dec2dbl,
+    dsum,
+    mround,
+    sql_davg,
+    sql_dbl2dec,
+    sql_dec2dbl,
+    sql_dsum,
+    sql_mround,
+)
 from ..sources.loader import fan_out, load_table
 from .registry import register
 
@@ -175,7 +186,20 @@ def q_agg_groupingsets(spark, sf_dir):
     )
 
 
-_STATS_VAR = "(n * sxx - sx * sx) / (n * (n - 1.0))"
+# Sample variance with BOTH degenerate guards stated explicitly (r6
+# TPC-H degenerate sweep): n=1 makes the denominator 0 — Spark ANSI
+# RAISES on double division by zero where DuckDB returns NULL, so the
+# CASE must gate the division itself; and double rounding can push the
+# exact-sum numerator epsilon-negative for near-constant groups, where
+# Spark SQRT(neg) = NaN but DuckDB SQRT(neg) ERRORS — GREATEST(·, 0)
+# clamps inside the guarded branch on both engines.
+_STATS_VAR = (
+    "CASE WHEN n > 1 THEN (n * sxx - sx * sx) / (n * (n - 1.0)) END"
+)
+_STATS_STD = (
+    "CASE WHEN n > 1 AND sxx IS NOT NULL"
+    " THEN SQRT(GREATEST((n * sxx - sx * sx) / (n * (n - 1.0)), 0.0)) END"
+)
 
 
 @register(
@@ -185,15 +209,15 @@ _STATS_VAR = "(n * sxx - sx * sx) / (n * (n - 1.0))"
         SELECT c_mktsegment,
                CAST(COUNT(*) AS DOUBLE) AS n,
                MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx,
-               CAST(CAST(SUM(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sx,
-               CAST(CAST(SUM(CAST(CAST(c_acctbal * c_acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sxx
+               {sql_dec2dbl(f"SUM({sql_dbl2dec('c_acctbal')})")} AS sx,
+               {sql_dec2dbl(f"SUM({sql_dbl2dec('c_acctbal * c_acctbal', 38)})")} AS sxx
         FROM customer GROUP BY c_mktsegment
     )
     SELECT c_mktsegment,
            {sql_mround('mn')} AS min_bal,
            {sql_mround('mx')} AS max_bal,
            {sql_mround('sx / n')} AS avg_bal,
-           {sql_mround(f'SQRT({_STATS_VAR})')} AS std_bal,
+           {sql_mround(_STATS_STD)} AS std_bal,
            {sql_mround(_STATS_VAR)} AS var_bal
     FROM m
     """,
@@ -208,23 +232,30 @@ def q_agg_stats(spark, sf_dir):
     construction q_agg_corr uses. Same partial+final hash-aggregate
     shuffle shape as native avg; the moments all combine map-side."""
     c = load_table(spark, sf_dir, "customer")
-    dec = lambda col: col.cast("string").cast("decimal(30,6)")  # noqa: E731
     x = F.col("c_acctbal")
     m = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.min(x).alias("mn"),
         F.max(x).alias("mx"),
-        dec2dbl(F.sum(dec(x))).alias("sx"),
-        dec2dbl(F.sum(dec(x * x))).alias("sxx"),
+        dec2dbl(F.sum(dbl2dec(x))).alias("sx"),
+        # prec=38: the squared moment overflows DECIMAL(30,6)'s 24
+        # integer digits (an ANSI crash) once |x| ≥ 1e12 — see dbl2dec.
+        dec2dbl(F.sum(dbl2dec(x * x, 38))).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
-    var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    raw_var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    # Guards mirror _STATS_VAR/_STATS_STD: the n > 1 gate keeps the
+    # division unevaluated for singleton groups (Spark ANSI raises on
+    # double /0); GREATEST clamps epsilon-negative variance before
+    # SQRT (Spark NaN vs DuckDB error otherwise).
+    var = F.when(n > 1, raw_var)
+    std = F.when((n > 1) & sxx.isNotNull(), F.sqrt(F.greatest(raw_var, F.lit(0.0))))
     return m.select(
         "c_mktsegment",
         mround(F.col("mn")).alias("min_bal"),
         mround(F.col("mx")).alias("max_bal"),
         mround(sx / n).alias("avg_bal"),
-        mround(F.sqrt(var)).alias("std_bal"),
+        mround(std).alias("std_bal"),
         mround(var).alias("var_bal"),
     )
 
@@ -451,9 +482,17 @@ def q_agg_mode(spark, sf_dir):
     )
 
 
+# Degenerate guards (r6 TPC-H degenerate sweep), mirrored in the
+# Spark body: a zero-variance side makes the denominator 0 — Spark
+# ANSI RAISES on double /0 (DuckDB → NULL), so the CASE gates the
+# division; GREATEST clamps the epsilon-negative-variance SQRT hazard
+# (Spark NaN vs DuckDB error).
 _CORR_EXPR = (
-    "((n * sxy - sx * sy)"
-    " / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))"
+    "CASE WHEN GREATEST(n * sxx - sx * sx, 0.0) > 0"
+    " AND GREATEST(n * syy - sy * sy, 0.0) > 0"
+    " THEN ((n * sxy - sx * sy)"
+    " / (SQRT(GREATEST(n * sxx - sx * sx, 0.0))"
+    " * SQRT(GREATEST(n * syy - sy * sy, 0.0)))) END"
 )
 
 
@@ -463,11 +502,11 @@ _CORR_EXPR = (
     WITH m AS (
         SELECT l_returnflag,
                COUNT(*) AS n,
-               CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sx,
-               CAST(CAST(SUM(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sy,
-               CAST(CAST(SUM(CAST(CAST(l_quantity * l_extendedprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sxy,
-               CAST(CAST(SUM(CAST(CAST(l_quantity * l_quantity AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sxx,
-               CAST(CAST(SUM(CAST(CAST(l_extendedprice * l_extendedprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS syy
+               {sql_dec2dbl(f"SUM({sql_dbl2dec('l_quantity')})")} AS sx,
+               {sql_dec2dbl(f"SUM({sql_dbl2dec('l_extendedprice')})")} AS sy,
+               {sql_dec2dbl(f"SUM({sql_dbl2dec('l_quantity * l_extendedprice', 38)})")} AS sxy,
+               {sql_dec2dbl(f"SUM({sql_dbl2dec('l_quantity * l_quantity', 38)})")} AS sxx,
+               {sql_dec2dbl(f"SUM({sql_dbl2dec('l_extendedprice * l_extendedprice', 38)})")} AS syy
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -492,19 +531,27 @@ def q_agg_corr(spark, sf_dir):
     single-core (measured 3.5 s at sf0.1 → 1.2 s warm fanned out; at
     100 TB the lake's natural row-group splits make this a no-op)."""
     li = fan_out(load_table(spark, sf_dir, "lineitem"))
-    dec = lambda c: c.cast("string").cast("decimal(30,6)")  # noqa: E731
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        dec2dbl(F.sum(dec(x))).alias("sx"),
-        dec2dbl(F.sum(dec(y))).alias("sy"),
-        dec2dbl(F.sum(dec(x * y))).alias("sxy"),
-        dec2dbl(F.sum(dec(x * x))).alias("sxx"),
-        dec2dbl(F.sum(dec(y * y))).alias("syy"),
+        dec2dbl(F.sum(dbl2dec(x))).alias("sx"),
+        dec2dbl(F.sum(dbl2dec(y))).alias("sy"),
+        # prec=38 on the product moments: DECIMAL(30,6) overflows (an
+        # ANSI crash) once a product reaches 1e24 — see dbl2dec.
+        dec2dbl(F.sum(dbl2dec(x * y, 38))).alias("sxy"),
+        dec2dbl(F.sum(dbl2dec(x * x, 38))).alias("sxx"),
+        dec2dbl(F.sum(dbl2dec(y * y, 38))).alias("syy"),
     )
-    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    n = F.col("n")
+    dx = F.greatest(n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    dy = F.greatest(n * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))
+    # Mirror of _CORR_EXPR's guards: division gated on both variances
+    # being strictly positive (Spark ANSI raises on double /0),
+    # GREATEST-clamped under the SQRTs.
+    corr = F.when(
+        (dx > 0) & (dy > 0),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.sqrt(dx) * F.sqrt(dy)),
     )
     return m.select(
         "l_returnflag", "n", mround(corr).alias("corr_qty_price")

@@ -105,11 +105,18 @@ def q_join_semi(spark, sf_dir):
 @register(
     "q_join_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
     """,
 )
 def q_join_anti(spark, sf_dir):
+    """LeftAnti ≡ NOT EXISTS — NOT ``NOT IN`` (r6 TPC-H degenerate
+    sweep): a NULL-keyed left row matches no right row, so anti join
+    and NOT EXISTS both KEEP it, while NOT IN's three-valued logic
+    drops it (and one right-side NULL empties the whole result). The
+    NOT IN semantics are their own registered query, q_join_not_in."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
@@ -307,8 +314,14 @@ def q_join_salted(spark, sf_dir):
             li.sparkSession.range(SALT).select(F.col("id").cast("int").alias("salt"))
         )
     )
+    # coalesce before pmod: pmod(NULL) is a NULL salt, which silently
+    # DROPS a NULL-orderkey row from the salted equi-join that the
+    # plain join would keep — the one way salting could stop being
+    # semantics-transparent (r6 TPC-H degenerate sweep). Any constant
+    # bucket is correct for NULLs; 0 keeps them joinable.
     salted_li = li.withColumn(
-        "salt", F.pmod(F.col("l_orderkey"), F.lit(SALT)).cast("int")
+        "salt",
+        F.pmod(F.coalesce(F.col("l_orderkey"), F.lit(0)), F.lit(SALT)).cast("int"),
     )
     joined = salted_li.hint("shuffle_hash").join(
         salted_s,

@@ -116,16 +116,25 @@ def _merge_fn(target, src):
     """MERGE row semantics: WHEN MATCHED → acctbal := spend; WHEN NOT
     MATCHED → insert (custkey, 'NEW', spend, segment); unmatched target
     rows kept. Identical join-plan shape to q_merge_upsert — what
-    merge_cow adds is the transaction around it."""
-    t, s = target.alias("t"), src.alias("s")
+    merge_cow adds is the transaction around it.
+
+    Branch detection uses explicit PRESENCE MARKERS (the read_changes
+    pattern), not value-null-ness: COALESCE(t.name, 'NEW') conflated
+    "no target row" with "target row whose name is NULL", which
+    relabeled a NULL-name passthrough row 'NEW' in the relational
+    oracle while the partition-scoped copy-on-write passed it through
+    untouched (r6 TPC-H degenerate sweep). A NULL value must survive a
+    merge; only genuine absence selects the other branch."""
+    t = target.withColumn("_in_t", F.lit(True)).alias("t")
+    s = src.withColumn("_in_s", F.lit(True)).alias("s")
     j = t.join(s, F.col("t.custkey") == F.col("s.custkey"), "full_outer")
+    in_t = F.col("t._in_t").isNotNull()
+    in_s = F.col("s._in_s").isNotNull()
     return j.select(
-        F.coalesce("t.custkey", "s.custkey").alias("custkey"),
-        F.coalesce("t.name", F.lit("NEW")).alias("name"),
-        F.when(F.col("s.custkey").isNull(), F.col("t.acctbal"))
-        .otherwise(F.col("s.spend"))
-        .alias("acctbal"),
-        F.coalesce("t.segment", "s.segment").alias("segment"),
+        F.when(in_t, F.col("t.custkey")).otherwise(F.col("s.custkey")).alias("custkey"),
+        F.when(in_t, F.col("t.name")).otherwise(F.lit("NEW")).alias("name"),
+        F.when(in_s, F.col("s.spend")).otherwise(F.col("t.acctbal")).alias("acctbal"),
+        F.when(in_t, F.col("t.segment")).otherwise(F.col("s.segment")).alias("segment"),
     )
 
 
@@ -141,12 +150,17 @@ _SQL_SRC = f"""
         GROUP BY 1, 2
     ),
     merged AS (
-        SELECT COALESCE(t.c_custkey, s.custkey) AS custkey,
-               COALESCE(t.c_name, 'NEW') AS name,
-               CASE WHEN s.custkey IS NULL THEN CAST(t.c_acctbal AS DOUBLE)
-                    ELSE s.spend END AS acctbal,
-               COALESCE(t.c_mktsegment, s.segment) AS segment
-        FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.custkey
+        -- presence markers, not value-null-ness (lockstep with
+        -- _merge_fn): a NULL name/segment/acctbal must survive the
+        -- merge; only row ABSENCE selects the other branch.
+        SELECT CASE WHEN t.in_t THEN t.c_custkey ELSE s.custkey END AS custkey,
+               CASE WHEN t.in_t THEN t.c_name ELSE 'NEW' END AS name,
+               CASE WHEN s.in_s THEN s.spend
+                    ELSE CAST(t.c_acctbal AS DOUBLE) END AS acctbal,
+               CASE WHEN t.in_t THEN t.c_mktsegment ELSE s.segment END AS segment
+        FROM (SELECT *, TRUE AS in_t FROM customer) t
+        FULL OUTER JOIN (SELECT *, TRUE AS in_s FROM src) s
+          ON t.c_custkey = s.custkey
     )
 """
 
@@ -275,18 +289,24 @@ def _merge_fn_delete(target, src):
     THEN DELETE; WHEN MATCHED THEN UPDATE; WHEN NOT MATCHED THEN
     INSERT. A delete under copy-on-write is just absence from the
     rewritten partition — no tombstones, no read-side merge cost."""
-    t, s = target.alias("t"), src.alias("s")
+    t = target.withColumn("_in_t", F.lit(True)).alias("t")
+    s = src.withColumn("_in_s", F.lit(True)).alias("s")
     j = t.join(s, F.col("t.custkey") == F.col("s.custkey"), "full_outer")
-    matched = F.col("t.custkey").isNotNull() & F.col("s.custkey").isNotNull()
+    in_t = F.col("t._in_t").isNotNull()
+    in_s = F.col("s._in_s").isNotNull()
+    # Presence markers, not key-null-ness, as in _merge_fn; the spend
+    # comparison NULL-collapses to "keep" via eqNullSafe-free when():
+    # a NULL spend on a matched row must not delete it.
+    delete = in_t & in_s & F.coalesce(
+        F.col("s.spend") < F.lit(_DELETE_BELOW), F.lit(False)
+    )
     return (
-        j.where(~(matched & (F.col("s.spend") < F.lit(_DELETE_BELOW))))
+        j.where(~delete)
         .select(
-            F.coalesce("t.custkey", "s.custkey").alias("custkey"),
-            F.coalesce("t.name", F.lit("NEW")).alias("name"),
-            F.when(F.col("s.custkey").isNull(), F.col("t.acctbal"))
-            .otherwise(F.col("s.spend"))
-            .alias("acctbal"),
-            F.coalesce("t.segment", "s.segment").alias("segment"),
+            F.when(in_t, F.col("t.custkey")).otherwise(F.col("s.custkey")).alias("custkey"),
+            F.when(in_t, F.col("t.name")).otherwise(F.lit("NEW")).alias("name"),
+            F.when(in_s, F.col("s.spend")).otherwise(F.col("t.acctbal")).alias("acctbal"),
+            F.when(in_t, F.col("t.segment")).otherwise(F.col("s.segment")).alias("segment"),
         )
     )
 
@@ -295,14 +315,15 @@ def _merge_fn_delete(target, src):
     "q_lake_delete",
     oracle=f"""
     WITH {_SQL_SRC}
-    SELECT COALESCE(t.c_custkey, s.custkey) AS custkey,
-           COALESCE(t.c_name, 'NEW') AS name,
-           {sql_mround('CASE WHEN s.custkey IS NULL THEN CAST(t.c_acctbal AS DOUBLE) ELSE s.spend END')}
+    SELECT CASE WHEN t.in_t THEN t.c_custkey ELSE s.custkey END AS custkey,
+           CASE WHEN t.in_t THEN t.c_name ELSE 'NEW' END AS name,
+           {sql_mround('CASE WHEN s.in_s THEN s.spend ELSE CAST(t.c_acctbal AS DOUBLE) END')}
                AS acctbal,
-           COALESCE(t.c_mktsegment, s.segment) AS segment
-    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.custkey
-    WHERE NOT (t.c_custkey IS NOT NULL AND s.custkey IS NOT NULL
-               AND s.spend < {_DELETE_BELOW})
+           CASE WHEN t.in_t THEN t.c_mktsegment ELSE s.segment END AS segment
+    FROM (SELECT *, TRUE AS in_t FROM customer) t
+    FULL OUTER JOIN (SELECT *, TRUE AS in_s FROM src) s
+      ON t.c_custkey = s.custkey
+    WHERE NOT COALESCE(t.in_t AND s.in_s AND s.spend < {_DELETE_BELOW}, FALSE)
     """,
 )
 def q_lake_delete(spark, sf_dir):
@@ -357,13 +378,20 @@ def q_lake_compact(spark, sf_dir):
     v = compact(spark, root)
 
     m = load_manifest(root, v)
-    counts: dict[str, int] = {}
+    counts: dict[str | None, int] = {}
     for f in m["files"]:
-        counts[str(f["partition"])] = counts.get(str(f["partition"]), 0) + 1
+        # Normalize Hive's NULL-partition marker back to None: the
+        # manifest stores the DIRECTORY name, but the data rows carry
+        # NULL — an equality join on the marker string would silently
+        # drop the NULL-segment partition's row from the result
+        # (r6 TPC-H degenerate sweep: 5 rows vs the oracle's 6).
+        p = f["partition"]
+        key = None if p == "__HIVE_DEFAULT_PARTITION__" else str(p)
+        counts[key] = counts.get(key, 0) + 1
     nf = local_df(
         spark,
-        [(k, v_) for k, v_ in sorted(counts.items())],
-        "segment string, n_files bigint",
+        sorted(counts.items(), key=lambda kv: (kv[0] is None, kv[0] or "")),
+        "nf_segment string, n_files bigint",
     )
 
     t = read_table(spark, root, version=v)
@@ -373,6 +401,8 @@ def q_lake_compact(spark, sf_dir):
             F.sum(F.col("acctbal").cast("string").cast("decimal(30,6)")).cast("string").cast("double")
         ).alias("bal"),
     )
-    return agg.join(F.broadcast(nf), "segment").select(
-        "segment", "n_rows", "bal", "n_files"
-    )
+    # eqNullSafe: the NULL-segment group must still pick up its file
+    # count (same sweep finding as above).
+    return agg.join(
+        F.broadcast(nf), agg["segment"].eqNullSafe(nf["nf_segment"])
+    ).select("segment", "n_rows", "bal", "n_files")

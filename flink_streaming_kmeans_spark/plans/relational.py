@@ -230,14 +230,21 @@ def q_unpivot(spark, sf_dir):
            {sql_mround('PERCENT_RANK() OVER w')} AS pr,
            {sql_mround('CUME_DIST() OVER w')} AS cd
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal NULLS LAST, c_custkey NULLS LAST)
     """,
 )
 def q_win_dist(spark, sf_dir):
     """percent_rank + cume_dist per nation (rank-based → deterministic
-    under ties; total order via custkey tie-break anyway)."""
+    under ties; total order via custkey tie-break anyway). NULLS LAST
+    pinned on both engines: this is an ASC window order over nullable
+    keys, where Spark defaults NULLS FIRST and DuckDB NULLS LAST
+    (determinism law 2 — r6 TPC-H degenerate sweep caught the split
+    rank positions)."""
     c = load_table(spark, sf_dir, "customer")
-    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.asc_nulls_last("c_acctbal"), F.asc_nulls_last("c_custkey")
+    )
     return c.select(
         "c_custkey",
         mround(F.percent_rank().over(w)).alias("pr"),

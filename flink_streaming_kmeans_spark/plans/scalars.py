@@ -100,11 +100,11 @@ def q_date_funcs(spark, sf_dir):
     "q_math_funcs",
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           {sql_mround('sqrt(l_extendedprice)')} AS sqrt_price,
+           {sql_mround('CASE WHEN l_extendedprice >= 0 THEN sqrt(l_extendedprice) END')} AS sqrt_price,
            {sql_mround('abs(l_discount - 0.05)')} AS abs_disc,
            CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
            CAST(floor(l_quantity) AS BIGINT) AS floor_qty,
-           {sql_mround('ln(l_extendedprice)')} AS ln_price,
+           {sql_mround('CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END')} AS ln_price,
            {sql_mround('power(l_quantity, 2)')} AS qty_sq,
            CAST(l_linenumber % 3 AS INT) AS mod3
     FROM lineitem
@@ -114,15 +114,20 @@ def q_math_funcs(spark, sf_dir):
     # mround, not native ROUND: sqrt/ln outputs are irrational doubles
     # whose 4-decimal midpoints are exactly where Spark and DuckDB
     # native rounds diverge (functions/vector.py doctrine; review r6).
+    # Domain guards stated on BOTH engines (r6 TPC-H degenerate
+    # sweep): out-of-domain sqrt/ln is NaN resp. NULL on Spark but an
+    # OutOfRange ERROR on DuckDB — the CASE makes a negative price
+    # deterministically NULL everywhere.
     li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        mround(F.sqrt("l_extendedprice")).alias("sqrt_price"),
+        mround(F.when(price >= 0, F.sqrt(price))).alias("sqrt_price"),
         mround(F.abs(F.col("l_discount") - 0.05)).alias("abs_disc"),
         F.ceil("l_quantity").alias("ceil_qty"),
         F.floor("l_quantity").alias("floor_qty"),
-        mround(F.log("l_extendedprice")).alias("ln_price"),
+        mround(F.when(price > 0, F.log(price))).alias("ln_price"),
         mround(F.pow("l_quantity", 2)).alias("qty_sq"),
         (F.col("l_linenumber") % 3).alias("mod3"),
     )

@@ -218,12 +218,18 @@ def q_stream_join(spark, sf_dir):
         GROUP BY 1, 2
     ),
     merged AS (
-        SELECT COALESCE(t.c_custkey, s.custkey) AS custkey,
-               COALESCE(t.c_name, 'NEW') AS name,
-               CASE WHEN s.custkey IS NULL THEN CAST(t.c_acctbal AS DOUBLE)
-                    ELSE s.spend END AS acctbal,
-               COALESCE(t.c_mktsegment, s.segment) AS segment
-        FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.custkey
+        -- presence markers, not value-null-ness (lockstep with
+        -- lakehouse._merge_fn / _SQL_SRC): a NULL name/segment/
+        -- acctbal must survive the merge; only row ABSENCE selects
+        -- the other branch.
+        SELECT CASE WHEN t.in_t THEN t.c_custkey ELSE s.custkey END AS custkey,
+               CASE WHEN t.in_t THEN t.c_name ELSE 'NEW' END AS name,
+               CASE WHEN s.in_s THEN s.spend
+                    ELSE CAST(t.c_acctbal AS DOUBLE) END AS acctbal,
+               CASE WHEN t.in_t THEN t.c_mktsegment ELSE s.segment END AS segment
+        FROM (SELECT *, TRUE AS in_t FROM customer) t
+        FULL OUTER JOIN (SELECT *, TRUE AS in_s FROM src) s
+          ON t.c_custkey = s.custkey
     )
     SELECT custkey, name,
            (CASE WHEN (acctbal) IS NULL OR isnan(acctbal)

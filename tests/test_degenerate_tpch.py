@@ -1,0 +1,217 @@
+"""Degenerate-regime parity for the TPC-H-side tables (r6 sweep #2).
+
+tests/test_degenerate_parity.py covers the documents/embeddings/events
+(and a small orders) degenerate regimes; this module is the SAME
+program pointed at the four tables no sweep had ever doctored —
+customer, supplier, lineitem, part. The full-registry sweep over these
+tables found TEN real divergences that clean driver data masked, all
+fixed and pinned here:
+
+1. ``q_agg_stats`` / ``q_agg_corr`` — the squared-moment decimal sums
+   overflowed DECIMAL(30,6) (an ANSI crash) once a value reached 1e12;
+   widened to DECIMAL(38,6) on both engines. Also: n=1 groups divide
+   by zero (Spark ANSI RAISES on double /0, DuckDB → NULL) and
+   epsilon-negative variances hit SQRT (Spark NaN, DuckDB ERROR) —
+   both now explicitly guarded on both engines.
+2. ``q_join_anti`` — oracle said ``NOT IN``, Spark ran LeftAnti: a
+   NULL-keyed customer is KEPT by the anti join but DROPPED by NOT
+   IN's three-valued logic. Anti ≡ NOT EXISTS; oracle rewritten (the
+   NOT IN semantics remain separately registered as q_join_not_in).
+3. ``q_join_salted`` — pmod(NULL orderkey) made a NULL salt that
+   silently dropped the row from the salted equi-join the plain join
+   keeps; coalesce(orderkey, 0) restores transparency.
+4. ``q_win_dist`` — ASC window order over now-nullable c_acctbal hit
+   determinism law 2 (Spark NULLS FIRST vs DuckDB NULLS LAST);
+   pinned NULLS LAST on both engines.
+5. ``q_math_funcs`` — sqrt/ln of a negative price: NaN resp. NULL on
+   Spark, OutOfRange ERROR on DuckDB; domain CASEs added both sides.
+6. lakehouse merge family (``q_merge_cow``/``q_lake_delete``/
+   ``q_stream_upsert``) — COALESCE(t.name,'NEW') conflated "no target
+   row" with "target name IS NULL": the relational oracle relabeled a
+   NULL-name passthrough row 'NEW' while copy-on-write passed it
+   through. Merge branches now use explicit presence markers.
+7. ``q_lake_compact`` — the NULL-segment partition's file count was
+   keyed by Hive's __HIVE_DEFAULT_PARTITION__ marker string and the
+   equality join dropped the NULL group; normalized + eqNullSafe.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+from oracle import check_parity, make_duckdb
+
+from conftest import SF_SMOKE
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def degen_sf(tmp_path_factory):
+    """Real sf0.001 tables + degenerate rows appended to customer/
+    supplier/lineitem/part: NULL keys (incl. a NULL join key with
+    valid payload — the salted-join hazard), NULL group keys, NULL
+    measures, duplicate keys, negative prices (sqrt/ln domain),
+    magnitudes past the 1e12 mround guard and the DECIMAL(30,6)
+    square ceiling, a singleton segment/returnflag group (n=1
+    variance/corr guards), and a zero-variance pair."""
+    sf = str(tmp_path_factory.mktemp("degen_tpch"))
+    for t in TABLES:
+        shutil.copy(os.path.join(SF_SMOKE, f"{t}.parquet"),
+                    os.path.join(sf, f"{t}.parquet"))
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+
+    def rewrite(name, values_sql):
+        src, tmp = f"{sf}/{name}.parquet", f"{sf}/_{name}.parquet"
+        con.sql(
+            f"COPY (SELECT * FROM '{src}' UNION ALL BY NAME {values_sql})"
+            f" TO '{tmp}' (FORMAT PARQUET)"
+        )
+        os.replace(tmp, src)
+
+    rewrite("customer", """
+        SELECT * FROM (VALUES
+          (NULL::BIGINT, 'null-key-neg-bal', 7::INT, -42.5::DOUBLE, 'BUILDING'),
+          (900001, NULL, NULL, NULL, NULL),
+          (900002, 'dup-a', 3, 0.0, 'MACHINERY'),
+          (900002, 'dup-b', 3, 2.5e12, 'MACHINERY'),
+          (900003, 'neg-bal', 4, -0.001, NULL),
+          (900004, 'huge-bal', NULL, 999999999999.1234, 'AUTOMOBILE'),
+          (900005, 'solo-segment', 9, 123.45, 'SOLO-SEG')
+        ) v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)""")
+    rewrite("supplier", """
+        SELECT * FROM (VALUES
+          (NULL::BIGINT, 'null-suppkey', 2::INT, 1.0::DOUBLE),
+          (800001, NULL, NULL, NULL),
+          (800002, 'dup-s', 5, -7.25),
+          (800002, 'dup-s2', 5, 2.5e12)
+        ) v(s_suppkey, s_name, s_nationkey, s_acctbal)""")
+    rewrite("lineitem", """
+        SELECT * FROM (VALUES
+          (NULL::BIGINT, 1::BIGINT, 1::BIGINT, 1::INT, 30.0::DOUBLE,
+           100.0::DOUBLE, 0.05::DOUBLE, 0.02::DOUBLE, 'R', 'F',
+           TIMESTAMP '1997-06-01'),
+          (700001, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+          (700002, 2, 2, 1, 0.0, 0.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '1996-01-01'),
+          (700002, 2, 2, 1, 26.0, 2.5e12, 1.0, 0.5, 'N', 'O', TIMESTAMP '1996-01-01'),
+          (700003, 3, 3, 2, 50.0, 999999999999.1234, 0.1, 0.08, 'A', 'F', NULL),
+          (700004, 4, NULL, 3, 27.5, -500.0, 0.0, 0.0, NULL, 'F',
+           TIMESTAMP '1998-12-31 23:59:59'),
+          (700010, 5, 4, 1, 10.0, 500.0, 0.0, 0.0, 'Z', 'O', TIMESTAMP '1997-01-01'),
+          (700011, 6, 5, 1, 7.0, 100.0, 0.0, 0.0, 'Y', 'O', TIMESTAMP '1997-02-01'),
+          (700012, 7, 6, 1, 7.0, 200.0, 0.0, 0.0, 'Y', 'O', TIMESTAMP '1997-03-01')
+        ) v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+            l_extendedprice, l_discount, l_tax, l_returnflag,
+            l_linestatus, l_shipdate)""")
+    rewrite("part", """
+        SELECT * FROM (VALUES
+          (NULL::BIGINT, 'null-key-part', 'Brand#1', 'SMALL PLATED', 5::INT, 1.0::DOUBLE),
+          (600001, NULL, NULL, NULL, NULL, NULL),
+          (600002, 'dup-p', 'Brand#2', 'LARGE BRUSHED', 0, -1.5),
+          (600002, 'dup-p2', 'Brand#2', 'LARGE BRUSHED', 50, 2.5e12)
+        ) v(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)""")
+    con.close()
+    yield sf
+
+
+@pytest.fixture(scope="module")
+def degen_duck(degen_sf):
+    con = make_duckdb(degen_sf)
+    yield con
+    con.close()
+
+
+# The ten sweep finds, plus the untouched-but-exposed neighbors whose
+# parity on this data guards the shared constructions (dsum NULLs,
+# set-op NULL equality, NOT IN three-valued logic, merge/cdc twins).
+DEGEN_CHECKED = [
+    "q_agg_stats",
+    "q_agg_corr",
+    "q_join_anti",
+    "q_join_salted",
+    "q_win_dist",
+    "q_math_funcs",
+    "q_merge_cow",
+    "q_lake_delete",
+    "q_lake_compact",
+    "q_lake_time_travel",
+    "q_lake_incremental",
+    "q_stream_upsert",
+    "q_agg_q1",
+    "q_join_not_in",
+    "q_set_intersect",
+    "q_set_except",
+    "q_win_rank",
+    "q_merge_upsert",
+    "q_cdc_diff",
+]
+
+
+@pytest.mark.parametrize("name", DEGEN_CHECKED)
+def test_degenerate_tpch_parity(spark, degen_duck, registry, degen_sf, name):
+    queries, oracles = registry
+    r = check_parity(
+        spark, degen_duck, name, queries[name], oracles[name], degen_sf
+    )
+    assert r.ok, (
+        f"{name} diverges on degenerate TPC-H input: rows={r.rows_match} "
+        f"schema={r.schema_match} hash={r.hash_match}\n{r.detail}"
+    )
+
+
+def test_agg_stats_singleton_group_is_null(spark, registry, degen_sf):
+    """n=1 segment: variance/stddev are NULL (the guarded division),
+    never a crash, never 0."""
+    queries, _ = registry
+    rows = {r.c_mktsegment: r for r in queries["q_agg_stats"](spark, degen_sf).collect()}
+    solo = rows["SOLO-SEG"]
+    assert solo.var_bal is None and solo.std_bal is None, solo
+    assert solo.avg_bal == pytest.approx(123.45), solo
+
+
+def test_agg_corr_degenerate_groups_are_null(spark, registry, degen_sf):
+    """n=1 ('Z') and zero-variance ('Y') groups: corr is NULL (guarded
+    0/0), not a crash/NaN/±inf."""
+    queries, _ = registry
+    rows = {r.l_returnflag: r for r in queries["q_agg_corr"](spark, degen_sf).collect()}
+    assert rows["Z"].corr_qty_price is None, rows["Z"]
+    assert rows["Y"].corr_qty_price is None, rows["Y"]
+
+
+def test_join_salted_keeps_null_orderkey_row(spark, registry, degen_sf):
+    """The NULL-orderkey lineitem row (valid suppkey 1) must reach the
+    salted join's aggregate — salting may not drop rows."""
+    queries, _ = registry
+    out = {r.s_nationkey: r for r in queries["q_join_salted"](spark, degen_sf).collect()}
+    import duckdb as _d
+
+    con = _d.connect()
+    exp_n = con.sql(
+        f"""SELECT COUNT(*) FROM '{degen_sf}/lineitem.parquet' li
+            JOIN '{degen_sf}/supplier.parquet' s ON l_suppkey = s_suppkey"""
+    ).fetchone()[0]
+    con.close()
+    assert sum(r.n_items for r in out.values()) == exp_n
+
+
+def test_join_anti_keeps_null_key_customer(spark, registry, degen_sf):
+    """Anti join ≡ NOT EXISTS: the NULL-keyed customer has no match,
+    so it survives (NOT IN would drop it)."""
+    queries, _ = registry
+    names = {r.c_name for r in queries["q_join_anti"](spark, degen_sf).collect()}
+    assert "null-key-neg-bal" in names
