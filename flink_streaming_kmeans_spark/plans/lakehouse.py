@@ -153,14 +153,28 @@ _SQL_SRC = f"""
         -- presence markers, not value-null-ness (lockstep with
         -- _merge_fn): a NULL name/segment/acctbal must survive the
         -- merge; only row ABSENCE selects the other branch.
+        -- The merge branch is SCOPED to the touched partitions and
+        -- untouched rows pass through VERBATIM — partition-scoped
+        -- copy-on-write semantics (merge_cow's contract): the touched
+        -- set derives from the SOURCE's partition values, so a target
+        -- row whose key matches but whose partition the source never
+        -- names is NOT updated (r6 degenerate sweep: a duplicate
+        -- custkey living in a second, untouched segment). The literal
+        -- IN-list assumes both _SEGMENTS occur in src — true at every
+        -- tested SF.
         SELECT CASE WHEN t.in_t THEN t.c_custkey ELSE s.custkey END AS custkey,
                CASE WHEN t.in_t THEN t.c_name ELSE 'NEW' END AS name,
                CASE WHEN s.in_s THEN s.spend
                     ELSE CAST(t.c_acctbal AS DOUBLE) END AS acctbal,
                CASE WHEN t.in_t THEN t.c_mktsegment ELSE s.segment END AS segment
-        FROM (SELECT *, TRUE AS in_t FROM customer) t
+        FROM (SELECT *, TRUE AS in_t FROM customer
+              WHERE c_mktsegment IN {_SEGMENTS!r}) t
         FULL OUTER JOIN (SELECT *, TRUE AS in_s FROM src) s
           ON t.c_custkey = s.custkey
+        UNION ALL
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE), c_mktsegment
+        FROM customer
+        WHERE c_mktsegment NOT IN {_SEGMENTS!r} OR c_mktsegment IS NULL
     )
 """
 
@@ -320,10 +334,15 @@ def _merge_fn_delete(target, src):
            {sql_mround('CASE WHEN s.in_s THEN s.spend ELSE CAST(t.c_acctbal AS DOUBLE) END')}
                AS acctbal,
            CASE WHEN t.in_t THEN t.c_mktsegment ELSE s.segment END AS segment
-    FROM (SELECT *, TRUE AS in_t FROM customer) t
+    FROM (SELECT *, TRUE AS in_t FROM customer
+          WHERE c_mktsegment IN {_SEGMENTS!r}) t
     FULL OUTER JOIN (SELECT *, TRUE AS in_s FROM src) s
       ON t.c_custkey = s.custkey
     WHERE NOT COALESCE(t.in_t AND s.in_s AND s.spend < {_DELETE_BELOW}, FALSE)
+    UNION ALL
+    SELECT c_custkey, c_name, {sql_mround('CAST(c_acctbal AS DOUBLE)')}, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment NOT IN {_SEGMENTS!r} OR c_mktsegment IS NULL
     """,
 )
 def q_lake_delete(spark, sf_dir):

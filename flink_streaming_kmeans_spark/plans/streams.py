@@ -218,18 +218,25 @@ def q_stream_join(spark, sf_dir):
         GROUP BY 1, 2
     ),
     merged AS (
-        -- presence markers, not value-null-ness (lockstep with
-        -- lakehouse._merge_fn / _SQL_SRC): a NULL name/segment/
-        -- acctbal must survive the merge; only row ABSENCE selects
-        -- the other branch.
+        -- presence markers, not value-null-ness; merge branch SCOPED
+        -- to the touched partitions with verbatim passthrough of the
+        -- rest — partition-scoped copy-on-write semantics (lockstep
+        -- with lakehouse._merge_fn / _SQL_SRC, see the rationale
+        -- there).
         SELECT CASE WHEN t.in_t THEN t.c_custkey ELSE s.custkey END AS custkey,
                CASE WHEN t.in_t THEN t.c_name ELSE 'NEW' END AS name,
                CASE WHEN s.in_s THEN s.spend
                     ELSE CAST(t.c_acctbal AS DOUBLE) END AS acctbal,
                CASE WHEN t.in_t THEN t.c_mktsegment ELSE s.segment END AS segment
-        FROM (SELECT *, TRUE AS in_t FROM customer) t
+        FROM (SELECT *, TRUE AS in_t FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')) t
         FULL OUTER JOIN (SELECT *, TRUE AS in_s FROM src) s
           ON t.c_custkey = s.custkey
+        UNION ALL
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE), c_mktsegment
+        FROM customer
+        WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
+           OR c_mktsegment IS NULL
     )
     SELECT custkey, name,
            (CASE WHEN (acctbal) IS NULL OR isnan(acctbal)

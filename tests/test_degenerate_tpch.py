@@ -33,6 +33,13 @@ fixed and pinned here:
 7. ``q_lake_compact`` — the NULL-segment partition's file count was
    keyed by Hive's __HIVE_DEFAULT_PARTITION__ marker string and the
    equality join dropped the NULL group; normalized + eqNullSafe.
+8. partition-scoped merge contract — a duplicate custkey whose second
+   row lives in an UNTOUCHED segment (customer 11 below, also in
+   'SOLO-SEG3'): copy-on-write only rewrites partitions the source
+   names, so that row passes through un-updated, while the oracles'
+   full-table relational merge updated it. The oracles now model the
+   scoping explicitly (merge branch over touched segments + verbatim
+   passthrough UNION) — the honest spec of partition-scoped MERGE.
 """
 
 from __future__ import annotations
@@ -92,7 +99,9 @@ def degen_sf(tmp_path_factory):
           (900002, 'dup-b', 3, 2.5e12, 'MACHINERY'),
           (900003, 'neg-bal', 4, -0.001, NULL),
           (900004, 'huge-bal', NULL, 999999999999.1234, 'AUTOMOBILE'),
-          (900005, 'solo-segment', 9, 123.45, 'SOLO-SEG')
+          (900005, 'solo-segment', 9, 123.45, 'SOLO-SEG'),
+          (1, 'dup-across-segments', 11, 55.5, 'SOLO-SEG2'),
+          (11, 'dup-across-segments-matched', 12, 66.6, 'SOLO-SEG3')
         ) v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)""")
     rewrite("supplier", """
         SELECT * FROM (VALUES
