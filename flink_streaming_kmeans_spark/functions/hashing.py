@@ -23,3 +23,31 @@ from __future__ import annotations
 
 SPARK_H60 = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 DUCK_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+# Portable text normalization for HASH-relevant paths (r6 unicode
+# probe): native lower()/upper() follow each engine's unicode tables
+# and DIVERGE off-ASCII (Spark/Java lower('İ') = 'i'+U+0307 vs
+# utf8proc 'i'; upper('ß') = 'SS' vs 'ẞ'), and DuckDB's one-arg TRIM
+# strips unicode whitespace (U+00A0) where Spark's strips only ASCII
+# space. Any fingerprint/group key built on those diverges on the
+# first non-ASCII document. ASCII_FOLD case-folds [A-Z] ONLY via
+# translate (probe-verified identical both engines, all samples);
+# PORTABLE_TRIM pins space-only trimming on both (NOTE the reversed
+# two-arg orders: Spark trim(trimStr, str) vs DuckDB trim(str,
+# chars) — Spark side just uses the one-arg form). Showcase queries
+# that exist to exercise the NATIVE case functions (q_str_funcs)
+# keep them, with the ASCII-input caveat documented.
+_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LO = "abcdefghijklmnopqrstuvwxyz"
+SPARK_ASCII_FOLD = f"translate({{x}}, '{_UP}', '{_LO}')"
+DUCK_ASCII_FOLD = f"translate({{x}}, '{_UP}', '{_LO}')"
+SPARK_TRIM = "trim({x})"
+DUCK_TRIM = "trim({x}, ' ')"
+
+
+def spark_ascii_fold(col):
+    """DataFrame twin of SPARK_ASCII_FOLD (keep in lockstep)."""
+    from pyspark.sql import functions as F
+
+    col = F.col(col) if isinstance(col, str) else col
+    return F.translate(col, _UP, _LO)

@@ -24,27 +24,40 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import DUCK_ASCII_FOLD, DUCK_TRIM, spark_ascii_fold
 from ..functions.vector import davg, dot64, l2_norm, mround, sql_davg, sql_mround
 from ..sources.loader import fan_out, load_table
 from .registry import register
 
 
+_FP = DUCK_ASCII_FOLD.format(x=DUCK_TRIM.format(x="text"))
+
+
 @register(
     "q_dedup_exact",
-    oracle="""
-    SELECT md5(lower(trim(text))) AS fp, MIN(doc_id) AS keep_doc_id,
+    oracle=f"""
+    SELECT md5({_FP}) AS fp, MIN(doc_id) AS keep_doc_id,
            COUNT(*) AS n_copies
     FROM documents
-    GROUP BY md5(lower(trim(text)))
+    GROUP BY md5({_FP})
     """,
 )
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup on normalized text: one row per content fingerprint,
     keep the smallest doc_id (testdata has zero exact dups, so output
-    cardinality == input — still a valid oracle)."""
+    cardinality == input — still a valid oracle).
+
+    Normalization is ASCII case-fold + space-only trim (functions/
+    hashing), NOT native lower()/trim(): unicode case mapping is an
+    engine-locale operation (Spark lower('İ') keeps a combining dot
+    that utf8proc drops) and DuckDB's bare trim strips U+00A0 —
+    either one silently forks the fingerprint, and therefore the
+    dedup groups, on the first non-ASCII document (r6 unicode probe,
+    tests/test_degenerate_tpch.py). ASCII folding is the portable,
+    deterministic contract for a content hash."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select(F.md5(F.lower(F.trim("text"))).alias("fp"), "doc_id")
+        d.select(F.md5(spark_ascii_fold(F.trim("text"))).alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(
             F.min("doc_id").alias("keep_doc_id"),

@@ -30,6 +30,13 @@ from .registry import register
     """,
 )
 def q_str_funcs(spark, sf_dir):
+    """Native string-function showcase. upper/lower here are the
+    NATIVE functions on purpose (they are the operator under test);
+    their unicode case mapping is engine-locale-defined (Spark/Java
+    upper('ß')='SS' vs utf8proc 'ẞ' — r6 probe), so cross-engine hash
+    parity of THIS query assumes ASCII string columns, which TPC-H
+    part names are by construction. Hash-relevant normalization
+    elsewhere uses functions/hashing.spark_ascii_fold instead."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",

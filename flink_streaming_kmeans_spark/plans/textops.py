@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.hashing import DUCK_H60, SPARK_H60
+from ..functions.hashing import (
+    DUCK_ASCII_FOLD,
+    DUCK_H60,
+    SPARK_H60,
+    spark_ascii_fold,
+)
 from ..functions.vector import dot64, mround, sql_mround
 from ..operators.minhash import ngram_rows
 from ..sources.loader import fan_out, load_table
@@ -355,12 +360,15 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+_BPE_FOLD = DUCK_ASCII_FOLD.format(x="text")
+
+
 @register(
     "q_text_bpe_tokens",
     oracle=f"""
     WITH per_doc AS (
         SELECT doc_id, lang,
-               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               len(regexp_extract_all({_BPE_FOLD}, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
                    AS n_bpe,
                len(string_split(text, ' ')) AS n_ws
         FROM documents
@@ -379,13 +387,18 @@ def q_text_bpe_tokens(spark, sf_dir):
     simplified to the Java∩RE2 regex subset): per-language totals and
     the BPE-to-whitespace fan-out ratio a data pipeline uses for
     token-budget estimates. Pure per-row map + one aggregate —
-    shuffle carries one row per lang."""
+    shuffle carries one row per lang. Case folding is ASCII-only
+    (functions/hashing.spark_ascii_fold): native lower() is
+    engine-locale-dependent off-ASCII and forked the token counts on
+    the first unicode document (r6 unicode probe); non-ASCII chars
+    pass through and tokenize as single [^a-z0-9 ] chars, identically
+    code-point-wise on both engines."""
     d = load_table(spark, sf_dir, "documents")
     per_doc = d.select(
         "lang",
         F.size(
             F.regexp_extract_all(
-                F.lower("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
+                spark_ascii_fold("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0
             )
         ).alias("n_bpe"),
         F.size(F.split("text", " ")).alias("n_ws"),

@@ -40,6 +40,16 @@ fixed and pinned here:
    full-table relational merge updated it. The oracles now model the
    scoping explicitly (merge branch over touched segments + verbatim
    passthrough UNION) — the honest spec of partition-scoped MERGE.
+9. unicode case mapping is engine-locale-defined — Spark/Java
+   lower('İ') keeps a combining dot utf8proc drops, upper('ß') is
+   'SS' vs 'ẞ', DuckDB's bare trim strips U+00A0, levenshtein counts
+   bytes vs chars, reverse works on graphemes vs code units (probe,
+   2026-08-15). q_dedup_exact's fingerprint and q_text_bpe_tokens'
+   tokenizer forked on the first unicode doc; both now normalize via
+   ASCII-only translate folding (functions/hashing.spark_ascii_fold),
+   probe-verified identical on both engines. Native-case showcase
+   queries (q_str_funcs) keep native semantics with the ASCII-input
+   caveat documented.
 """
 
 from __future__ import annotations
@@ -127,6 +137,14 @@ def degen_sf(tmp_path_factory):
         ) v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
             l_extendedprice, l_discount, l_tax, l_returnflag,
             l_linestatus, l_shipdate)""")
+    rewrite("documents", """
+        SELECT * FROM (VALUES
+          (950001::BIGINT, 'İstanbul ß STRASSE café', 'tr', 'degen-uni', 23::BIGINT),
+          (950002, 'istanbul ss strasse cafe', 'en', 'degen-uni', 24),
+          (950003, 'ÉCLAIR nbsp  edge ß', 'fr', 'degen-uni', 18),
+          (950004, '👍🏽 emoji 𝔘nicode ＦＵＬＬwidth', 'en', 'degen-uni', 26),
+          (950005, 'ẞUPPER İİİ DOTTED', 'tr', 'degen-uni', 17)
+        ) v(doc_id, text, lang, source, n_chars)""")
     rewrite("part", """
         SELECT * FROM (VALUES
           (NULL::BIGINT, 'null-key-part', 'Brand#1', 'SMALL PLATED', 5::INT, 1.0::DOUBLE),
@@ -168,6 +186,11 @@ DEGEN_CHECKED = [
     "q_win_rank",
     "q_merge_upsert",
     "q_cdc_diff",
+    # unicode-text regime (case-divergent chars planted in documents):
+    # md5 fingerprints and BPE token counts must NOT fork on engine
+    # case tables — both now ASCII-fold (functions/hashing).
+    "q_dedup_exact",
+    "q_text_bpe_tokens",
 ]
 
 
