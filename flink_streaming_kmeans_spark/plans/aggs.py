@@ -293,7 +293,12 @@ def q_agg_collect(spark, sf_dir):
         r.join(n, n.n_regionkey == r.r_regionkey)
         .groupBy("r_regionkey")
         .agg(
-            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+            # same zero-value gate as q_agg_string_agg: concat_ws of
+            # an empty collect_list is '', string_agg is NULL
+            F.when(
+                F.size(F.array_sort(F.collect_list("n_name"))) > 0,
+                F.concat_ws(",", F.array_sort(F.collect_list("n_name"))),
+            ).alias("nations")
         )
     )
 
@@ -601,9 +606,17 @@ def q_agg_string_agg(spark, sf_dir):
     (registry rule 4 applied to aggregation). Shuffle carries the
     per-group name lists; at scale, bound group sizes or switch to a
     top-k window first — an unbounded LISTAGG over a hot group is an
-    OOM by construction."""
+    OOM by construction.
+
+    The size() gate matches STRING_AGG's zero-value semantics exactly:
+    collect_list SKIPS NULLs, and array_join over the resulting EMPTY
+    list is '' where string_agg over zero values is NULL (r6
+    degenerate sweep: a group holding one NULL-named nation). A group
+    whose only name is a legit empty string stays '' on both engines
+    — which is why NULLIF('') would be the WRONG fix."""
     n = load_table(spark, sf_dir, "nation")
+    lst = F.array_sort(F.collect_list("n_name"))
     return n.groupBy("n_regionkey").agg(
-        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        F.when(F.size(lst) > 0, F.array_join(lst, ",")).alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )

@@ -84,11 +84,20 @@ def q_str_regexp(spark, sf_dir):
            CAST(date_trunc('month', o_orderdate) AS DATE) AS omonth_start,
            CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
                AS days_since,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30
+           CASE WHEN CAST(o_orderdate AS DATE) <= DATE '9999-12-01'
+                THEN CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)
+           END AS plus30
     FROM orders
     """,
 )
 def q_date_funcs(spark, sf_dir):
+    """Calendar functions — identical proleptic-Gregorian results on
+    both engines from year 100 through 9999 (probe-verified incl. the
+    1582 cutover dates). The one asymmetric edge: Spark's DateType
+    ends at 9999-12-31 and date_add PAST it RAISES under ANSI, while
+    DuckDB's date range continues — so the +30d column states its
+    domain (≤ 9999-12-01 → else NULL) on both engines, the same
+    guard discipline as q_math_funcs' sqrt/ln."""
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     return o.select(
@@ -99,7 +108,9 @@ def q_date_funcs(spark, sf_dir):
         F.quarter(d).alias("oquarter"),
         F.trunc(d, "month").alias("omonth_start"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
-        F.date_add(d, 30).alias("plus30"),
+        F.when(
+            d <= F.lit("9999-12-01").cast("date"), F.date_add(d, 30)
+        ).alias("plus30"),
     )
 
 

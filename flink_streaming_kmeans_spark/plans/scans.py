@@ -115,9 +115,16 @@ def q_source_csv(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     out = _tmp_out("csv", sf_dir)
     s.write.mode("overwrite").option("header", True).csv(out)
+    # multiLine: the writer correctly QUOTES a name containing a
+    # newline, but the default reader is line-split and shreds that
+    # record into two corrupt rows (r6 degenerate sweep — the row's
+    # acctbal silently moved to a NULL-keyed group). The cost is that
+    # multiline CSV files are not byte-splittable — one task per file
+    # at 100 TB — which is one more reason the lake format is parquet
+    # and CSV is an ingest edge.
     back = spark.read.schema(
         "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
-    ).option("header", True).csv(out)
+    ).option("header", True).option("multiLine", True).csv(out)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum(F.col("s_acctbal").cast("string").cast("decimal(30,6)")).cast("string").cast("double").alias("sum_bal"),

@@ -110,7 +110,16 @@ def q_udaf_pandas(spark, sf_dir):
             {"o_orderstatus": [pdf["o_orderstatus"].iloc[0]], "geo_mean": [gm4], "n": [n]}
         )
 
-    o = load_table(spark, sf_dir, "orders")
+    # Project BEFORE the pandas boundary: applyInPandas ships EVERY
+    # column of the grouped frame through Arrow — there is no
+    # automatic column pruning into Python. Besides the wasted I/O,
+    # an unused timestamp column is a live crash: pandas' ns epoch
+    # ends at 2262, so a year-9999 o_orderdate overflows the
+    # Arrow→pandas cast of a column this aggregate never reads
+    # (r6 degenerate sweep).
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
     return o.groupBy("o_orderstatus").applyInPandas(
         geo, "o_orderstatus string, geo_mean double, n bigint"
     )

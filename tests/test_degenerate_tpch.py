@@ -40,7 +40,26 @@ fixed and pinned here:
    full-table relational merge updated it. The oracles now model the
    scoping explicitly (merge branch over touched segments + verbatim
    passthrough UNION) — the honest spec of partition-scoped MERGE.
-9. unicode case mapping is engine-locale-defined — Spark/Java
+9. CSV round-trip under quoting edges — the writer correctly quotes a
+   supplier name containing a NEWLINE, but Spark's default
+   line-split reader shredded that record into two corrupt rows
+   (moving its acctbal into a NULL-keyed group); q_source_csv now
+   reads with multiLine=true (scale caveat documented: multiline CSV
+   is not byte-splittable). And date_add past 9999-12-31 RAISES on
+   Spark (DateType range) while DuckDB's calendar continues —
+   q_date_funcs' +30d column states its domain on both engines.
+10. STRING_AGG zero-value semantics — collect_list skips NULLs and
+    array_join/concat_ws of the resulting EMPTY list is '' where
+    string_agg over zero values is NULL; q_agg_string_agg and
+    q_agg_collect now gate on size() > 0 (NULLIF('') would wrongly
+    fold a group whose only name IS the empty string).
+11. applyInPandas ships EVERY grouped column through Arrow — no
+    automatic pruning into Python — and pandas' ns epoch ends at
+    2262, so a year-9999 o_orderdate crashed q_udaf_pandas' Arrow
+    cast of a column the aggregate never reads. Fixed by explicit
+    projection before the pandas boundary (also the perf-correct
+    shape).
+12. unicode case mapping is engine-locale-defined — Spark/Java
    lower('İ') keeps a combining dot utf8proc drops, upper('ß') is
    'SS' vs 'ẞ', DuckDB's bare trim strips U+00A0, levenshtein counts
    bytes vs chars, reverse works on graphemes vs code units (probe,
@@ -118,8 +137,27 @@ def degen_sf(tmp_path_factory):
           (NULL::BIGINT, 'null-suppkey', 2::INT, 1.0::DOUBLE),
           (800001, NULL, NULL, NULL),
           (800002, 'dup-s', 5, -7.25),
-          (800002, 'dup-s2', 5, 2.5e12)
+          (800002, 'dup-s2', 5, 2.5e12),
+          (800010, '', 3, 5.5),
+          (800011, 'comma, inc', 3, 6.5),
+          (800012, 'quote "q" corp', 3, 7.5),
+          (800013, 'line' || chr(10) || 'break ltd', 3, 8.5),
+          (800014, '  padded  ', 3, 9.5)
         ) v(s_suppkey, s_name, s_nationkey, s_acctbal)""")
+    rewrite("nation", """
+        SELECT * FROM (VALUES
+          (990::BIGINT, '', 1::INT),
+          (991, 'json "quoted" \\\\ backslash', 2),
+          (992, NULL, NULL)
+        ) v(n_nationkey, n_name, n_regionkey)""")
+    rewrite("orders", """
+        SELECT * FROM (VALUES
+          (980001::BIGINT, 7::BIGINT, 'O', 10.0::DOUBLE,
+           TIMESTAMP '9999-12-15', '1-URGENT'),
+          (980002, 7, 'F', 20.0, TIMESTAMP '9999-11-01', '2-HIGH'),
+          (980003, 8, 'O', 30.0, TIMESTAMP '0100-01-01', '3-MEDIUM')
+        ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, o_orderpriority)""")
     rewrite("lineitem", """
         SELECT * FROM (VALUES
           (NULL::BIGINT, 1::BIGINT, 1::BIGINT, 1::INT, 30.0::DOUBLE,
@@ -191,6 +229,18 @@ DEGEN_CHECKED = [
     # case tables — both now ASCII-fold (functions/hashing).
     "q_dedup_exact",
     "q_text_bpe_tokens",
+    # CSV/JSONL round-trips over quoting edges (embedded newline/
+    # comma/quote, empty-vs-NULL) — the newline record shredded under
+    # the default line-split reader until multiLine; and the
+    # date_add year-10000 overflow guard (Spark raises, DuckDB
+    # continues).
+    "q_source_csv",
+    "q_source_jsonl",
+    "q_date_funcs",
+    # zero-value string aggregation + the pandas-boundary projection
+    "q_agg_string_agg",
+    "q_agg_collect",
+    "q_udaf_pandas",
 ]
 
 
