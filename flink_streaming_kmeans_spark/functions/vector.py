@@ -29,6 +29,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+_NAN = float("nan")
+_PINF = float("inf")
+_NINF = float("-inf")
+
 
 def dot64(a, b) -> Column:
     """Dot product of two float-array columns, computed in double.
@@ -46,6 +50,32 @@ def l2_norm(a) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def emb_finite(col) -> Column:
+    """TRUE iff the embedding is non-NULL and EVERY element is a
+    finite, non-NULL float — the vector-op participation contract.
+    Extends the NULL-embedding law (r6 NULL sweep) per the r6 NaN/Inf
+    sweep: one stored NaN/±inf element turns every dot product, norm,
+    and quantization bucket it touches non-finite, crashing integer
+    bucket casts on one engine and not the other. A vector with a
+    non-finite coordinate is a data-quality violation, not a point in
+    the space — both engines exclude it, in lockstep. SQL twin:
+    :func:`sql_emb_finite` (DuckDB list lambda — oracle-side only;
+    every Spark twin filters with THIS function)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return col.isNotNull() & F.forall(
+        col,
+        lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(_PINF)),
+    )
+
+
+def sql_emb_finite(expr: str = "embedding") -> str:
+    """DuckDB twin of :func:`emb_finite` (keep in lockstep)."""
+    return (
+        f"(({expr}) IS NOT NULL AND len(list_filter(({expr}),"
+        f" x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0)"
+    )
 
 
 def mround(col, scale: int = 4) -> Column:
@@ -131,6 +161,121 @@ def sql_dbl2dec(expr: str, prec: int = 30) -> str:
     return f"CAST(CAST(({expr}) AS STRING) AS DECIMAL({prec},6))"
 
 
+def _isfin(col: Column) -> Column:
+    """TRUE iff the double is finite (NULL rows stay NULL → excluded
+    by the gating WHEN like any other NULL). Spark has no isfinite();
+    NaN/±inf are the only non-finite doubles, and ``col == lit(inf)``
+    is False for NaN on both engines (probe 2026-08-15)."""
+    return ~(F.isnan(col) | (F.abs(col) == F.lit(_PINF)))
+
+
+def fin(col) -> Column:
+    """The value when finite, else NULL — the scalar participation
+    gate for rank-based aggregates (percentile, histogram binning)
+    where non-finite values have no well-defined position and the
+    engines' native treatments diverge (the r6 NaN/Inf sweep caught
+    Spark percentile and DuckDB quantile_cont interpolating different
+    neighbors once NaN/±inf entered the order). SQL twin:
+    :func:`sql_fin`."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.when(_isfin(col), col)
+
+
+def sql_fin(expr: str) -> str:
+    """SQL twin of :func:`fin` (keep in lockstep; both-engine-valid)."""
+    pinf = "CAST('Infinity' AS DOUBLE)"
+    return (
+        f"(CASE WHEN NOT (isnan(({expr})) OR abs(({expr})) = {pinf})"
+        f" THEN ({expr}) END)"
+    )
+
+
+def dsumr(col, prec: int = 30) -> Column:
+    """Non-finite-aware, hash-stable raw SUM of a double expression —
+    UNROUNDED double, for callers that feed the sum into further
+    arithmetic (moments, averages). DuckDB twin: :func:`sql_dsumr`.
+
+    A literal NaN/±inf stored in a measure column would CRASH the bare
+    decimal route (CAST('NaN' AS DECIMAL) raises under ANSI on both
+    engines — the r6 NaN/Inf sweep found one poisoned row killing all
+    45 decimal-summed aggregates). Both engines' NATIVE sums propagate
+    non-finite values per IEEE-754, and that propagation is
+    ORDER-INDEPENDENT (any NaN, or +inf and -inf together → NaN; else
+    +inf present → +inf; -inf present → -inf), so it composes with the
+    exact-decimal strategy instead of breaking it: aggregate the three
+    presence flags with bool_or, decimal-sum ONLY the finite values,
+    and let the flags override the finite sum. Matches native SUM on
+    every probed case while keeping the finite path deterministic.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    has_nan = F.bool_or(F.isnan(col))
+    has_pinf = F.bool_or(col == F.lit(_PINF))
+    has_ninf = F.bool_or(col == F.lit(_NINF))
+    fin_sum = dec2dbl(F.sum(dbl2dec(F.when(_isfin(col), col), prec)))
+    return (
+        F.when(has_nan | (has_pinf & has_ninf), F.lit(_NAN))
+        .when(has_pinf, F.lit(_PINF))
+        .when(has_ninf, F.lit(_NINF))
+        .otherwise(fin_sum)
+    )
+
+
+def sql_dsumr(expr: str, prec: int = 30) -> str:
+    """SQL twin of :func:`dsumr` (keep in lockstep). Uses only forms
+    valid on BOTH engines (several oracles are executed verbatim as
+    Spark SQL too): CAST('NaN'/'Infinity' AS DOUBLE) literals,
+    isnan/abs/bool_or — no DuckDB-only isfinite()."""
+    pinf, ninf = "CAST('Infinity' AS DOUBLE)", "CAST('-Infinity' AS DOUBLE)"
+    fin = f"CASE WHEN NOT (isnan(({expr})) OR abs(({expr})) = {pinf}) THEN ({expr}) END"
+    fin_sum = sql_dec2dbl(f"SUM({sql_dbl2dec(fin, prec)})")
+    return (
+        f"(CASE WHEN bool_or(isnan(({expr})))"
+        f" OR (bool_or(({expr}) = {pinf}) AND bool_or(({expr}) = {ninf}))"
+        f" THEN CAST('NaN' AS DOUBLE)"
+        f" WHEN bool_or(({expr}) = {pinf}) THEN {pinf}"
+        f" WHEN bool_or(({expr}) = {ninf}) THEN {ninf}"
+        f" ELSE {fin_sum} END)"
+    )
+
+
+def dsumw(col, w) -> Column:
+    """Windowed :func:`dsumr`: non-finite-aware exact-decimal SUM OVER
+    a window spec — UNROUNDED double (callers mround). The presence
+    flags aggregate OVER the SAME frame, so propagation is
+    frame-accurate: a running sum turns NaN exactly from the first
+    NaN-containing prefix on, matching native SUM OVER. DuckDB twin:
+    :func:`sql_dsumw`."""
+    col = F.col(col) if isinstance(col, str) else col
+    has_nan = F.bool_or(F.isnan(col)).over(w)
+    has_pinf = F.bool_or(col == F.lit(_PINF)).over(w)
+    has_ninf = F.bool_or(col == F.lit(_NINF)).over(w)
+    fin_sum = dec2dbl(F.sum(dbl2dec(F.when(_isfin(col), col))).over(w))
+    return (
+        F.when(has_nan | (has_pinf & has_ninf), F.lit(_NAN))
+        .when(has_pinf, F.lit(_PINF))
+        .when(has_ninf, F.lit(_NINF))
+        .otherwise(fin_sum)
+    )
+
+
+def sql_dsumw(expr: str, over: str) -> str:
+    """SQL twin of :func:`dsumw` (keep in lockstep); ``over`` is the
+    full frame clause, e.g. ``"OVER w"`` or ``"OVER (PARTITION BY ...)"``.
+    Both-engine-valid forms only (see :func:`sql_dsumr`)."""
+    pinf, ninf = "CAST('Infinity' AS DOUBLE)", "CAST('-Infinity' AS DOUBLE)"
+    fin = f"CASE WHEN NOT (isnan(({expr})) OR abs(({expr})) = {pinf}) THEN ({expr}) END"
+    fin_sum = sql_dec2dbl(f"SUM({sql_dbl2dec(fin)}) {over}")
+    return (
+        f"(CASE WHEN (bool_or(isnan(({expr}))) {over})"
+        f" OR ((bool_or(({expr}) = {pinf}) {over})"
+        f" AND (bool_or(({expr}) = {ninf}) {over}))"
+        f" THEN CAST('NaN' AS DOUBLE)"
+        f" WHEN bool_or(({expr}) = {pinf}) {over} THEN {pinf}"
+        f" WHEN bool_or(({expr}) = {ninf}) {over} THEN {ninf}"
+        f" ELSE {fin_sum} END)"
+    )
+
+
 def dsum(col, alias: str, scale: int = 4) -> Column:
     """Hash-stable SUM of a double expression.
 
@@ -138,11 +283,12 @@ def dsum(col, alias: str, scale: int = 4) -> Column:
     summation is exact (order-independent), the final DOUBLE conversion
     goes through :func:`dec2dbl`'s string route (the direct cast is NOT
     the same IEEE value on both engines at ≥1e10 — see dec2dbl),
-    matched-round finishes the job. DuckDB twin: :func:`sql_dsum`.
+    matched-round finishes the job. Non-finite inputs propagate per
+    IEEE via :func:`dsumr` (mround passes NaN/±inf through raw — both
+    identical doubles cross-engine). DuckDB twin: :func:`sql_dsum`.
     """
     col = F.col(col) if isinstance(col, str) else col
-    total = dec2dbl(F.sum(dbl2dec(col)))
-    return mround(total, scale).alias(alias)
+    return mround(dsumr(col), scale).alias(alias)
 
 
 def davg(col, alias: str, scale: int = 4) -> Column:
@@ -151,23 +297,21 @@ def davg(col, alias: str, scale: int = 4) -> Column:
     The double division (identical dividend/divisor on both engines via
     dec2dbl) yields an identical double; native ROUND of that double
     does NOT match across engines at midpoints (the round-1
-    q_win_range_frame bug) — mround does. DuckDB twin: :func:`sql_davg`.
+    q_win_range_frame bug) — mround does. The COUNT includes non-finite
+    rows (they are values, not NULLs), matching native AVG: a NaN/±inf
+    sum divided by any positive count is itself. DuckDB twin:
+    :func:`sql_davg`.
     """
     col = F.col(col) if isinstance(col, str) else col
-    total = dec2dbl(F.sum(dbl2dec(col)))
-    return mround(total / F.count(col), scale).alias(alias)
+    return mround(dsumr(col) / F.count(col), scale).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, scale: int = 4) -> str:
     """DuckDB SQL twin of :func:`dsum` (keep in lockstep)."""
-    inner = sql_dec2dbl(f"SUM({sql_dbl2dec(expr)})")
-    return f"{sql_mround(inner, scale)} AS {alias}"
+    return f"{sql_mround(sql_dsumr(expr), scale)} AS {alias}"
 
 
 def sql_davg(expr: str, alias: str, scale: int = 4) -> str:
     """DuckDB SQL twin of :func:`davg` (keep in lockstep)."""
-    inner = (
-        sql_dec2dbl(f"SUM({sql_dbl2dec(expr)})")
-        + f" / COUNT(({expr}))"
-    )
+    inner = f"({sql_dsumr(expr)} / COUNT(({expr})))"
     return f"{sql_mround(inner, scale)} AS {alias}"

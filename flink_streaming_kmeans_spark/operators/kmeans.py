@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import dot64
+from ..functions.vector import dot64, emb_finite, sql_emb_finite
 
 
 def init_centroids(embeddings: DataFrame, k: int = 10) -> DataFrame:
@@ -453,13 +453,15 @@ def _final_assign_fn(C, cids, euclidean: bool = False):
 # argmax ranking agrees exactly.
 ASSIGN_CTE = """
     WITH emb AS (
-        -- a NULL embedding cannot participate in vector ops: the
-        -- contract twin of the NULL-ts window filter (a NULL-only
-        -- centroid made c1 a NULL-element list and crashed DuckDB's
-        -- list_inner_product in q_ml_kmeans_iter2; NULL-embeddings
-        -- sweep, r6). Spark sides filter isNotNull in lockstep.
+        -- a NULL or non-finite embedding cannot participate in vector
+        -- ops: the contract twin of the NULL-ts window filter (a
+        -- NULL-only centroid made c1 a NULL-element list and crashed
+        -- DuckDB's list_inner_product in q_ml_kmeans_iter2,
+        -- NULL-embeddings sweep r6; a NaN element forked every dot
+        -- downstream, NaN/Inf sweep r6). Spark sides filter
+        -- emb_finite in lockstep.
         SELECT vec_id, embedding FROM embeddings
-        WHERE embedding IS NOT NULL
+        WHERE {fin}
     ), c AS (
         SELECT vec_id AS cid, embedding AS cemb
         FROM emb ORDER BY vec_id LIMIT 10
@@ -472,4 +474,4 @@ ASSIGN_CTE = """
                                      ORDER BY dot DESC, cid) AS rn
         FROM scored
     )
-"""
+""".replace("{fin}", sql_emb_finite("embedding"))

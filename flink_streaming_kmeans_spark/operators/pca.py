@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.vector import emb_finite
+
 from ..functions.vector import dot64
 
 _MOMENTS_SCHEMA = (
@@ -69,7 +71,7 @@ def fit_pca(df: DataFrame, k: int, dim: int = 64):
     # shape error deep in the worker (NULL-embeddings sweep, r6); the
     # vector-op contract everywhere else is the same filter.
     parts = (
-        df.where(F.col("embedding").isNotNull())
+        df.where(emb_finite("embedding"))
         .select("embedding")
         .mapInPandas(_moments_fn(dim), _MOMENTS_SCHEMA)
         .collect()

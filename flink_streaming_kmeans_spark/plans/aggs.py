@@ -16,11 +16,15 @@ from ..functions.vector import (
     dbl2dec,
     dec2dbl,
     dsum,
+    dsumr,
+    fin,
+    sql_fin,
     mround,
     sql_davg,
     sql_dbl2dec,
     sql_dec2dbl,
     sql_dsum,
+    sql_dsumr,
     sql_mround,
 )
 from ..sources.loader import fan_out, load_table
@@ -209,8 +213,8 @@ _STATS_STD = (
         SELECT c_mktsegment,
                CAST(COUNT(*) AS DOUBLE) AS n,
                MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx,
-               {sql_dec2dbl(f"SUM({sql_dbl2dec('c_acctbal')})")} AS sx,
-               {sql_dec2dbl(f"SUM({sql_dbl2dec('c_acctbal * c_acctbal', 38)})")} AS sxx
+               {sql_dsumr('c_acctbal')} AS sx,
+               {sql_dsumr('c_acctbal * c_acctbal', 38)} AS sxx
         FROM customer GROUP BY c_mktsegment
     )
     SELECT c_mktsegment,
@@ -237,10 +241,13 @@ def q_agg_stats(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("n"),
         F.min(x).alias("mn"),
         F.max(x).alias("mx"),
-        dec2dbl(F.sum(dbl2dec(x))).alias("sx"),
+        dsumr(x).alias("sx"),
         # prec=38: the squared moment overflows DECIMAL(30,6)'s 24
         # integer digits (an ANSI crash) once |x| ≥ 1e12 — see dbl2dec.
-        dec2dbl(F.sum(dbl2dec(x * x, 38))).alias("sxx"),
+        # dsumr propagates stored NaN/±inf per IEEE instead of crashing
+        # the decimal cast; the variance formula then yields NaN in
+        # identical double arithmetic on both engines.
+        dsumr(x * x, 38).alias("sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     raw_var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
@@ -262,18 +269,26 @@ def q_agg_stats(spark, sf_dir):
 
 @register(
     "q_agg_percentile",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
-           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+           ROUND(quantile_cont({sql_fin('o_totalprice')}, 0.5), 4)
+               AS median_price,
+           ROUND(quantile_cont({sql_fin('o_totalprice')}, 0.9), 4)
+               AS p90_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def q_agg_percentile(spark, sf_dir):
+    # Percentiles rank FINITE values only (fin/sql_fin): a NaN/±inf
+    # price has no well-defined rank position, and with them included
+    # Spark's percentile and DuckDB's quantile_cont interpolate
+    # different neighbors (r6 NaN/Inf sweep). The gate maps them to
+    # NULL, which both engines' percentile aggregates skip.
     o = load_table(spark, sf_dir, "orders")
+    x = fin("o_totalprice")
     return o.groupBy("o_orderstatus").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile(x, F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile(x, F.lit(0.9)), 4).alias("p90_price"),
     )
 
 
@@ -507,11 +522,11 @@ _CORR_EXPR = (
     WITH m AS (
         SELECT l_returnflag,
                COUNT(*) AS n,
-               {sql_dec2dbl(f"SUM({sql_dbl2dec('l_quantity')})")} AS sx,
-               {sql_dec2dbl(f"SUM({sql_dbl2dec('l_extendedprice')})")} AS sy,
-               {sql_dec2dbl(f"SUM({sql_dbl2dec('l_quantity * l_extendedprice', 38)})")} AS sxy,
-               {sql_dec2dbl(f"SUM({sql_dbl2dec('l_quantity * l_quantity', 38)})")} AS sxx,
-               {sql_dec2dbl(f"SUM({sql_dbl2dec('l_extendedprice * l_extendedprice', 38)})")} AS syy
+               {sql_dsumr('l_quantity')} AS sx,
+               {sql_dsumr('l_extendedprice')} AS sy,
+               {sql_dsumr('l_quantity * l_extendedprice', 38)} AS sxy,
+               {sql_dsumr('l_quantity * l_quantity', 38)} AS sxx,
+               {sql_dsumr('l_extendedprice * l_extendedprice', 38)} AS syy
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -539,13 +554,16 @@ def q_agg_corr(spark, sf_dir):
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        dec2dbl(F.sum(dbl2dec(x))).alias("sx"),
-        dec2dbl(F.sum(dbl2dec(y))).alias("sy"),
+        dsumr(x).alias("sx"),
+        dsumr(y).alias("sy"),
         # prec=38 on the product moments: DECIMAL(30,6) overflows (an
-        # ANSI crash) once a product reaches 1e24 — see dbl2dec.
-        dec2dbl(F.sum(dbl2dec(x * y, 38))).alias("sxy"),
-        dec2dbl(F.sum(dbl2dec(x * x, 38))).alias("sxx"),
-        dec2dbl(F.sum(dbl2dec(y * y, 38))).alias("syy"),
+        # ANSI crash) once a product reaches 1e24 — see dbl2dec. dsumr
+        # additionally propagates stored NaN/±inf per IEEE (NaN > 0 is
+        # TRUE on both engines, so the variance gates pass and the
+        # closed form yields NaN identically).
+        dsumr(x * y, 38).alias("sxy"),
+        dsumr(x * x, 38).alias("sxx"),
+        dsumr(y * y, 38).alias("syy"),
     )
     n = F.col("n")
     dx = F.greatest(n * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))

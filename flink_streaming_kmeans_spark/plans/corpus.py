@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import dec2dbl, dsum, mround, sql_dsum, sql_mround
+from ..functions.vector import dec2dbl, dsum, dsumr, emb_finite, mround, sql_dsum, sql_dsumr, sql_emb_finite, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 
@@ -166,13 +166,13 @@ def q_text_surprisal(spark, sf_dir):
 
 @register(
     "q_emb_quantize",
-    oracle="""
+    oracle=f"""
     WITH ex AS (
         SELECT vec_id, CAST(r.range AS INT) AS dim,
                CAST(floor(embedding[CAST(r.range AS INT) + 1]::DOUBLE
                           * 1000000 + 0.5) AS BIGINT) AS qi
         FROM embeddings CROSS JOIN range(64) r
-        WHERE len(embedding) = 64
+        WHERE len(embedding) = 64 AND {sql_emb_finite('embedding')}
     ), st AS (
         SELECT dim, MIN(qi) AS lo, MAX(qi) AS hi FROM ex GROUP BY dim
     )
@@ -209,7 +209,7 @@ def q_emb_quantize(spark, sf_dir):
     # (drops it) and the oracle's CROSS JOIN range(64) (emits NULL
     # rows) — the regenerated-data hazard class (review r6).
     e = load_table(spark, sf_dir, "embeddings").where(
-        F.size("embedding") == 64
+        (F.size("embedding") == 64) & emb_finite("embedding")
     )
     ex = e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
@@ -518,11 +518,11 @@ def q_evt_markov(spark, sf_dir):
 
 @register(
     "q_evt_anomaly",
-    oracle="""
+    oracle=f"""
     WITH st AS (
         SELECT user_id,
-               CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS s1,
-               CAST(CAST(SUM(CAST(CAST(value * value AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
+               {sql_dsumr('value')} AS s1,
+               {sql_dsumr('value * value', 38)}
                    AS s2,
                COUNT(*) AS n
         FROM events GROUP BY user_id
@@ -562,11 +562,9 @@ def q_evt_anomaly(spark, sf_dir):
     single effective shuffle of the fact side. Nothing quadratic, no
     window over a hot key, no driver state."""
     ev = load_table(spark, sf_dir, "events")
-    dec = F.col("value").cast("string").cast("decimal(30,6)")
-    dec2 = (F.col("value") * F.col("value")).cast("string").cast("decimal(30,6)")
     st = ev.groupBy("user_id").agg(
-        dec2dbl(F.sum(dec)).alias("s1"),
-        dec2dbl(F.sum(dec2)).alias("s2"),
+        dsumr("value").alias("s1"),
+        dsumr(F.col("value") * F.col("value"), 38).alias("s2"),
         F.count(F.lit(1)).alias("n"),
     )
     mean = F.col("s1") / F.col("n")
@@ -901,7 +899,7 @@ def q_profile_table(spark, sf_dir):
     WITH o AS (
         SELECT o_custkey,
                COUNT(*) AS n_orders,
-               CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
+               {sql_dsumr('o_totalprice')}
                    AS spend_raw,
                MAX(CAST(o_orderdate AS DATE)) AS last_d
         FROM orders
@@ -938,10 +936,7 @@ def q_feat_snapshot(spark, sf_dir):
     )
     feats = o.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("string").cast("decimal(30,6)"))
-        .cast("string")
-        .cast("double")
-        .alias("spend_raw"),
+        dsumr("o_totalprice").alias("spend_raw"),
         F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
     )
     return (
@@ -1100,7 +1095,7 @@ def q_tpch_q10(spark, sf_dir):
     WITH big AS (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) > 180
+        HAVING {sql_dsumr('l_quantity')} > 180
     )
     SELECT c_custkey, c_name, o_orderkey,
            CAST(o_orderdate AS DATE) AS odate,
@@ -1134,7 +1129,7 @@ def q_tpch_q18(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("string").cast("decimal(30,6)")).alias("q"))
+        .agg(dsumr("l_quantity").alias("q"))
         .where(F.col("q") > 180)
         .select("l_orderkey")
     )

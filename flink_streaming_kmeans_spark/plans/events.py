@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.vector import dsum, sql_dsum
+from ..functions.vector import dsum, sql_dsum, sql_dsumw
 from ..sources.loader import load_table
 from .registry import register
 
@@ -299,10 +299,7 @@ def q_ts_gapfill(spark, sf_dir):
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
     """.format(
-        dsum_over_w=(
-            "CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6))) OVER w AS STRING) AS DOUBLE)"
-            " AS sum_value_10m"
-        )
+        dsum_over_w=f"{sql_dsumw('value', 'OVER w')} AS sum_value_10m"
     ),
 )
 def q_win_time_range(spark, sf_dir):
@@ -323,9 +320,12 @@ def q_win_time_range(spark, sf_dir):
         "CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts "
         "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS BIGINT)"
         " AS n_prev_10m",
-        "CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6))) OVER (PARTITION BY user_id ORDER BY ts "
-        "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)"
-        " AS sum_value_10m",
+        sql_dsumw(
+            "value",
+            "OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)",
+        )
+        + " AS sum_value_10m",
     )
 
 

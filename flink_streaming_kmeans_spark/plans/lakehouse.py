@@ -21,7 +21,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from ..functions.vector import mround, sql_mround
+from ..functions.vector import dsumr, mround, sql_dsumr, sql_mround
 from ..operators.lakehouse import (
     _manifest_path,
     compact,
@@ -103,12 +103,7 @@ def _merge_source(spark, sf_dir):
             .alias("custkey"),
             F.col("c_mktsegment").alias("segment"),
         )
-        .agg(
-            F.sum(F.col("o_totalprice").cast("string").cast("decimal(30,6)"))
-            .cast("string")
-            .cast("double")
-            .alias("spend")
-        )
+        .agg(dsumr("o_totalprice").alias("spend"))
     )
 
 
@@ -143,7 +138,7 @@ _SQL_SRC = f"""
         SELECT CASE WHEN o_custkey % 3 = 0 THEN -o_custkey
                     ELSE o_custkey END AS custkey,
                c_mktsegment AS segment,
-               CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
+               {sql_dsumr('o_totalprice')}
                    AS spend
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment IN {_SEGMENTS!r}
@@ -208,14 +203,14 @@ def q_merge_cow(spark, sf_dir):
     v0 AS (
         SELECT c_mktsegment AS segment,
                CAST(COUNT(*) AS BIGINT) AS n_v0,
-               {sql_mround('CAST(CAST(SUM(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)')}
+               {sql_mround(sql_dsumr('c_acctbal'))}
                    AS bal_v0
         FROM customer GROUP BY 1
     ),
     v1 AS (
         SELECT segment,
                CAST(COUNT(*) AS BIGINT) AS n_v1,
-               {sql_mround('CAST(CAST(SUM(CAST(CAST(acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)')}
+               {sql_mround(sql_dsumr('acctbal'))}
                    AS bal_v1
         FROM merged GROUP BY 1
     )
@@ -236,9 +231,7 @@ def q_lake_time_travel(spark, sf_dir):
     def agg(df, tag):
         return df.groupBy("segment").agg(
             F.count(F.lit(1)).alias(f"n_{tag}"),
-            mround(
-                F.sum(F.col("acctbal").cast("string").cast("decimal(30,6)")).cast("string").cast("double")
-            ).alias(f"bal_{tag}"),
+            mround(dsumr("acctbal")).alias(f"bal_{tag}"),
         )
 
     a0 = agg(read_table(spark, root, version=0), "v0")
@@ -365,7 +358,7 @@ def q_lake_delete(spark, sf_dir):
     WITH {_SQL_SRC}
     SELECT segment,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           {sql_mround('CAST(CAST(SUM(CAST(CAST(acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)')}
+           {sql_mround(sql_dsumr('acctbal'))}
                AS bal,
            CAST(1 AS BIGINT) AS n_files
     FROM merged
@@ -416,9 +409,7 @@ def q_lake_compact(spark, sf_dir):
     t = read_table(spark, root, version=v)
     agg = t.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        mround(
-            F.sum(F.col("acctbal").cast("string").cast("decimal(30,6)")).cast("string").cast("double")
-        ).alias("bal"),
+        mround(dsumr("acctbal")).alias("bal"),
     )
     # eqNullSafe: the NULL-segment group must still pick up its file
     # count (same sweep finding as above).

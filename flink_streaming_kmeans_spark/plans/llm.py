@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCK_ASCII_FOLD, DUCK_TRIM, spark_ascii_fold
-from ..functions.vector import davg, dot64, l2_norm, mround, sql_davg, sql_mround
+from ..functions.vector import davg, dot64, emb_finite, l2_norm, mround, sql_davg, sql_emb_finite, sql_mround
 from ..sources.loader import fan_out, load_table
 from .registry import register
 
@@ -516,7 +516,7 @@ def q_sim_ivf(spark, sf_dir):
     # embedding IS NOT NULL: lockstep with ASSIGN_CTE's emb CTE
     # (NULL-embeddings sweep, r6).
     e = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
+        emb_finite("embedding")
     )
     from ..operators.kmeans import assign, init_centroids
 
@@ -610,6 +610,7 @@ def q_text_decontaminate(spark, sf_dir):
                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
                              AS BIGINT)) AS qi
         FROM embeddings
+        WHERE {sql_emb_finite('embedding')}
     ), n AS (
         SELECT vec_id, embedding,
                sqrt(CAST(list_sum(list_transform(qi, v -> v * v))
@@ -650,7 +651,9 @@ def q_emb_normalize(spark, sf_dir):
     cell (r3 driver: "unhashable type: numpy.ndarray"), and integer
     formatting is byte-identical across engines where double
     formatting is not."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        emb_finite("embedding")  # vector-op contract (NaN/Inf sweep r6)
+    )
     qi = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("bigint"),

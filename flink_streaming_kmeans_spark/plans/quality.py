@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.vector import mround, sql_davg, sql_mround
+from ..functions.vector import emb_finite, mround, sql_davg, sql_mround, sql_emb_finite
 from ..operators.kmeans import ASSIGN_CTE, assign, init_centroids, update
 from ..sources.loader import fan_out, load_table
 from .registry import register
@@ -107,12 +107,12 @@ _R2_ORACLE = f"""
     ), c1 AS (
         SELECT cid, list(cq ORDER BY dim) AS cemb FROM u1 GROUP BY cid
     ), s2 AS (
-        -- embedding IS NOT NULL: lockstep with ASSIGN_CTE's emb CTE
-        -- (NULL-embeddings sweep, r6)
+        -- finite-embedding gate: lockstep with ASSIGN_CTE's emb CTE
+        -- (NULL-embeddings + NaN/Inf sweeps, r6)
         SELECT e.vec_id, c.cid,
                list_inner_product(e.embedding::DOUBLE[], c.cemb) AS dot
         FROM (SELECT vec_id, embedding FROM embeddings
-              WHERE embedding IS NOT NULL) e CROSS JOIN c1 c
+              WHERE {sql_emb_finite('embedding')}) e CROSS JOIN c1 c
     ), r2 AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                      ORDER BY dot DESC, cid) AS rn
@@ -145,7 +145,7 @@ def q_ml_kmeans_iter2(spark, sf_dir):
     same per-iteration cost profile lloyd_iterate pays; nothing here
     grows with corpus size except the embarrassingly parallel scans."""
     e = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
+        emb_finite("embedding")
     )
     a1 = assign(fan_out(e), init_centroids(e))
     u1 = update(a1)  # (cid, dim, c_val) — unrounded double means

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import mround, sql_mround
+from ..functions.vector import dsumr, mround, sql_dsumr, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 
@@ -101,7 +101,7 @@ def q_sub_in(spark, sf_dir):
     oracle=f"""
     WITH nat_avg AS (
         SELECT c_nationkey,
-               CAST(CAST(SUM(CAST(CAST(c_acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
+               {sql_dsumr('c_acctbal')}
                / COUNT(c_acctbal) AS navg
         FROM customer GROUP BY c_nationkey
     )
@@ -117,18 +117,25 @@ def q_sub_scalar(spark, sf_dir):
     per-row re-execution (the oracle states the decorrelated form
     directly; hash-stable via the decimal-sum average discipline)."""
     v = _view(spark, sf_dir, "customer")
+    # Filter on c_acctbal > navg (the oracle's predicate), NOT on
+    # (c_acctbal - navg) > 0: identical for finite navg (IEEE
+    # subtraction preserves the sign of the exact difference), but a
+    # NaN nation mean makes the difference NaN, and NaN > 0 is TRUE
+    # on both engines while x > NaN is FALSE — the r6 NaN sweep caught
+    # the two forms keeping different rows.
     df = spark.sql(f"""
         SELECT c.c_custkey,
-               c.c_acctbal - (
-                   SELECT CAST(CAST(SUM(CAST(CAST(c2.c_acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
+               c.c_acctbal AS bal,
+               (
+                   SELECT {sql_dsumr('c2.c_acctbal')}
                           / COUNT(c2.c_acctbal)
                    FROM {v['customer']} c2
                    WHERE c2.c_nationkey = c.c_nationkey
-               ) AS above_by
+               ) AS navg
         FROM {v['customer']} c
     """)
-    return df.where(F.col("above_by") > 0).select(
-        "c_custkey", mround("above_by").alias("above_by")
+    return df.where(F.col("bal") > F.col("navg")).select(
+        "c_custkey", mround(F.col("bal") - F.col("navg")).alias("above_by")
     )
 
 
@@ -137,10 +144,10 @@ def q_sub_scalar(spark, sf_dir):
     oracle=f"""
     WITH rev AS (
         SELECT c.c_nationkey AS nationkey,
-               CAST(CAST(SUM(CAST(CAST(o.o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS r
+               {sql_dsumr('o.o_totalprice')} AS r
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_nationkey
-    ), tot AS (SELECT CAST(CAST(SUM(CAST(CAST(r AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS t FROM rev)
+    ), tot AS (SELECT {sql_dsumr('r')} AS t FROM rev)
     SELECT n.n_name, {sql_mround('rev.r')} AS revenue,
            {sql_mround('100.0 * rev.r / tot.t')} AS pct
     FROM rev JOIN nation n ON rev.nationkey = n.n_nationkey
@@ -154,10 +161,10 @@ def q_cte_reuse(spark, sf_dir):
     df = spark.sql(f"""
         WITH rev AS (
             SELECT c.c_nationkey AS nationkey,
-                   CAST(CAST(SUM(CAST(CAST(o.o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS r
+                   {sql_dsumr('o.o_totalprice')} AS r
             FROM {v['orders']} o JOIN {v['customer']} c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_nationkey
-        ), tot AS (SELECT CAST(CAST(SUM(CAST(CAST(r AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS t FROM rev)
+        ), tot AS (SELECT {sql_dsumr('r')} AS t FROM rev)
         SELECT n.n_name, rev.r AS revenue, 100.0 * rev.r / tot.t AS pct
         FROM rev JOIN {v['nation']} n ON rev.nationkey = n.n_nationkey
         CROSS JOIN tot
@@ -254,11 +261,11 @@ def q_win_dist(spark, sf_dir):
 
 @register(
     "q_merge_upsert",
-    oracle="""
+    oracle=f"""
     WITH src AS (
         SELECT CASE WHEN o_custkey % 3 = 0 THEN -o_custkey
                     ELSE o_custkey END AS custkey,
-               CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
+               {sql_dsumr('o_totalprice')}
                    AS spend
         FROM orders
         GROUP BY 1
@@ -299,12 +306,7 @@ def q_merge_upsert(spark, sf_dir):
             .otherwise(F.col("o_custkey"))
             .alias("custkey")
         )
-        .agg(
-            F.sum(F.col("o_totalprice").cast("string").cast("decimal(30,6)"))
-            .cast("string")
-            .cast("double")
-            .alias("spend"),
-        )
+        .agg(dsumr("o_totalprice").alias("spend"))
     )
     j = c.join(src, c.c_custkey == src.custkey, "full_outer")
     return j.select(

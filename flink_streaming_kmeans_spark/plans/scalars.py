@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.vector import l2_norm, mround, sql_mround
+from ..functions.vector import fin, l2_norm, mround, sql_fin, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 
@@ -120,8 +120,10 @@ def q_date_funcs(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            {sql_mround('CASE WHEN l_extendedprice >= 0 THEN sqrt(l_extendedprice) END')} AS sqrt_price,
            {sql_mround('abs(l_discount - 0.05)')} AS abs_disc,
-           CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
-           CAST(floor(l_quantity) AS BIGINT) AS floor_qty,
+           CASE WHEN {sql_fin('l_quantity')} IS NOT NULL
+                THEN CAST(ceil(l_quantity) AS BIGINT) END AS ceil_qty,
+           CASE WHEN {sql_fin('l_quantity')} IS NOT NULL
+                THEN CAST(floor(l_quantity) AS BIGINT) END AS floor_qty,
            {sql_mround('CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END')} AS ln_price,
            {sql_mround('power(l_quantity, 2)')} AS qty_sq,
            CAST(l_linenumber % 3 AS INT) AS mod3
@@ -143,8 +145,15 @@ def q_math_funcs(spark, sf_dir):
         "l_linenumber",
         mround(F.when(price >= 0, F.sqrt(price))).alias("sqrt_price"),
         mround(F.abs(F.col("l_discount") - 0.05)).alias("abs_disc"),
-        F.ceil("l_quantity").alias("ceil_qty"),
-        F.floor("l_quantity").alias("floor_qty"),
+        # ceil/floor are BIGINT-valued only on finite input: Spark
+        # silently clamps ±inf/NaN to Long.Max/0 while DuckDB raises
+        # OutOfRange (r6 NaN/Inf sweep) — the CASE states the domain.
+        F.when(fin("l_quantity").isNotNull(), F.ceil("l_quantity")).alias(
+            "ceil_qty"
+        ),
+        F.when(fin("l_quantity").isNotNull(), F.floor("l_quantity")).alias(
+            "floor_qty"
+        ),
         mround(F.when(price > 0, F.log(price))).alias("ln_price"),
         mround(F.pow("l_quantity", 2)).alias("qty_sq"),
         (F.col("l_linenumber") % 3).alias("mod3"),

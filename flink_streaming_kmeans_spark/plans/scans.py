@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.vector import dsumr, sql_dsumr
 from ..sources.loader import _tmp_out, load_table
 from .registry import register
 
@@ -68,9 +69,9 @@ def q_sink_roundtrip(spark, sf_dir):
 
 @register(
     "q_sink_partitioned",
-    oracle="""
+    oracle=f"""
     SELECT l_linestatus, COUNT(*) AS cnt,
-           CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_qty
+           {sql_dsumr('l_quantity')} AS sum_qty
     FROM lineitem
     WHERE l_returnflag = 'R'
     GROUP BY l_linestatus
@@ -91,15 +92,15 @@ def q_sink_partitioned(spark, sf_dir):
     back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
     return back.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.sum(F.col("l_quantity").cast("string").cast("decimal(30,6)")).cast("string").cast("double").alias("sum_qty"),
+        dsumr("l_quantity").alias("sum_qty"),
     )
 
 
 @register(
     "q_source_csv",
-    oracle="""
+    oracle=f"""
     SELECT s_nationkey, COUNT(*) AS n_suppliers,
-           CAST(CAST(SUM(CAST(CAST(s_acctbal AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_bal
+           {sql_dsumr('s_acctbal')} AS sum_bal
     FROM supplier
     GROUP BY s_nationkey
     """,
@@ -127,7 +128,7 @@ def q_source_csv(spark, sf_dir):
     ).option("header", True).option("multiLine", True).csv(out)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
-        F.sum(F.col("s_acctbal").cast("string").cast("decimal(30,6)")).cast("string").cast("double").alias("sum_bal"),
+        dsumr("s_acctbal").alias("sum_bal"),
     )
 
 

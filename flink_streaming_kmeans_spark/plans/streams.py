@@ -44,7 +44,7 @@ import os
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import mround, sql_mround
+from ..functions.vector import emb_finite, mround, sql_dsumr, sql_mround
 from ..sources.loader import _tmp_out, load_table, local_df
 from ..sources.replay import (
     append_batch,
@@ -206,12 +206,12 @@ def q_stream_join(spark, sf_dir):
     # Oracle: identical to q_merge_cow's — incremental disjoint-key
     # merges compose to the single logical MERGE (kept inline so this
     # module's oracles read standalone; lockstep with plans/lakehouse).
-    oracle="""
+    oracle=f"""
     WITH src AS (
         SELECT CASE WHEN o_custkey % 3 = 0 THEN -o_custkey
                     ELSE o_custkey END AS custkey,
                c_mktsegment AS segment,
-               CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
+               {sql_dsumr('o_totalprice')}
                    AS spend
         FROM orders JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
@@ -326,7 +326,7 @@ def q_kmeans_stream_reassign(spark, sf_dir):
 
     e = (
         load_table(spark, sf_dir, "embeddings")
-        .where(F.col("embedding").isNotNull())  # vector-op contract, r6
+        .where(emb_finite("embedding"))  # vector-op contract, r6
         .select("vec_id", "embedding")
     )
     cent = init_centroids(e).collect()

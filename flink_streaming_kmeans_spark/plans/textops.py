@@ -31,7 +31,7 @@ from ..functions.hashing import (
     SPARK_H60,
     spark_ascii_fold,
 )
-from ..functions.vector import dot64, mround, sql_mround
+from ..functions.vector import dot64, emb_finite, mround, sql_emb_finite, sql_mround
 from ..operators.minhash import ngram_rows
 from ..sources.loader import fan_out, load_table
 from .registry import register
@@ -145,12 +145,16 @@ _LCG = "((1103515245 * ({i}) + 12345) % 2147483648)"
 @register(
     "q_sim_ann",
     oracle=f"""
-    WITH comps AS (
+    WITH emb AS (
+        -- finite-embedding vector-op contract (NaN/Inf sweep r6)
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {sql_emb_finite('embedding')}
+    ), comps AS (
         SELECT e.vec_id, t.range AS j, d.range AS d,
                CASE WHEN ({_LCG.format(i='t.range * 64 + d.range')} // 65536) % 2 = 0
                     THEN 1 ELSE -1 END
                * CAST(e.embedding[CAST(d.range AS INT) + 1] AS DECIMAL(30,6)) AS c
-        FROM embeddings e CROSS JOIN range(8) t CROSS JOIN range(64) d
+        FROM emb e CROSS JOIN range(8) t CROSS JOIN range(64) d
     ), sigbits AS (
         SELECT vec_id, j,
                CASE WHEN SUM(c) > 0 THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END AS b
@@ -159,14 +163,14 @@ _LCG = "((1103515245 * ({i}) + 12345) % 2147483648)"
         SELECT vec_id, CAST(SUM(b) AS BIGINT) AS bucket FROM sigbits GROUP BY vec_id
     ), probes AS (
         SELECT e.vec_id AS query_id, e.embedding AS qemb, k.bucket
-        FROM embeddings e JOIN buckets k ON e.vec_id = k.vec_id
+        FROM emb e JOIN buckets k ON e.vec_id = k.vec_id
         WHERE e.vec_id < 10
     ), cands AS (
         SELECT p.query_id, e.vec_id AS neighbor_id,
                list_inner_product(e.embedding::DOUBLE[], p.qemb::DOUBLE[]) AS sim
         FROM probes p
         JOIN buckets bk ON bk.bucket = p.bucket
-        JOIN embeddings e ON e.vec_id = bk.vec_id
+        JOIN emb e ON e.vec_id = bk.vec_id
         WHERE e.vec_id <> p.query_id
     ), ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -187,7 +191,9 @@ def q_sim_ann(spark, sf_dir):
     exact top-3 re-rank. At 100 TB the candidate join is an equi-join
     on the signature (multi-probe/banded in practice) — never an
     all-pairs scan."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        emb_finite("embedding")  # vector-op contract (NaN/Inf sweep r6)
+    )
     comps = (
         fan_out(e).select("vec_id", F.posexplode("embedding").alias("d", "x"))
         .crossJoin(F.broadcast(spark.range(8).select(F.col("id").cast("int").alias("j"))))

@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCK_H60, SPARK_H60
-from ..functions.vector import davg, dsum, mround, sql_davg, sql_dsum, sql_mround
+from ..functions.vector import davg, dsum, dsumr, fin, mround, sql_davg, sql_dsum, sql_fin, sql_mround
 from ..sources.loader import _tmp_out, fan_out, load_table, local_df
 from ..sources.replay import batch_input_dir, run_available_now, time_batch_col
 from .registry import register
@@ -254,7 +254,12 @@ def q_evt_retention(spark, sf_dir):
     "q_evt_histogram",
     oracle=f"""
     WITH b AS (
-        SELECT CAST(FLOOR(value / 5.0) AS INT) AS bucket, value FROM events
+        -- finite values only: a NaN/±inf measure has no bin (floor of
+        -- it overflows the INT cast on one engine and not the other —
+        -- r6 NaN/Inf sweep); lockstep with the Spark side's fin gate
+        SELECT CAST(FLOOR(value / 5.0) AS INT) AS bucket, value
+        FROM events
+        WHERE {sql_fin('value')} IS NOT NULL
     )
     SELECT bucket, COUNT(*) AS n,
            {sql_dsum('value', 'sum_value')},
@@ -273,7 +278,7 @@ def q_evt_histogram(spark, sf_dir):
 
     Scale: per-row map + low-cardinality hash-agg with map-side
     combine — the cheapest possible full-scan statistic."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(fin("value").isNotNull())
     b = ev.select(
         F.floor(F.col("value") / 5.0).cast("int").alias("bucket"), "value"
     )
@@ -344,10 +349,7 @@ def q_stream_tumble(spark, sf_dir):
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("string").cast("decimal(30,6)"))
-            .cast("string")
-            .cast("double")
-            .alias("sum_value"),
+            dsumr("value").alias("sum_value"),
         )
         .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
     )

@@ -77,13 +77,21 @@ def q_udf_pandas(spark, sf_dir):
 _Q12 = Decimal("0.000000000001")
 
 
+_GEO_OK = (
+    "o_totalprice > 0 AND NOT isnan(o_totalprice)"
+    " AND abs(o_totalprice) <> CAST('Infinity' AS DOUBLE)"
+)
+
+
 @register(
     "q_udaf_pandas",
     oracle=f"""
     SELECT o_orderstatus,
            {sql_mround(
-               'exp(CAST(SUM(CAST(ln(o_totalprice) AS DECIMAL(30,12))) AS DOUBLE)'
-               ' / COUNT(*))'
+               f'CASE WHEN COUNT(CASE WHEN {_GEO_OK} THEN 1 END) > 0 THEN'
+               f' exp(CAST(SUM(CASE WHEN {_GEO_OK} THEN'
+               ' CAST(ln(o_totalprice) AS DECIMAL(30,12)) END) AS DOUBLE)'
+               f' / COUNT(CASE WHEN {_GEO_OK} THEN 1 END)) END'
            )} AS geo_mean,
            COUNT(*) AS n
     FROM orders
@@ -93,21 +101,36 @@ _Q12 = Decimal("0.000000000001")
 def q_udaf_pandas(spark, sf_dir):
     """Geometric mean of o_totalprice per status via applyInPandas:
     exp(mean(ln(x))), with ln values quantized to 12 decimals and
-    summed exactly (see module docstring)."""
+    summed exactly (see module docstring). The geometric mean is
+    defined over POSITIVE FINITE values only — a NaN/±inf/non-positive
+    price is excluded from the log-sum and its divisor on BOTH engines
+    (r6 NaN/Inf sweep: math.log(NaN) poisoned the Decimal quantize
+    Python-side while DuckDB crashed the DECIMAL cast); a group with
+    no qualifying value yields NULL. ``n`` stays the raw row count."""
 
     def geo(pdf):
         import pandas as pd
 
         total = Decimal(0)
-        vals = pdf["o_totalprice"]
+        vals = [
+            v
+            for v in pdf["o_totalprice"]
+            if v is not None and math.isfinite(v) and v > 0
+        ]
         for v in vals:
             total += Decimal(repr(math.log(v))).quantize(_Q12, ROUND_HALF_UP)
-        n = len(vals)
-        mean = float(total) / n
-        gm = math.exp(mean)
-        gm4 = math.floor(gm * 10000.0 + 0.5) / 10000.0  # matched round
+        if vals:
+            mean = float(total) / len(vals)
+            gm = math.exp(mean)
+            gm4 = math.floor(gm * 10000.0 + 0.5) / 10000.0  # matched round
+        else:
+            gm4 = None
         return pd.DataFrame(
-            {"o_orderstatus": [pdf["o_orderstatus"].iloc[0]], "geo_mean": [gm4], "n": [n]}
+            {
+                "o_orderstatus": [pdf["o_orderstatus"].iloc[0]],
+                "geo_mean": [gm4],
+                "n": [len(pdf)],
+            }
         )
 
     # Project BEFORE the pandas boundary: applyInPandas ships EVERY

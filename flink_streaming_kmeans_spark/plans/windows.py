@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import dec2dbl, mround, sql_mround
+from ..functions.vector import dec2dbl, dsumw, mround, sql_dsumw, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 
@@ -71,25 +71,27 @@ def q_win_lag(spark, sf_dir):
     "q_win_running",
     oracle=f"""
     SELECT o_orderkey,
-           {sql_mround('CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) OVER ('
-                       ' PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey'
-                       ' ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW'
-                       ') AS STRING) AS DOUBLE)')} AS running_total
+           {sql_mround(sql_dsumw('o_totalprice', 'OVER w'))} AS running_total
     FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
 def q_win_running(spark, sf_dir):
     # mround, not native ROUND, for the same regenerated-data midpoint
     # hazard as q_win_lag (review r6); identical output on current data.
+    # dsumw: a stored NaN/±inf price turns the running total non-finite
+    # from that prefix on (frame-scoped IEEE propagation) instead of
+    # crashing the decimal cast.
     o = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
         .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    running = F.sum(F.col("o_totalprice").cast("string").cast("decimal(30,6)")).over(w)
     return o.select(
-        "o_orderkey", mround(dec2dbl(running)).alias("running_total")
+        "o_orderkey", mround(dsumw("o_totalprice", w)).alias("running_total")
     )
 
 
@@ -97,8 +99,8 @@ def q_win_running(spark, sf_dir):
     "q_win_range_frame",
     oracle=f"""
     SELECT o_orderkey,
-           {sql_mround('CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) OVER w AS STRING) AS DOUBLE)'
-                       ' / (COUNT(*) OVER w)')} AS avg_near
+           {sql_mround(sql_dsumw('o_totalprice', 'OVER w')
+                       + ' / (COUNT(*) OVER w)')} AS avg_near
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus, o_orderpriority
                  ORDER BY o_totalprice
@@ -126,7 +128,7 @@ def q_win_range_frame(spark, sf_dir):
         .orderBy("o_totalprice")
         .rangeBetween(-1000, W.currentRow)
     )
-    s = dec2dbl(F.sum(F.col("o_totalprice").cast("string").cast("decimal(30,6)")).over(w))
+    s = dsumw("o_totalprice", w)
     n = F.count(F.lit(1)).over(w)
     return o.select("o_orderkey", mround(s / n).alias("avg_near"))
 

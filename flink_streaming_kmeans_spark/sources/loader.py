@@ -53,11 +53,13 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     so any conversion drift fails preflight loudly.
 
     Falls back to the plain row-list path if the Arrow conversion
-    rejects the values (e.g. exotic nested types), and — the one
-    silent hazard — when a float/double field carries a None: pandas
-    materializes it as NaN, which Arrow would then ship as NaN, NOT
-    as SQL NULL (the row-list path preserves NULL). No current call
-    site passes null floats; the guard keeps a future one correct.
+    rejects the values (e.g. exotic nested types), and — the silent
+    hazards — when a float/double field carries a None OR a NaN:
+    pandas uses NaN as its missing-value sentinel in both directions,
+    so a None becomes NaN and (the r6 NaN-sweep find, via
+    q_stream_tumble) a REAL NaN becomes SQL NULL on conversion. The
+    row-list path preserves both faithfully; the guard routes any
+    row set containing either through it.
     """
     import pandas as pd
 
@@ -72,7 +74,9 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         for i, f in enumerate(struct.fields)
         if isinstance(f.dataType, (DoubleType, FloatType))
     ]
-    if any(r[i] is None for r in rows for i in float_idx):
+    if any(
+        r[i] is None or r[i] != r[i] for r in rows for i in float_idx
+    ):
         return spark.createDataFrame(rows, schema)
     try:
         pdf = pd.DataFrame.from_records(
