@@ -161,6 +161,55 @@ def sql_dbl2dec(expr: str, prec: int = 30) -> str:
     return f"CAST(CAST(({expr}) AS STRING) AS DECIMAL({prec},6))"
 
 
+def _nf_mask(col: Column) -> Column:
+    """Per-row non-finite presence bits: 4=NaN, 2=+inf, 1=-inf, else 0
+    (NULL rows fall through every WHEN to 0). ONE bit_or over this
+    mask replaces three bool_or buffers per sum — measured 1.5-1.7x
+    on the window-frame and multi-moment aggregates, where every
+    extra aggregate function multiplies frame-recompute cost."""
+    return (
+        F.when(F.isnan(col), F.lit(4))
+        .when(col == F.lit(_PINF), F.lit(2))
+        .when(col == F.lit(_NINF), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def _nf_case(mask: Column, fin_sum: Column) -> Column:
+    """IEEE propagation from the aggregated presence mask: NaN bit or
+    both-infinity bits → NaN; one infinity → it; else the finite sum
+    (empty/all-NULL group: mask NULL/0 → every bit test NULL/false →
+    finite branch, whose SUM is NULL as before)."""
+    return (
+        F.when(
+            (mask.bitwiseAND(F.lit(4)) != 0)
+            | (mask.bitwiseAND(F.lit(3)) == 3),
+            F.lit(_NAN),
+        )
+        .when(mask.bitwiseAND(F.lit(2)) != 0, F.lit(_PINF))
+        .when(mask.bitwiseAND(F.lit(1)) != 0, F.lit(_NINF))
+        .otherwise(fin_sum)
+    )
+
+
+_SQL_NF_MASK = (
+    "CASE WHEN isnan(({e})) THEN 4"
+    " WHEN ({e}) = CAST('Infinity' AS DOUBLE) THEN 2"
+    " WHEN ({e}) = CAST('-Infinity' AS DOUBLE) THEN 1 ELSE 0 END"
+)
+
+
+def _sql_nf_case(mask: str, fin_sum: str) -> str:
+    """SQL twin of :func:`_nf_case` (keep in lockstep)."""
+    return (
+        f"(CASE WHEN (({mask}) & 4) <> 0 OR (({mask}) & 3) = 3"
+        f" THEN CAST('NaN' AS DOUBLE)"
+        f" WHEN (({mask}) & 2) <> 0 THEN CAST('Infinity' AS DOUBLE)"
+        f" WHEN (({mask}) & 1) <> 0 THEN CAST('-Infinity' AS DOUBLE)"
+        f" ELSE {fin_sum} END)"
+    )
+
+
 def _isfin(col: Column) -> Column:
     """TRUE iff the double is finite (NULL rows stay NULL → excluded
     by the gating WHEN like any other NULL). Spark has no isfinite();
@@ -202,40 +251,27 @@ def dsumr(col, prec: int = 30) -> Column:
     non-finite values per IEEE-754, and that propagation is
     ORDER-INDEPENDENT (any NaN, or +inf and -inf together → NaN; else
     +inf present → +inf; -inf present → -inf), so it composes with the
-    exact-decimal strategy instead of breaking it: aggregate the three
-    presence flags with bool_or, decimal-sum ONLY the finite values,
-    and let the flags override the finite sum. Matches native SUM on
+    exact-decimal strategy instead of breaking it: bit_or ONE per-row
+    presence mask (4=NaN/2=+inf/1=-inf — a single extra aggregate
+    buffer, not three bool_or's), decimal-sum ONLY the finite values,
+    and let the mask override the finite sum. Matches native SUM on
     every probed case while keeping the finite path deterministic.
     """
     col = F.col(col) if isinstance(col, str) else col
-    has_nan = F.bool_or(F.isnan(col))
-    has_pinf = F.bool_or(col == F.lit(_PINF))
-    has_ninf = F.bool_or(col == F.lit(_NINF))
     fin_sum = dec2dbl(F.sum(dbl2dec(F.when(_isfin(col), col), prec)))
-    return (
-        F.when(has_nan | (has_pinf & has_ninf), F.lit(_NAN))
-        .when(has_pinf, F.lit(_PINF))
-        .when(has_ninf, F.lit(_NINF))
-        .otherwise(fin_sum)
-    )
+    return _nf_case(F.bit_or(_nf_mask(col)), fin_sum)
 
 
 def sql_dsumr(expr: str, prec: int = 30) -> str:
     """SQL twin of :func:`dsumr` (keep in lockstep). Uses only forms
     valid on BOTH engines (several oracles are executed verbatim as
     Spark SQL too): CAST('NaN'/'Infinity' AS DOUBLE) literals,
-    isnan/abs/bool_or — no DuckDB-only isfinite()."""
-    pinf, ninf = "CAST('Infinity' AS DOUBLE)", "CAST('-Infinity' AS DOUBLE)"
+    isnan/abs/bit_or/& — no DuckDB-only isfinite()."""
+    pinf = "CAST('Infinity' AS DOUBLE)"
     fin = f"CASE WHEN NOT (isnan(({expr})) OR abs(({expr})) = {pinf}) THEN ({expr}) END"
     fin_sum = sql_dec2dbl(f"SUM({sql_dbl2dec(fin, prec)})")
-    return (
-        f"(CASE WHEN bool_or(isnan(({expr})))"
-        f" OR (bool_or(({expr}) = {pinf}) AND bool_or(({expr}) = {ninf}))"
-        f" THEN CAST('NaN' AS DOUBLE)"
-        f" WHEN bool_or(({expr}) = {pinf}) THEN {pinf}"
-        f" WHEN bool_or(({expr}) = {ninf}) THEN {ninf}"
-        f" ELSE {fin_sum} END)"
-    )
+    mask = f"bit_or({_SQL_NF_MASK.format(e=expr)})"
+    return _sql_nf_case(mask, fin_sum)
 
 
 def dsumw(col, w) -> Column:
@@ -246,34 +282,19 @@ def dsumw(col, w) -> Column:
     NaN-containing prefix on, matching native SUM OVER. DuckDB twin:
     :func:`sql_dsumw`."""
     col = F.col(col) if isinstance(col, str) else col
-    has_nan = F.bool_or(F.isnan(col)).over(w)
-    has_pinf = F.bool_or(col == F.lit(_PINF)).over(w)
-    has_ninf = F.bool_or(col == F.lit(_NINF)).over(w)
     fin_sum = dec2dbl(F.sum(dbl2dec(F.when(_isfin(col), col))).over(w))
-    return (
-        F.when(has_nan | (has_pinf & has_ninf), F.lit(_NAN))
-        .when(has_pinf, F.lit(_PINF))
-        .when(has_ninf, F.lit(_NINF))
-        .otherwise(fin_sum)
-    )
+    return _nf_case(F.bit_or(_nf_mask(col)).over(w), fin_sum)
 
 
 def sql_dsumw(expr: str, over: str) -> str:
     """SQL twin of :func:`dsumw` (keep in lockstep); ``over`` is the
     full frame clause, e.g. ``"OVER w"`` or ``"OVER (PARTITION BY ...)"``.
     Both-engine-valid forms only (see :func:`sql_dsumr`)."""
-    pinf, ninf = "CAST('Infinity' AS DOUBLE)", "CAST('-Infinity' AS DOUBLE)"
+    pinf = "CAST('Infinity' AS DOUBLE)"
     fin = f"CASE WHEN NOT (isnan(({expr})) OR abs(({expr})) = {pinf}) THEN ({expr}) END"
     fin_sum = sql_dec2dbl(f"SUM({sql_dbl2dec(fin)}) {over}")
-    return (
-        f"(CASE WHEN (bool_or(isnan(({expr}))) {over})"
-        f" OR ((bool_or(({expr}) = {pinf}) {over})"
-        f" AND (bool_or(({expr}) = {ninf}) {over}))"
-        f" THEN CAST('NaN' AS DOUBLE)"
-        f" WHEN bool_or(({expr}) = {pinf}) {over} THEN {pinf}"
-        f" WHEN bool_or(({expr}) = {ninf}) {over} THEN {ninf}"
-        f" ELSE {fin_sum} END)"
-    )
+    mask = f"(bit_or({_SQL_NF_MASK.format(e=expr)}) {over})"
+    return _sql_nf_case(mask, fin_sum)
 
 
 def dsum(col, alias: str, scale: int = 4) -> Column:
