@@ -27,27 +27,68 @@ from .registry import register
 
 @register(
     "q_json_extract",
-    # json_valid guard (review r6): DuckDB's json_extract RAISES on a
-    # malformed props string where Spark's get_json_object returns
-    # NULL — one bad row in regenerated data would crash the oracle
-    # side instead of comparing. The guard pins both engines to
-    # NULL-on-malformed.
+    # The value contract (r6 JSON-edge sweep): $.k counts toward
+    # sum_k iff its extracted TEXT is the canonical decimal form of a
+    # BIGINT — everything else (float 1.7, boolean, 1e2, array,
+    # object, overflow, leading zeros) maps to NULL on BOTH engines.
+    # Naive CAST diverged or crashed on every one of those: Spark
+    # ANSI-raises on CAST('1.7'/'true'/'100.0' AS BIGINT) where
+    # DuckDB's JSON cast ROUNDS 1.7→2 and maps true→1; DuckDB
+    # normalizes a >64-bit integer to a double string where Spark
+    # keeps the digits; and json_extract (without _string) keeps
+    # quotes on string values where get_json_object strips them —
+    # json_extract_string matches Spark's text on every probed case.
+    # The round-trip check TRY_CAST(t)::VARCHAR = t is crash-free and
+    # engine-identical: every non-canonical text either try-casts to
+    # NULL (boolean/array/overflow) or fails the round-trip (1.7 →
+    # 2 ≠ '1.7'). json_valid guard as before (DuckDB json_extract
+    # RAISES on malformed input where get_json_object returns NULL).
+    # Parser-strictness gap (probed): DuckDB's yyjson accepts trailing
+    # commas and NaN/Infinity literals that Spark's Jackson rejects.
+    # NaN/Infinity texts already fail the integer round-trip on both
+    # engines, but a trailing-comma doc yields a value on DuckDB only
+    # — the oracle restores Jackson strictness by scanning for ',}' /
+    # ',]' in the doc's STRUCTURAL text only: drop backslash escape
+    # pairs, split on '"', keep the alternating outside-string
+    # segments (odd 1-based positions), strip whitespace, scan. A
+    # comma inside a string VALUE therefore cannot false-positive
+    # (pinned: the {"s": "a,}b", "k": 9} fixture row).
     oracle="""
+    WITH s AS (
+        SELECT event_type, props,
+               replace(replace(replace(replace(
+                   array_to_string(list_filter(
+                       string_split(replace(replace(props,
+                           '\\\\', ''), '\\"', ''), '"'),
+                       (seg, i) -> i % 2 = 1), ''),
+                   ' ', ''), chr(9), ''), chr(10), ''), chr(13), '') AS p0
+        FROM events
+    ), x AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                         AND NOT contains(p0, ',}')
+                         AND NOT contains(p0, ',]')
+                    THEN json_extract_string(props, '$.k') END AS t
+        FROM s
+    )
     SELECT event_type,
-           CAST(SUM(CAST(CASE WHEN json_valid(props)
-                              THEN json_extract(props, '$.k')
-                              ELSE NULL END AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN CAST(TRY_CAST(t AS BIGINT) AS VARCHAR) = t
+                         THEN TRY_CAST(t AS BIGINT) END) AS BIGINT) AS sum_k,
            COUNT(*) AS n_events
-    FROM events
+    FROM x
     GROUP BY event_type
     """,
 )
 def q_json_extract(spark, sf_dir):
     # props is a JSON string column ({"k": int}); extraction stays
-    # JVM-side (get_json_object), no Python in the path.
+    # JVM-side (get_json_object), no Python in the path. Value
+    # contract: see the oracle comment — k counts iff its text is a
+    # canonical BIGINT literal (try_cast round-trip, both engines).
     ev = load_table(spark, sf_dir, "events")
+    t = F.get_json_object("props", "$.k")
+    k = F.when(t.try_cast("long").cast("string") == t, t.try_cast("long"))
     return ev.groupBy("event_type").agg(
-        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.sum(k).alias("sum_k"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

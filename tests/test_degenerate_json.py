@@ -1,0 +1,153 @@
+"""Degenerate-regime parity for JSON edges in events.props (r6 sweep
+#9 — the JSON value/strictness domain no sweep had planted).
+
+q_json_extract's old form CAST(json value AS BIGINT) diverged or
+crashed on almost every non-integer value (probe 2026-08-15):
+
+- float 1.7: Spark ANSI CAST('1.7' AS BIGINT) RAISES; DuckDB's JSON
+  cast ROUNDS to 2. Boolean true: raise vs 1. 1e2: raise vs 100.
+- a >64-bit integer: Spark keeps the digits (overflow raise), DuckDB
+  normalizes to a double string ('1e+20'-ish).
+- string-typed "12": DuckDB json_extract keeps the quotes where
+  Spark's get_json_object strips them (json_extract_string matches).
+- array/object values: both crash the cast (asymmetric messages).
+
+The portable value contract: $.k counts toward sum_k iff its
+extracted TEXT is the canonical decimal form of a BIGINT — enforced
+by the crash-free round-trip TRY_CAST(t)::VARCHAR = t on both
+engines (floats/booleans/scientific/overflow/leading-zeros all fail
+it identically, whatever text each engine produced).
+
+Parser-strictness gap: DuckDB's yyjson accepts trailing commas and
+NaN/Infinity literals that Spark's Jackson rejects (json_valid says
+TRUE for '{"k":1,}'). NaN/Infinity texts fail the round-trip anyway;
+the trailing comma is structural, so the oracle scans for ',}'/',]'
+in the doc's outside-string text only (escape pairs dropped, split
+on '"', alternating segments) — a comma inside a string value cannot
+false-positive, and Jackson strictness is restored exactly for the
+sum-relevant case.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pytest
+from oracle import check_parity, make_duckdb
+
+from conftest import SF_SMOKE
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Every probed edge: value-type zoo, malformed docs, duplicate keys,
+# case-sensitive key miss, parser-leniency (trailing commas,
+# NaN/Infinity literals, 1e999), and the outside-string-scan pin
+# ({"s": "a,}b", "k": 9} must COUNT its k=9).
+PROPS_CASES = [
+    '{"k": 7}',
+    '{"k": "12"}',
+    '{"k": 1.7}',
+    '{"k": true}',
+    '{"k": null}',
+    '{"k": [1]}',
+    '{"k": {"x": 2}}',
+    '{"K": 5}',
+    '{"k":1,"k":2}',
+    "{}",
+    "[]",
+    "1",
+    "null",
+    "",
+    "   ",
+    "not json",
+    '{"k": 99999999999999999999}',
+    '{"k": -3}',
+    '{"k": 1e2}',
+    '{"k": 007}',
+    '{"k": 0}',
+    '{"k":1,}',
+    "[1,]",
+    '{"k":NaN}',
+    '{"k":Infinity}',
+    '{"k":1e999}',
+    '{"s": "a,}b", "k": 9}',
+    '{"s": "x,]y", "k": 4}',
+    None,
+]
+
+
+@pytest.fixture(scope="module")
+def json_sf(tmp_path_factory):
+    sf = str(tmp_path_factory.mktemp("degen_json"))
+    for t in TABLES:
+        shutil.copy(os.path.join(SF_SMOKE, f"{t}.parquet"),
+                    os.path.join(sf, f"{t}.parquet"))
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    vals = ", ".join(
+        f"(92{i:04d}::BIGINT, TIMESTAMP '2024-02-20 0{i % 10}:15:00',"
+        f" {200 + i}::BIGINT, 'json-edge', 1.0::DOUBLE, "
+        + ("NULL" if c is None else "'" + c.replace("'", "''") + "'")
+        + ")"
+        for i, c in enumerate(PROPS_CASES)
+    )
+    con.sql(
+        f"""COPY (SELECT * FROM '{sf}/events.parquet' UNION ALL BY NAME
+        SELECT * FROM (VALUES {vals})
+            v(event_id, ts, user_id, event_type, value, props))
+        TO '{sf}/_e.parquet' (FORMAT PARQUET)"""
+    )
+    os.replace(f"{sf}/_e.parquet", f"{sf}/events.parquet")
+    con.close()
+    yield sf
+
+
+@pytest.fixture(scope="module")
+def json_duck(json_sf):
+    con = make_duckdb(json_sf)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name", ["q_json_extract", "q_win_tumble", "q_evt_funnel"]
+)
+def test_degenerate_json_parity(spark, json_duck, registry, json_sf, name):
+    queries, oracles = registry
+    r = check_parity(
+        spark, json_duck, name, queries[name], oracles[name], json_sf
+    )
+    assert r.ok, (
+        f"{name} diverges on JSON-edge input: rows={r.rows_match} "
+        f"schema={r.schema_match} hash={r.hash_match}\n{r.detail}"
+    )
+
+
+def test_integer_contract_sum(spark, registry, json_sf):
+    """The json-edge group sums exactly the canonical-integer values:
+    7 + 12("12") - 3 + 0 + 9(a,}b doc) + 4(x,]y doc) + 1(dup-key
+    first-wins) = 30; the trailing-comma doc's k=1 is NOT counted
+    (Jackson-strict), nor floats/booleans/1e2/overflow/007."""
+    import pyspark.sql.functions as F
+
+    queries, _ = registry
+    row = (
+        queries["q_json_extract"](spark, json_sf)
+        .where(F.col("event_type") == "json-edge")
+        .collect()[0]
+    )
+    assert row["sum_k"] == 30
+    assert row["n_events"] == len(PROPS_CASES)
