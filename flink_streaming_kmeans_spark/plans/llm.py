@@ -81,8 +81,18 @@ _SHINGLES_CTE = """
                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                )) AS shingles
         FROM toks WHERE len(w) >= 3
+    ), exr AS (
+        -- DISTINCT per DOC, not per row: a document is identified by
+        -- doc_id, and under duplicate doc_id rows its shingle set is
+        -- the distinct UNION over its rows — the Spark side's
+        -- dropDuplicates([doc_id, s]) semantics (r6 doctored-documents
+        -- sweep: per-row unnest fanned doc 1's shingles and forked
+        -- q_text_decontaminate's hit counts).
+        SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
     ), ex AS (
-        SELECT doc_id, unnest(shingles) AS s, len(shingles) AS ns FROM sh
+        SELECT doc_id, s,
+               COUNT(*) OVER (PARTITION BY doc_id) AS ns
+        FROM exr
     )
 """
 
