@@ -52,29 +52,54 @@ def l2_norm(a) -> Column:
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
 
 
-def emb_finite(col) -> Column:
-    """TRUE iff the embedding is non-NULL and EVERY element is a
-    finite, non-NULL float — the vector-op participation contract.
-    Extends the NULL-embedding law (r6 NULL sweep) per the r6 NaN/Inf
-    sweep: one stored NaN/±inf element turns every dot product, norm,
-    and quantization bucket it touches non-finite, crashing integer
-    bucket casts on one engine and not the other. A vector with a
-    non-finite coordinate is a data-quality violation, not a point in
-    the space — both engines exclude it, in lockstep. SQL twin:
-    :func:`sql_emb_finite` (DuckDB list lambda — oracle-side only;
-    every Spark twin filters with THIS function)."""
+EMB_DIM = 64
+EMB_BOUND = 1e6
+
+
+def emb_finite(col, dim: int = EMB_DIM, bound: float = EMB_BOUND) -> Column:
+    """TRUE iff the embedding is a valid point of the vector space —
+    the vector-op participation contract: non-NULL, exactly ``dim``
+    elements, every element a finite non-NULL float with |x| <=
+    ``bound``. Built up across three r6 sweeps:
+
+    - NULL embeddings (NULL sweep): a NULL vector crashed DuckDB's
+      list_inner_product through a NULL-element centroid.
+    - NaN/±inf elements (NaN sweep): one poisons every dot/norm and
+      crashes integer bucket casts on one engine only.
+    - wrong-LENGTH and huge-MAGNITUDE vectors (doctored-embeddings
+      sweep): DuckDB's list_inner_product ERRORS on a length mismatch
+      where Spark's zip_with silently NULL-pads; and a finite 1e30
+      element overflows the floor(x*1e6+0.5) BIGINT quantization grid
+      and the DECIMAL product capacity the determinism layer relies
+      on. |x| <= 1e6 keeps x*1e6 within BIGINT and x*y within
+      DECIMAL(30,6)'s integer digits for any realistic corpus sum.
+
+    A vector violating any of these is a data-quality violation, not
+    a point in the space — both engines exclude it, in lockstep. SQL
+    twin: :func:`sql_emb_finite` (DuckDB list lambda — oracle-side
+    only; every Spark twin filters with THIS function)."""
     col = F.col(col) if isinstance(col, str) else col
-    return col.isNotNull() & F.forall(
-        col,
-        lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(_PINF)),
+    return (
+        col.isNotNull()
+        & (F.size(col) == F.lit(dim))
+        & F.forall(
+            col,
+            lambda x: x.isNotNull()
+            & ~F.isnan(x)
+            & (F.abs(x) <= F.lit(bound)),
+        )
     )
 
 
-def sql_emb_finite(expr: str = "embedding") -> str:
+def sql_emb_finite(
+    expr: str = "embedding", dim: int = EMB_DIM, bound: float = EMB_BOUND
+) -> str:
     """DuckDB twin of :func:`emb_finite` (keep in lockstep)."""
     return (
-        f"(({expr}) IS NOT NULL AND len(list_filter(({expr}),"
-        f" x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0)"
+        f"(({expr}) IS NOT NULL AND len(({expr})) = {dim}"
+        f" AND len(list_filter(({expr}),"
+        f" x -> x IS NULL OR isnan(x) OR NOT isfinite(x)"
+        f" OR abs(x) > {bound})) = 0)"
     )
 
 

@@ -177,11 +177,19 @@ def q_text_surprisal(spark, sf_dir):
         SELECT dim, MIN(qi) AS lo, MAX(qi) AS hi FROM ex GROUP BY dim
     )
     SELECT vec_id,
+           -- ORDER BY dim, bucket: under a DUPLICATE vec_id carrying
+           -- two different vectors, dim alone leaves the within-dim
+           -- order engine-defined; the numeric bucket tiebreak
+           -- matches Spark's array_sort over struct(dim, qb)
+           -- (doctored-embeddings sweep, r6)
            string_agg(
                CAST(CASE WHEN hi = lo THEN 0
                          ELSE (2 * 255 * (qi - lo) + (hi - lo))
                               // (2 * (hi - lo)) END AS VARCHAR),
-               ',' ORDER BY dim) AS q8
+               ',' ORDER BY dim,
+                        CASE WHEN hi = lo THEN 0
+                             ELSE (2 * 255 * (qi - lo) + (hi - lo))
+                                  // (2 * (hi - lo)) END) AS q8
     FROM ex JOIN st USING (dim)
     GROUP BY vec_id
     """,

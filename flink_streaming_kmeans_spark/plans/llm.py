@@ -370,13 +370,17 @@ def q_dedup_lsh(spark, sf_dir):
 @register(
     "q_sim_knn",
     oracle=f"""
-    WITH q AS (
+    WITH embk AS (
+        -- vector-op participation gate (doctored-embeddings sweep r6)
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {sql_emb_finite('embedding')}
+    ), q AS (
         SELECT vec_id AS query_id, embedding AS qemb
-        FROM embeddings WHERE vec_id < 10
+        FROM embk WHERE vec_id < 10
     ), scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                list_inner_product(e.embedding::DOUBLE[], q.qemb::DOUBLE[]) AS sim
-        FROM embeddings e CROSS JOIN q
+        FROM embk e CROSS JOIN q
         WHERE e.vec_id <> q.query_id
     ), ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -390,7 +394,9 @@ def q_dedup_lsh(spark, sf_dir):
 def q_sim_knn(spark, sf_dir):
     """Exact top-5 cosine neighbors for the 10 probe vectors
     (brute-force baseline: probes broadcast against one corpus scan)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        emb_finite("embedding")  # vector-op contract (r6 sweeps)
+    )
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")
     )

@@ -195,21 +195,34 @@ def q_try_arith(spark, sf_dir):
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            {sql_mround('embedding[1]::DOUBLE')} AS first_val,
-           {sql_mround("sqrt(list_aggregate("
+           {sql_mround("CASE WHEN embedding IS NULL THEN NULL"
+                       " WHEN len(embedding) = 0 THEN 0.0"
+                       " ELSE sqrt(list_aggregate("
                        "list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),"
-                       " 'sum'))")} AS l2
+                       " 'sum')) END")} AS l2
     FROM embeddings
     """,
 )
 def q_array_funcs(spark, sf_dir):
     """Vector arithmetic via higher-order functions (Feature.java
     analog). mround, not native ROUND: float components are dyadic
-    doubles that land exactly on 4-decimal midpoints (review r6)."""
+    doubles that land exactly on 4-decimal midpoints (review r6).
+
+    This is the ARRAY-function showcase, not a vector-space op, so it
+    handles ANY array instead of gating on emb_finite — which needs
+    two degenerate-shape agreements stated explicitly (r6
+    doctored-embeddings sweep): element 1 of an EMPTY array is NULL
+    (DuckDB's [1]) and Spark ANSI element_at RAISES — try_element_at
+    matches; and the l2 of an empty array is 0.0 (Spark's fold seed)
+    where DuckDB's list_aggregate of an empty list is NULL — the
+    oracle CASE states the 0.0, keeping NULL for a NULL array."""
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        mround(F.element_at("embedding", 1).cast("double")).alias("first_val"),
+        mround(
+            F.try_element_at("embedding", F.lit(1)).cast("double")
+        ).alias("first_val"),
         mround(l2_norm("embedding")).alias("l2"),
     )
 

@@ -107,9 +107,14 @@ def q_dedup_simhash(spark, sf_dir):
 @register(
     "q_dedup_embed",
     oracle=f"""
+    WITH emb2 AS (
+        -- vector-op participation gate (doctored-embeddings sweep r6)
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {sql_emb_finite('embedding')}
+    )
     SELECT a.vec_id AS vec_id1, b.vec_id AS vec_id2,
            {sql_mround('list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])')} AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
     WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
     """,
 )
@@ -117,7 +122,9 @@ def q_dedup_embed(spark, sf_dir):
     """Embedding-cosine near-dup pairs (cosine >= 0.4 on unit vectors
     == dot). Brute-force all-pairs BASELINE for oracle verification —
     the scale path is q_sim_ann's LSH bucketing (same re-rank)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").where(
+        emb_finite("embedding")  # vector-op contract (r6 sweeps)
+    )
     # Probe side fanned out so the nested-loop pair evaluation uses
     # all cores. The broadcast build side is the SAME unbounded table
     # as the probe side — acceptable ONLY because this query is the

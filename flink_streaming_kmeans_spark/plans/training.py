@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCK_H60, SPARK_H60
-from ..functions.vector import davg, dsum, dsumr, fin, mround, sql_davg, sql_dsum, sql_fin, sql_mround
+from ..functions.vector import davg, dsum, dsumr, emb_finite, fin, mround, sql_davg, sql_dsum, sql_emb_finite, sql_fin, sql_mround
 from ..sources.loader import _tmp_out, fan_out, load_table, local_df
 from ..sources.replay import batch_input_dir, run_available_now, time_batch_col
 from .registry import register
@@ -158,7 +158,9 @@ def q_curriculum_order(spark, sf_dir):
                ' * embedding[CAST(r2.range AS INT) + 1]::DOUBLE',
                'm_ij',
            )}
-    FROM embeddings CROSS JOIN range(64) r1 CROSS JOIN range(64) r2
+    FROM (SELECT embedding FROM embeddings
+          WHERE {sql_emb_finite('embedding')}) e
+    CROSS JOIN range(64) r1 CROSS JOIN range(64) r2
     WHERE r1.range <= r2.range
     GROUP BY r1.range, r2.range
     """,
@@ -189,7 +191,11 @@ def q_emb_gram(spark, sf_dir):
     fan_out restores parallelism over the single-file local scan (the
     2,080-products-per-row compute is exactly its use case); decimal
     summation keeps the result partition-count-independent."""
-    e = fan_out(load_table(spark, sf_dir, "embeddings"))
+    e = fan_out(
+        load_table(spark, sf_dir, "embeddings").where(
+            emb_finite("embedding")  # vector-op contract (r6 sweeps)
+        )
+    )
     x = e.select(
         F.posexplode("embedding").alias("i0", "vi"), "embedding"
     ).select(
