@@ -103,6 +103,51 @@ def sql_emb_finite(
     )
 
 
+TS_DOMAIN_MIN = "1970-01-02"
+TS_DOMAIN_MAX = "2200-01-01"
+
+
+def ts_valid(col) -> Column:
+    """TRUE iff the event time is inside the engine's event-time
+    domain [1970-01-02, 2200-01-01) — the time-operator participation
+    contract, extending law 3 (a NULL ts is un-windowable) to
+    out-of-domain timestamps (r6 extreme-timestamp sweep). The floor
+    is the EPOCH plus a day of headroom because Structured
+    Streaming's initial event-time watermark IS the epoch (measured:
+    a 1969-12-31 23:59:59 event is born late and silently dropped by
+    every watermarked aggregation, and dropDuplicatesWithinWatermark
+    expires an event AT exactly 1970-01-01T00:00:00 too, while the
+    batch twins keep both — pre-epoch event time cannot round-trip
+    the streaming engine at all). The rest of the domain
+    sits inside every other technical boundary the time operators
+    cross: Spark's Python-interop conversion crashes below 0001-01-03
+    ('year 0 is out of range' — the Julian-rebase floor, so one
+    ancient row kills any collect that returns it); pandas' ns epoch
+    (the applyInPandas NFA/state paths) ends 1677-2262; the streaming
+    drives' sentinel arithmetic needs calendar headroom past max(ts)
+    (a year-9999 event makes the append-mode flush IMPOSSIBLE — no
+    later timestamp exists); and gap-fill materializes the min-to-max
+    range (one outlier row = millions of fabricated rows). An event
+    stamped outside [1970-01-02, 2200) is a data-quality violation — both
+    engines exclude it from time-deriving operators, in lockstep.
+    SQL twin: :func:`sql_ts_valid`."""
+    col = F.col(col) if isinstance(col, str) else col
+    return (col >= F.lit(TS_DOMAIN_MIN).cast("timestamp")) & (
+        col < F.lit(TS_DOMAIN_MAX).cast("timestamp")
+    )
+
+
+def sql_ts_valid(expr: str = "ts") -> str:
+    """SQL twin of :func:`ts_valid` (keep in lockstep; NULL-safe —
+    a NULL ts fails both comparisons, subsuming law 3's filter in
+    WHERE contexts, though oracles keep stating IS NOT NULL for
+    clarity)."""
+    return (
+        f"(({expr}) >= TIMESTAMP '{TS_DOMAIN_MIN}'"
+        f" AND ({expr}) < TIMESTAMP '{TS_DOMAIN_MAX}')"
+    )
+
+
 def mround(col, scale: int = 4) -> Column:
     """Matched round: ``floor(x*10^s + 0.5)/10^s`` — engine-independent.
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.vector import dsum, sql_dsum, sql_dsumw
+from ..functions.vector import dsum, sql_dsum, sql_dsumw, sql_ts_valid, ts_valid
 from ..sources.loader import load_table
 from .registry import register
 
@@ -99,7 +99,7 @@ def q_json_extract(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS win_start,
            COUNT(*) AS n_events,
            {sql_dsum('value', 'sum_value')}
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND {sql_ts_valid('ts')}
     GROUP BY date_trunc('hour', ts)
     """,
 )
@@ -110,7 +110,7 @@ def q_win_tumble(spark, sf_dir):
     # ts explicitly: Spark's F.window drops NULL event times
     # structurally (un-windowable), where bare SQL GROUP BY would emit
     # a NULL-bucket row (NULL-events adversarial sweep, r6).
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts"))
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
@@ -125,7 +125,7 @@ def q_win_tumble(spark, sf_dir):
         -- ts IS NOT NULL: F.window drops NULL event times structurally
         -- (NULL-events adversarial sweep, r6)
         SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5, value
-        FROM events WHERE ts IS NOT NULL
+        FROM events WHERE ts IS NOT NULL AND {sql_ts_valid('ts')}
     ), slides AS (
         -- each event belongs to exactly 10min/5min = 2 sliding windows:
         -- the one starting at its 5-minute bucket and the one 5 minutes
@@ -141,7 +141,7 @@ def q_win_tumble(spark, sf_dir):
     """,
 )
 def q_win_slide(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts"))
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
@@ -151,7 +151,7 @@ def q_win_slide(spark, sf_dir):
 
 @register(
     "q_win_session",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
         -- ts IS NOT NULL: session_window drops NULL event times
         -- structurally (NULL-events adversarial sweep, r6)
@@ -159,7 +159,7 @@ def q_win_slide(spark, sf_dir):
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
-        FROM events WHERE ts IS NOT NULL
+        FROM events WHERE ts IS NOT NULL AND {sql_ts_valid('ts')}
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id, ts,
@@ -182,7 +182,10 @@ def q_win_session(spark, sf_dir):
     # never land exactly on the gap). The oracle's gaps-and-islands
     # flag therefore opens a new session only when the gap EXCEEDS
     # 30 minutes; boundary pinned in tests/test_streaming.py.
-    ev = load_table(spark, sf_dir, "events")
+    # ts_valid: event-time domain gate (r6 extreme-timestamp sweep) —
+    # session_start RETURNS the raw (second-trunc) timestamp, and a
+    # pre-0001-01-03 value crashes the Python-interop conversion.
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts"))
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -275,21 +278,26 @@ def q_evt_funnel(spark, sf_dir):
 @register(
     "q_ts_gapfill",
     oracle=f"""
-    WITH bounds AS (
+    WITH ev AS (
+        -- event-time domain gate (r6 extreme-timestamp sweep): ONE
+        -- out-of-domain outlier row otherwise inflates the generated
+        -- grid to the whole calendar (millions of fabricated rows)
+        SELECT * FROM events WHERE {sql_ts_valid('ts')}
+    ), bounds AS (
         SELECT date_trunc('hour', MIN(ts)) AS lo,
                date_trunc('hour', MAX(ts)) AS hi
-        FROM events
+        FROM ev
     ), hours AS (
         SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
         FROM bounds
     ), types AS (
-        SELECT DISTINCT event_type FROM events
+        SELECT DISTINCT event_type FROM ev
     ), grid AS (
         SELECT h, event_type FROM hours CROSS JOIN types
     ), agg AS (
         SELECT date_trunc('hour', ts) AS h, event_type,
                COUNT(*) AS n, {sql_dsum('value', 'sv')}
-        FROM events GROUP BY 1, 2
+        FROM ev GROUP BY 1, 2
     )
     SELECT g.h AS win_start, g.event_type,
            COALESCE(a.n, 0) AS n_events,
@@ -306,7 +314,7 @@ def q_ts_gapfill(spark, sf_dir):
     min/max aggregate (broadcast); grid⋈agg is an equi-join on
     (hour, type). Grid size is time-span × type-cardinality — plan it
     like a dimension table, it never scales with event volume."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts"))
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -337,10 +345,12 @@ def q_ts_gapfill(spark, sf_dir):
            CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_10m,
            {{dsum_over_w}}
     FROM events
+    WHERE {{tsv}}
     WINDOW w AS (PARTITION BY user_id ORDER BY ts
                  RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)
     """.format(
-        dsum_over_w=f"{sql_dsumw('value', 'OVER w')} AS sum_value_10m"
+        dsum_over_w=f"{sql_dsumw('value', 'OVER w')} AS sum_value_10m",
+        tsv=sql_ts_valid("ts"),
     ),
 )
 def q_win_time_range(spark, sf_dir):
@@ -350,7 +360,7 @@ def q_win_time_range(spark, sf_dir):
     aggregate. Partitioned by user_id (high-cardinality, uniform), so
     unlike coarse-key range frames (SCALE.md finding 2) the per-key
     frame density is bounded by a user's own 10-minute event rate."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts"))
     # SQL frame spec: the DataFrame rangeBetween API takes raw longs,
     # which for timestamps means remembering the internal microsecond
     # encoding — the INTERVAL literal form is explicit and readable.
@@ -406,7 +416,7 @@ def q_rollup_time(spark, sf_dir):
 
 @register(
     "q_scd2_intervals",
-    oracle="""
+    oracle=f"""
     SELECT user_id, event_type AS state,
            date_trunc('second', ts) AS valid_from,
            date_trunc('second',
@@ -417,6 +427,7 @@ def q_rollup_time(spark, sf_dir):
                            ORDER BY ts NULLS LAST, event_id) IS NULL)
                AS is_current
     FROM events
+    WHERE ts IS NULL OR {sql_ts_valid('ts')}
     """,
 )
 def q_scd2_intervals(spark, sf_dir):
@@ -432,7 +443,14 @@ def q_scd2_intervals(spark, sf_dir):
     interval in its user's chain; NULL-events adversarial sweep, r6)."""
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events")
+    # Event-time domain gate (r6 extreme-timestamp sweep): the
+    # interval columns RETURN the raw (second-trunc) timestamps, and a
+    # pre-0001-01-03 value crashes Spark's Python-interop conversion
+    # at collect. NULL-ts rows stay (their NULLS LAST chain position
+    # is part of this query's pinned semantics).
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNull() | ts_valid("ts")
+    )
     w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     nxt = F.lead("ts").over(w)
     return ev.select(

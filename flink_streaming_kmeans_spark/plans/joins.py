@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.vector import dsum, sql_dsum
+from ..functions.vector import dsum, sql_dsum, sql_ts_valid, ts_valid
 from ..sources.loader import fan_out, load_table
 from .registry import register
 
@@ -163,13 +163,18 @@ def q_join_theta(spark, sf_dir):
 @register(
     "q_join_range",
     oracle=f"""
-    WITH hours AS (
-        SELECT DISTINCT date_trunc('hour', ts) AS bstart FROM events
+    WITH ev AS (
+        -- event-time domain gate (r6 extreme-timestamp sweep): a
+        -- pre-0001-01-03 bstart crashes Spark's Python-interop
+        -- conversion at collect; see functions/vector.ts_valid
+        SELECT ts, value FROM events WHERE {sql_ts_valid('ts')}
+    ), hours AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS bstart FROM ev
     ), b AS (
         SELECT bstart, bstart + INTERVAL 90 MINUTE AS bend FROM hours
     )
     SELECT b.bstart, COUNT(*) AS n_events, {sql_dsum('e.value', 'sum_value')}
-    FROM events e JOIN b ON e.ts >= b.bstart AND e.ts < b.bend
+    FROM ev e JOIN b ON e.ts >= b.bstart AND e.ts < b.bend
     GROUP BY b.bstart
     """,
 )
@@ -189,7 +194,9 @@ def q_join_range(spark, sf_dir):
     partition and BNLJ inherits probe parallelism (fan_out, 10 s → 6
     s), and a timestamp_ntz probe column puts a per-row cast inside
     the 72M-evaluation condition (normalized in the loader)."""
-    ev = fan_out(load_table(spark, sf_dir, "events"))
+    ev = fan_out(
+        load_table(spark, sf_dir, "events").where(ts_valid("ts"))
+    )
     hours = ev.select(F.date_trunc("hour", "ts").alias("bstart")).distinct()
     b = hours.select(
         "bstart", (F.col("bstart") + F.expr("INTERVAL 90 MINUTES")).alias("bend")
@@ -205,13 +212,18 @@ def q_join_range(spark, sf_dir):
 @register(
     "q_join_range_binned",
     oracle=f"""
-    WITH hours AS (
-        SELECT DISTINCT date_trunc('hour', ts) AS bstart FROM events
+    WITH ev AS (
+        -- event-time domain gate (r6 extreme-timestamp sweep): a
+        -- pre-0001-01-03 bstart crashes Spark's Python-interop
+        -- conversion at collect; see functions/vector.ts_valid
+        SELECT ts, value FROM events WHERE {sql_ts_valid('ts')}
+    ), hours AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS bstart FROM ev
     ), b AS (
         SELECT bstart, bstart + INTERVAL 90 MINUTE AS bend FROM hours
     )
     SELECT b.bstart, COUNT(*) AS n_events, {sql_dsum('e.value', 'sum_value')}
-    FROM events e JOIN b ON e.ts >= b.bstart AND e.ts < b.bend
+    FROM ev e JOIN b ON e.ts >= b.bstart AND e.ts < b.bend
     GROUP BY b.bstart
     """,
 )
@@ -224,7 +236,7 @@ def q_join_range_binned(spark, sf_dir):
     join — tests/test_plans.py asserts no nested-loop), so it scales
     with |events| instead of |events|x|buckets| and AQE can re-plan it
     — the rewrite every interval/range join needs at scale."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).withColumn(
         "bin", F.date_trunc("hour", "ts")
     )
     hours = ev.select(F.col("bin").alias("bstart")).distinct()

@@ -22,7 +22,7 @@ from datetime import timedelta
 
 from pyspark.sql import functions as F
 
-from ..functions.vector import dsum, sql_dsum
+from ..functions.vector import dsum, sql_dsum, sql_ts_valid, ts_valid
 from ..sources.loader import _tmp_out, load_table, local_df
 from ..sources.replay import (
     append_batch,
@@ -44,7 +44,7 @@ from .registry import register
     oracle=f"""
     WITH buckets AS (
         SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS b5, value
-        FROM events WHERE ts IS NOT NULL
+        FROM events WHERE ts IS NOT NULL AND {sql_ts_valid('ts')}
     ), slides AS (
         SELECT b5 AS win_start, value FROM buckets
         UNION ALL
@@ -78,7 +78,15 @@ def q_stream_slide(spark, sf_dir):
     horizon, evicted continuously; the standard overlapping-window
     monitoring shape. The decimal(30,6) sum keeps the emitted double
     bit-identical to the batch twin regardless of arrival order."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        # event-time domain gate (r6 extreme-timestamp sweep): the
+        # sentinel needs calendar headroom past max(ts), and the
+        # watermark/pandas machinery has real boundaries — see
+        # functions/vector.ts_valid
+        .where(ts_valid("ts"))
+        .select("event_id", "ts", "value")
+    )
     stats = ev.agg(
         F.max("ts").alias("m"), F.count(F.lit(1)).alias("cnt")
     ).collect()[0]

@@ -44,7 +44,7 @@ import os
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import emb_finite, mround, sql_dsumr, sql_mround
+from ..functions.vector import emb_finite, mround, sql_dsumr, sql_mround, sql_ts_valid, ts_valid
 from ..sources.loader import _tmp_out, load_table, local_df
 from ..sources.replay import (
     append_batch,
@@ -72,7 +72,7 @@ _run_available_now = run_available_now
     oracle=f"""
     SELECT event_id, date_trunc('second', ts) AS ts_s,
            {sql_mround('value')} AS value
-    FROM events
+    FROM events WHERE {sql_ts_valid('ts')}
     """,
 )
 def q_stream_dedup(spark, sf_dir):
@@ -89,7 +89,10 @@ def q_stream_dedup(spark, sf_dir):
     horizon; the watermark evicts state continuously — the standard
     exactly-once ingestion shape for at-least-once sources at 100 TB.
     """
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    # ts_valid: event-time domain gate (r6 extreme-timestamp sweep)
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
+        "event_id", "ts", "value"
+    )
     dups = ev.where(F.col("event_id") % 7 == 0)
     d = _tmp_out("stream_dedup", sf_dir)
     in_dir = _write_time_batches(ev.unionAll(dups), d, 3)
@@ -124,12 +127,13 @@ def q_stream_dedup(spark, sf_dir):
 
 @register(
     "q_stream_join",
-    oracle="""
+    oracle=f"""
     SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id
     FROM events p JOIN events c
       ON p.user_id = c.user_id
      AND p.event_type = 'purchase' AND c.event_type = 'click'
      AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    WHERE {sql_ts_valid('p.ts')} AND {sql_ts_valid('c.ts')}
     """,
 )
 def q_stream_join(spark, sf_dir):
@@ -146,7 +150,8 @@ def q_stream_join(spark, sf_dir):
     eviction is continuous. The equivalent batch plan at 100 TB is the
     binned range join (q_join_range_binned); this is its streaming
     face."""
-    ev = load_table(spark, sf_dir, "events").select(
+    # ts_valid: event-time domain gate (r6 extreme-timestamp sweep)
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
         "event_id", "user_id", "event_type", "ts"
     )
     d = _tmp_out("stream_join", sf_dir)
@@ -388,7 +393,7 @@ def q_kmeans_stream_reassign(spark, sf_dir):
     # Oracle: identical to q_win_session's (plans/events.py) — the
     # batch gaps-and-islands sessionization the streaming state must
     # converge to.
-    oracle="""
+    oracle=f"""
     WITH marked AS (
         -- ts IS NOT NULL: session_window drops NULL event times
         -- structurally (lockstep with q_win_session's oracle;
@@ -397,7 +402,7 @@ def q_kmeans_stream_reassign(spark, sf_dir):
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_s
-        FROM events WHERE ts IS NOT NULL
+        FROM events WHERE ts IS NOT NULL AND {sql_ts_valid('ts')}
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
         SELECT user_id, ts,
@@ -441,7 +446,11 @@ def q_stream_session(spark, sf_dir):
     """
     from datetime import timedelta
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # ts_valid: event-time domain gate (r6 extreme-timestamp sweep);
+    # also what makes the sentinel arithmetic (max + 3d) safe
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
+        "user_id", "ts", "event_id"
+    )
     stats = ev.agg(
         F.max("ts").alias("m"), F.count(F.lit(1)).alias("cnt")
     ).collect()[0]
@@ -739,9 +748,10 @@ def q_stream_hll(spark, sf_dir):
 
 @register(
     "q_stream_join_left",
-    oracle="""
+    oracle=f"""
     SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id
-    FROM events p LEFT JOIN events c
+    FROM (SELECT * FROM events WHERE {sql_ts_valid('ts')}) p
+    LEFT JOIN (SELECT * FROM events WHERE {sql_ts_valid('ts')}) c
       ON p.user_id = c.user_id
      AND c.event_type = 'click'
      AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
@@ -775,7 +785,9 @@ def q_stream_join_left(spark, sf_dir):
     monitor)."""
     from datetime import timedelta
 
-    ev = load_table(spark, sf_dir, "events").select(
+    # ts_valid: event-time domain gate (r6 extreme-timestamp sweep);
+    # also what makes the sentinel arithmetic (max + 3d) safe
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
         "event_id", "user_id", "event_type", "ts"
     )
     stats = ev.agg(

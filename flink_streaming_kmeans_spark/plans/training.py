@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCK_H60, SPARK_H60
-from ..functions.vector import davg, dsum, dsumr, emb_finite, fin, mround, sql_davg, sql_dsum, sql_emb_finite, sql_fin, sql_mround
+from ..functions.vector import davg, dsum, dsumr, emb_finite, fin, mround, sql_davg, sql_dsum, sql_emb_finite, sql_fin, sql_mround, sql_ts_valid, ts_valid
 from ..sources.loader import _tmp_out, fan_out, load_table, local_df
 from ..sources.replay import batch_input_dir, run_available_now, time_batch_col
 from .registry import register
@@ -304,7 +304,7 @@ def q_evt_histogram(spark, sf_dir):
     SELECT date_trunc('hour', ts) AS win_start,
            COUNT(*) AS n_events,
            {sql_dsum('value', 'sum_value')}
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND {sql_ts_valid('ts')}
     GROUP BY date_trunc('hour', ts)
     """,
 )
@@ -333,7 +333,9 @@ def q_stream_tumble(spark, sf_dir):
     drive-side scaffolding, not the operator.)"""
     import os
 
-    ev = load_table(spark, sf_dir, "events").select(
+    # event-time domain gate (r6 extreme-timestamp sweep): the
+    # streaming machinery has real time boundaries — see ts_valid
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
         "event_id", "ts", "value"
     )
     d = _tmp_out("stream_tumble", sf_dir)
