@@ -31,9 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import emb_finite
+from ..functions.vector import dot64, emb_finite
 
-from ..functions.vector import dot64
 
 _MOMENTS_SCHEMA = (
     "n bigint, s array<double>, xtx array<double>"

@@ -13,18 +13,14 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import (
     davg,
-    dbl2dec,
-    dec2dbl,
     dsum,
     dsumr,
     fin,
-    sql_fin,
     mround,
     sql_davg,
-    sql_dbl2dec,
-    sql_dec2dbl,
     sql_dsum,
     sql_dsumr,
+    sql_fin,
     sql_mround,
 )
 from ..sources.loader import fan_out, load_table

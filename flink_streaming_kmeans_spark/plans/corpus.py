@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import dec2dbl, dsum, dsumr, emb_finite, mround, sql_dsum, sql_dsumr, sql_emb_finite, sql_mround
+from ..functions.vector import dsum, dsumr, emb_finite, mround, sql_dsum, sql_dsumr, sql_emb_finite, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 

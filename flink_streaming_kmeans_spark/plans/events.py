@@ -55,12 +55,18 @@ from .registry import register
     # (pinned: the {"s": "a,}b", "k": 9} fixture row).
     oracle="""
     WITH s AS (
+        -- outside-string segments joined with chr(1), NOT '': an
+        -- empty join fabricates ',]' from the ',' before a string
+        -- element and the ']' after it (review r6 — a valid
+        -- {"t": ["a","b"]} doc was wrongly discarded); the separator
+        -- keeps structural adjacency honest while any non-structural
+        -- char works, since scanned patterns are 2 chars long
         SELECT event_type, props,
                replace(replace(replace(replace(
                    array_to_string(list_filter(
                        string_split(replace(replace(props,
                            '\\\\', ''), '\\"', ''), '"'),
-                       (seg, i) -> i % 2 = 1), ''),
+                       (seg, i) -> i % 2 = 1), chr(1)),
                    ' ', ''), chr(9), ''), chr(10), ''), chr(13), '') AS p0
         FROM events
     ), x AS (

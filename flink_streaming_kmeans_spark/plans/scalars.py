@@ -121,8 +121,10 @@ def q_date_funcs(spark, sf_dir):
            {sql_mround('CASE WHEN l_extendedprice >= 0 THEN sqrt(l_extendedprice) END')} AS sqrt_price,
            {sql_mround('abs(l_discount - 0.05)')} AS abs_disc,
            CASE WHEN {sql_fin('l_quantity')} IS NOT NULL
+                     AND abs(l_quantity) < 9e15
                 THEN CAST(ceil(l_quantity) AS BIGINT) END AS ceil_qty,
            CASE WHEN {sql_fin('l_quantity')} IS NOT NULL
+                     AND abs(l_quantity) < 9e15
                 THEN CAST(floor(l_quantity) AS BIGINT) END AS floor_qty,
            {sql_mround('CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END')} AS ln_price,
            {sql_mround('power(l_quantity, 2)')} AS qty_sq,
@@ -145,15 +147,23 @@ def q_math_funcs(spark, sf_dir):
         "l_linenumber",
         mround(F.when(price >= 0, F.sqrt(price))).alias("sqrt_price"),
         mround(F.abs(F.col("l_discount") - 0.05)).alias("abs_disc"),
-        # ceil/floor are BIGINT-valued only on finite input: Spark
-        # silently clamps ±inf/NaN to Long.Max/0 while DuckDB raises
-        # OutOfRange (r6 NaN/Inf sweep) — the CASE states the domain.
-        F.when(fin("l_quantity").isNotNull(), F.ceil("l_quantity")).alias(
-            "ceil_qty"
-        ),
-        F.when(fin("l_quantity").isNotNull(), F.floor("l_quantity")).alias(
-            "floor_qty"
-        ),
+        # ceil/floor are BIGINT-valued only on finite input BELOW the
+        # 2^53 exact-integer double range: Spark silently clamps
+        # NaN/±inf/overflow to Long.Max/0 while DuckDB raises
+        # OutOfRange — and a huge FINITE double (1e20) triggers the
+        # same asymmetry the NaN gate alone misses (review r6). Above
+        # 2^53 ceil/floor are identity anyway, so nothing meaningful
+        # is excluded.
+        F.when(
+            fin("l_quantity").isNotNull()
+            & (F.abs("l_quantity") < F.lit(9e15)),
+            F.ceil("l_quantity"),
+        ).alias("ceil_qty"),
+        F.when(
+            fin("l_quantity").isNotNull()
+            & (F.abs("l_quantity") < F.lit(9e15)),
+            F.floor("l_quantity"),
+        ).alias("floor_qty"),
         mround(F.when(price > 0, F.log(price))).alias("ln_price"),
         mround(F.pow("l_quantity", 2)).alias("qty_sq"),
         (F.col("l_linenumber") % 3).alias("mod3"),
@@ -196,6 +206,8 @@ def q_try_arith(spark, sf_dir):
            CAST(len(embedding) AS INT) AS dim,
            {sql_mround('embedding[1]::DOUBLE')} AS first_val,
            {sql_mround("CASE WHEN embedding IS NULL THEN NULL"
+                       " WHEN len(list_filter(embedding,"
+                       "          x -> x IS NULL)) > 0 THEN NULL"
                        " WHEN len(embedding) = 0 THEN 0.0"
                        " ELSE sqrt(list_aggregate("
                        "list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),"

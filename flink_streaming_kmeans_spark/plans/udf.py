@@ -27,7 +27,7 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
-from ..functions.vector import sql_mround
+from ..functions.vector import sql_fin, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 
@@ -77,10 +77,11 @@ def q_udf_pandas(spark, sf_dir):
 _Q12 = Decimal("0.000000000001")
 
 
-_GEO_OK = (
-    "o_totalprice > 0 AND NOT isnan(o_totalprice)"
-    " AND abs(o_totalprice) <> CAST('Infinity' AS DOUBLE)"
-)
+# positive AND finite: sql_fin maps NULL/NaN/±inf to NULL, and
+# NULL > 0 is NULL → excluded, identically on both engines (review
+# r6 — reuses the one finiteness definition instead of a third
+# hand-rolled copy of the isnan/abs predicate)
+_GEO_OK = f"{sql_fin('o_totalprice')} > 0"
 
 
 @register(

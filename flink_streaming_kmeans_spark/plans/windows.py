@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import dec2dbl, dsumw, mround, sql_dsumw, sql_mround
+from ..functions.vector import dsumw, mround, sql_dsumw, sql_mround
 from ..sources.loader import load_table
 from .registry import register
 

@@ -75,7 +75,12 @@ def emb_sf(tmp_path_factory):
        (980007, list_transform(range(80), x -> 0.1::FLOAT), 7),
        (980008, []::FLOAT[], 8),
        (980009, list_transform(range(64), x -> 0.3::FLOAT), NULL),
-       (980010, list_transform(range(64), x -> 0.4::FLOAT), -2)
+       (980010, list_transform(range(64), x -> 0.4::FLOAT), -2),
+       -- NULL ELEMENT: Spark's fold NULL-propagates where DuckDB's
+       -- list_aggregate SUM skips NULLs (review r6 — q_array_funcs'
+       -- l2 now states the NULL-element branch)
+       (980011, [3.0::FLOAT, NULL, 4.0]
+            || list_transform(range(61), x -> 0.0::FLOAT), 9)
      ) v(vec_id, embedding, label))
      TO '{sf}/_e.parquet' (FORMAT PARQUET)""")
     os.replace(f"{sf}/_e.parquet", f"{sf}/embeddings.parquet")
@@ -129,7 +134,7 @@ def test_participation_gate_excludes_exactly_the_invalid(
         r["vec_id"]
         for r in queries["q_ml_kmeans_assign"](spark, emb_sf).collect()
     ]
-    for bad in (980005, 980006, 980007, 980008):
+    for bad in (980005, 980006, 980007, 980008, 980011):
         assert bad not in ids
     for good in (980002, 980003, 980004, 980009, 980010):
         assert good in ids

@@ -85,6 +85,12 @@ PROPS_CASES = [
     '{"k":1e999}',
     '{"s": "a,}b", "k": 9}',
     '{"s": "x,]y", "k": 4}',
+    # valid docs whose ARRAY/OBJECT values put a ',' right before a
+    # closing bracket: an empty-separator join of the outside-string
+    # segments fabricated ',]' and wrongly discarded them (review r6
+    # — the chr(1) separator pin)
+    '{"k": 2, "t": ["a", "b"]}',
+    '{"k": 3, "t": {"x": ["y", "z"]}}',
     None,
 ]
 
@@ -149,5 +155,5 @@ def test_integer_contract_sum(spark, registry, json_sf):
         .where(F.col("event_type") == "json-edge")
         .collect()[0]
     )
-    assert row["sum_k"] == 30
+    assert row["sum_k"] == 35
     assert row["n_events"] == len(PROPS_CASES)

@@ -125,7 +125,15 @@ def nan_sf(tmp_path_factory):
           (710002, 2, 2, 1, 'Infinity'::DOUBLE, 100.0, 0.0, 0.0,
            'N', 'O', TIMESTAMP '1997-06-02'),
           (710003, 3, 3, 1, 7.0, '-Infinity'::DOUBLE, 'NaN'::DOUBLE,
-           0.0, 'A', 'F', TIMESTAMP '1997-06-03')
+           0.0, 'A', 'F', TIMESTAMP '1997-06-03'),
+          -- huge FINITE quantity: ceil/floor BIGINT-cast asymmetry
+          -- (Spark clamps, DuckDB raises) needs the 2^53 bound, not
+          -- just the NaN gate (review r6). 9.5e15: above that bound,
+          -- below the x^2 DECIMAL(38,6) moment capacity (|x| < 1e16)
+          -- whose overflow is the documented loud-and-symmetric
+          -- ceiling, not a parity surface
+          (720001, 1, 1, 1, 9.5e15::DOUBLE, 100.0, 0.0, 0.0, 'N', 'O',
+           TIMESTAMP '1997-07-01')
         ) v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
             l_extendedprice, l_discount, l_tax, l_returnflag,
             l_linestatus, l_shipdate)""")
