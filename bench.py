@@ -154,8 +154,26 @@ def main() -> int:
     # So: full map → sidecar file + an early stdout line (for humans),
     # and the FINAL stdout line is a compact summary guaranteed to fit
     # the tail capture (top slowest queries only, full map referenced).
-    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(here, "BENCH_full.json")
     with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1)
+    # Round-stamped copy (r6 verdict task 7): the live sidecar is
+    # overwritten every pass, so per-query cross-round diffs required
+    # git archaeology. The current round = max driver-recorded
+    # BENCH_r{N}.json + 1 (the driver writes r{N} at round close,
+    # AFTER our in-round passes).
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for f_ in os.listdir(here)
+        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f_))
+    ]
+    stamped = os.path.join(
+        here, f"BENCH_full_r{(max(rounds, default=0) + 1):02d}.json"
+    )
+    with open(stamped, "w") as f:
         json.dump(full, f, indent=1)
     # Do NOT print the full map to stdout: the ~4KB line used to sit
     # right before the compact line and ate the driver's 2000-char

@@ -53,40 +53,45 @@ def register(name: str, oracle: str | None = None):
 # explicitly ordered this rotation; this list is the CANONICAL rotation
 # plan — module docstrings defer here).
 #
-# Round-6 window (50 slots, = the 40 queries with ZERO driver evidence
-# after r5 plus their module-mates; executes round-5 verdict task 1):
-#   sketches(4) + coverage(10) + corpus(15) + streams(10) + events(9)
-#   + udf(first 2) = 50 exactly. events and udf's prefix re-confirm
-#   r2-r4 rows; module rotation is whole-module prefixes.
-#
-# Round-7 plan (covers everything still un-windowed in r6):
+# Round-7 window (executes the round-6 verdict tasks 1+2 — the written
+# r7 plan with q_agg_approx_cd FRONTED in, swapped for one of the nine
+# re-confirming llm slots; approx_cd got its own module for exactly
+# this, see plans/approx_cd.py):
 #   udf(4, re-confirming 2) + streaming_ext(1, the r6 q_stream_slide)
 #   + lakehouse(5) + windows(9) + relational(9) + scalars(9) + ml(4)
-#   + llm(first 9) = 50. Round 8 then fronts llm(13, re-confirming 9)
-#   + textops(16) + training(6) + quality(2) + scans(6) + filters(3)
-#   + joins(first 4) = 50, by which point every registered query has
-#   a driver row no older than two testdata generations except the
-#   joins tail/aggs/setops (all r5-driver-green on current data);
-#   round 9 fronts joins(13) + aggs(15) + setops(4) + next-oldest.
+#   + approx_cd(1) + llm(first 8) = 50 exactly. This gives
+#   q_stream_slide, q_lake_compact, and q_agg_approx_cd — the only
+#   three hash queries with zero driver rows after r6 — their first
+#   driver-recorded evidence.
+#
+# Round-8 plan: llm(13, re-confirming 8) + textops(16) + training(6)
+#   + quality(2) + scans(6) + filters(3) + joins(first 4) = 50, by
+#   which point every registered query has a driver row no older than
+#   two testdata generations except the joins tail/aggs/setops (all
+#   r5-driver-green on current data); round 9 fronts joins(13) +
+#   aggs(14) + setops(4) + next-oldest (approx_cd rejoins its aggs
+#   window-mates there).
+#
+# Executed history: r6 window = sketches(4) + coverage(10) +
+#   corpus(15) + streams(10) + events(9) + udf(first 2) = 50,
+#   driver-confirmed 48/48 hash-green + 2 rows-tier in
+#   CORRECTNESS_r06.json.
 #
 # NEVER add queries to modules inside the current window prefix
 # mid-round (it would shift the window and orphan tail queries); new
-# queries go in post-window modules (streaming_ext this round).
-# Order changes registration sequence only — no query semantics depend
-# on it (verified by the full preflight sweep each round).
+# queries go in post-window modules (streaming_ext demonstrated this
+# in round 6). Order changes registration sequence only — no query
+# semantics depend on it (verified by the full preflight sweep each
+# round).
 _MODULES = [
-    "sketches",
-    "coverage",
-    "corpus",
-    "streams",
-    "events",
     "udf",
-    "streaming_ext",  # r6 additions — OUT of the r6 window by design.
+    "streaming_ext",
     "lakehouse",
     "windows",
     "relational",
     "scalars",
     "ml",
+    "approx_cd",  # fronted per r6 verdict task 2 — see module docstring.
     "llm",
     "textops",
     "training",
@@ -96,6 +101,11 @@ _MODULES = [
     "joins",
     "aggs",
     "setops",
+    "sketches",
+    "coverage",
+    "corpus",
+    "streams",
+    "events",
 ]
 
 

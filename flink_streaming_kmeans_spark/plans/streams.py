@@ -637,11 +637,24 @@ def q_stream_cep(spark, sf_dir):
         # Per-user batch-local sequence: whole-stage-codegen aggregate
         # (array_sort pins the (ts, event_id) total order) — Python
         # sees one short string per (user, batch), never per event.
+        # The leading ts-IS-NULL flag pins NULLS LAST inside the batch
+        # (array_sort alone orders a NULL struct field FIRST), so the
+        # concatenated batch-local orders equal the oracle's global
+        # ORDER BY ts, event_id — time_batch_col already routes NULL-ts
+        # rows to the LAST batch for the same reason (r7 composed
+        # sweep; lockstep with q_evt_cep's batch construction).
         bseq = batch_df.groupBy("user_id").agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "i"))
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts").isNull().alias("z"),
+                                F.col("ts"),
+                                F.col("event_id"),
+                                F.col("i"),
+                            )
+                        )
                     ),
                     lambda s: s["i"],
                 ),
@@ -867,7 +880,13 @@ def q_stream_join_left(spark, sf_dir):
         spark,
         partitions=2,
     )
-    return spark.read.parquet(sink_dir).where(F.col("user_id") >= 0)
+    # Exclude only the sentinel user (-1): `>= 0` alone also dropped
+    # NULL-user purchases, which the batch LEFT join keeps as unmatched
+    # left rows (r7 ADVICE find — same fix as q_stream_session's r6
+    # NULL-events sweep find).
+    return spark.read.parquet(sink_dir).where(
+        F.col("user_id").isNull() | (F.col("user_id") >= 0)
+    )
 
 
 @register(

@@ -316,18 +316,20 @@ def q_text_langid(spark, sf_dir):
 @register(
     "q_text_fingerprint",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    WITH rows_ AS (
+        SELECT DISTINCT doc_id, text FROM documents
+    ), toks AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM rows_
     ), pos AS (
-        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS p
+        SELECT doc_id, text, w, unnest(generate_series(1, len(w) - 2)) AS p
         FROM toks WHERE len(w) >= 3
     ), sh AS (
-        SELECT doc_id, p,
+        SELECT doc_id, text, p,
                {_DUCK_H60.format(x="w[p] || ' ' || w[p+1] || ' ' || w[p+2]")} AS h
         FROM pos
     ), wins AS (
         SELECT doc_id,
-               MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY text, p
                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
         FROM sh
     ), fp AS (
@@ -344,16 +346,32 @@ def q_text_fingerprint(spark, sf_dir):
     distinct selected hashes per doc, digested as (count, sum mod p).
     Near-dup docs share most selected hashes, so the fingerprint set
     is joinable for candidate detection at scale. One explode + two
-    keyed passes per doc — linear."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.split("text", " ").alias("w")).where(
+    keyed passes per doc — linear.
+
+    Entity identity under duplicate doc_ids (law 25 + r7 composed
+    unicode×dup sweep): position p alone is NOT a total order when a
+    doc_id spans rows — both engines' rolling windows interleaved the
+    rows' shingle streams in engine-private tie order. The contract:
+    exact-duplicate rows collapse first (DISTINCT doc_id, text), and
+    the entity's stream is its distinct rows' streams concatenated in
+    text order — the window key (text, p) is total, so the winnow is
+    deterministic and identical on both engines. (At 100 TB you'd
+    order by a row serial instead of the text value; the text key is
+    the exact cross-engine form.)"""
+    d = fan_out(
+        load_table(spark, sf_dir, "documents").dropDuplicates(
+            ["doc_id", "text"]
+        )
+    )
+    toks = d.select("doc_id", "text", F.split("text", " ").alias("w")).where(
         F.size("w") >= 3
     )
     sh = (
-        toks.select("doc_id", "w", F.posexplode("w").alias("pos", "t0"))
+        toks.select("doc_id", "text", "w", F.posexplode("w").alias("pos", "t0"))
         .where(F.col("pos") <= F.size("w") - 3)
         .select(
             "doc_id",
+            "text",
             F.col("pos").alias("p"),
             F.expr(
                 _SPARK_H60.format(
@@ -362,7 +380,7 @@ def q_text_fingerprint(spark, sf_dir):
             ).alias("h"),
         )
     )
-    win = W.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    win = W.partitionBy("doc_id").orderBy("text", "p").rowsBetween(0, 3)
     fp = (
         sh.select("doc_id", F.min("h").over(win).alias("m"))
         .dropDuplicates(["doc_id", "m"])

@@ -243,7 +243,8 @@ def _run_streaming(spark, pts, args, init, euclidean=False):
         # The parquet assignment-state generations are O(points) per
         # batch; drop them as soon as the output is derived... they
         # are still needed below for assign_df, so cleanup happens in
-        # main() after the output write (see _cleanup_state).
+        # main()'s inline shutil.rmtree(skm._assign_dir) block right
+        # after the output write (via the popped `_skm` handle).
 
     from .sources.loader import local_df
 

@@ -1,0 +1,406 @@
+"""Composed degenerate regimes (r7, verdict task 4): every r6 sweep
+doctored ONE divergence class at a time; these fixtures put two
+interacting classes in the SAME rows, where a guard written for one
+regime can silently assume the other's absence.
+
+Compositions (each a module fixture + parity checklist):
+
+1. **NULL × NaN in the same measure column** (nullnan_sf): a group
+   whose measure carries NULL, NaN, AND finite rows at once — the
+   dsumr/dsumw presence-mask route must skip NULLs while propagating
+   NaN, and every denominator must count non-NULL (NaN included) per
+   native AVG semantics (the r7 ADVICE q_agg_stats find is exactly
+   this composition's failure mode). Also pinned: a group of ONLY
+   {NULL, NaN} and a group of ONLY NULLs (n = 0 → gated avg).
+
+2. **NULL keys × extreme timestamps** (keyts_sf): the window family
+   partitions on a nullable key while the event-time domain law
+   (vector.ts_valid) excludes out-of-domain rows — composed, the NULL
+   key partition itself carries in/out-of-domain and NULL timestamps,
+   and streaming drives must neither resurrect an out-of-domain row
+   through NULL-key bucketing (law 10's coalesce-salt) nor eat a
+   NULL-key row via a sentinel filter (the r7 q_stream_join_left fix).
+
+3. **Unicode × duplicate doc_ids** (unidup_sf): the entity-identity
+   law (25: shingles = distinct union over duplicate-id rows) composed
+   with law 13 (ASCII-fold via translate, [A-Z] only — unicode case
+   pairs like straße/STRASSE must stay DISTINCT tokens on both
+   engines, and NBSP is a token CHARACTER, never whitespace).
+
+The sf0.1-scale composed sweep (same doctoring, 100× data, scaled
+adversarial magnitudes) runs out-of-band via tools/preflight on a
+doctored /tmp dir — recorded in BASELINE.md r7; this module pins the
+findings permanently at pytest scale.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import duckdb
+import pytest
+from oracle import check_parity, make_duckdb
+
+from conftest import SF_SMOKE
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _copy_sf(tmp_path_factory, name):
+    sf = str(tmp_path_factory.mktemp(name))
+    for t in TABLES:
+        shutil.copy(
+            os.path.join(SF_SMOKE, f"{t}.parquet"),
+            os.path.join(sf, f"{t}.parquet"),
+        )
+    return sf
+
+
+def _rewrite(sf, name, values_sql):
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    src, tmp = f"{sf}/{name}.parquet", f"{sf}/_{name}.parquet"
+    con.sql(
+        f"COPY (SELECT * FROM '{src}' UNION ALL BY NAME {values_sql})"
+        f" TO '{tmp}' (FORMAT PARQUET)"
+    )
+    os.replace(tmp, src)
+    con.close()
+
+
+# ---------------------------------------------------------------- 1
+@pytest.fixture(scope="module")
+def nullnan_sf(tmp_path_factory):
+    sf = _copy_sf(tmp_path_factory, "degen_nullnan")
+    # Customer: BUILDING gains {NULL, NaN, finite} balances at once;
+    # two NEW segments isolate the degenerate denominators — COMPNN is
+    # only {NULL, NaN} (n = 1, avg = NaN, var gated by n > 1) and
+    # COMPALLN is only NULLs (n = 0: the avg division must stay
+    # unevaluated — the r7 n > 0 gate).
+    _rewrite(sf, "customer", """
+        SELECT * FROM (VALUES
+          (920001::BIGINT, 'null-bal', 1::INT, NULL::DOUBLE, 'BUILDING'),
+          (920002, 'nan-bal', 1, 'NaN'::DOUBLE, 'BUILDING'),
+          (920003, 'fin-bal', 1, 512.5::DOUBLE, 'BUILDING'),
+          (920004, 'comp-null', 2, NULL, 'COMPNN'),
+          (920005, 'comp-nan', 2, 'NaN'::DOUBLE, 'COMPNN'),
+          (920006, 'all-null-1', 3, NULL, 'COMPALLN'),
+          (920007, 'all-null-2', 3, NULL, 'COMPALLN')
+        ) v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)""")
+    # Orders: one customer's date-ordered chain interleaves NULL and
+    # NaN totals around finite ones — the dsumw running sum must skip
+    # the NULL row but turn NaN exactly from the NaN row's prefix on,
+    # while lag/first_last order NULLS LAST around both.
+    _rewrite(sf, "orders", """
+        SELECT * FROM (VALUES
+          (975001::BIGINT, 920001::BIGINT, 'O', 10.0::DOUBLE,
+           TIMESTAMP '1996-01-01', '1-URGENT'),
+          (975002, 920001, 'O', NULL::DOUBLE,
+           TIMESTAMP '1996-01-02', '2-HIGH'),
+          (975003, 920001, 'O', 20.0,
+           TIMESTAMP '1996-01-03', '3-MEDIUM'),
+          (975004, 920001, 'O', 'NaN'::DOUBLE,
+           TIMESTAMP '1996-01-04', '4-NOT SPECIFIED'),
+          (975005, 920001, 'O', 40.0,
+           TIMESTAMP '1996-01-05', '5-LOW'),
+          (975006, 920002, 'F', NULL, TIMESTAMP '1996-02-01', '1-URGENT'),
+          (975007, 920002, 'F', 'NaN'::DOUBLE,
+           TIMESTAMP '1996-02-02', '2-HIGH')
+        ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, o_orderpriority)""")
+    # Lineitem: one (returnflag, linestatus) group carries a NULL
+    # quantity row and a NaN price row (different rows, same group) —
+    # q1's per-column sums must mix skip-NULL and propagate-NaN
+    # independently within the group.
+    _rewrite(sf, "lineitem", """
+        SELECT * FROM (VALUES
+          (715001::BIGINT, 1::BIGINT, 1::BIGINT, 1::INT, NULL::DOUBLE,
+           50.0::DOUBLE, 0.05::DOUBLE, 0.02::DOUBLE, 'N', 'O',
+           TIMESTAMP '1997-06-01'),
+          (715002, 2, 2, 1, 5.0, 'NaN'::DOUBLE, 0.0, 0.0, 'N', 'O',
+           TIMESTAMP '1997-06-02'),
+          (715003, 3, 3, 1, NULL, 'NaN'::DOUBLE, NULL, 0.0, 'N', 'O',
+           TIMESTAMP '1997-06-03')
+        ) v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+            l_extendedprice, l_discount, l_tax, l_returnflag,
+            l_linestatus, l_shipdate)""")
+    # Events: one user's single hour holds a NULL value and a NaN
+    # value — windowed sums and histograms see both classes in one
+    # frame; fin() must send NaN (no bin) and NULL (no value) the
+    # same way on both engines.
+    _rewrite(sf, "events", """
+        SELECT * FROM (VALUES
+          (945001::BIGINT, TIMESTAMP '2024-03-02 09:00:00', 88::BIGINT,
+           'click', NULL::DOUBLE, NULL),
+          (945002, TIMESTAMP '2024-03-02 09:01:00', 88, 'click',
+           'NaN'::DOUBLE, NULL),
+          (945003, TIMESTAMP '2024-03-02 09:02:00', 88, 'click',
+           2.5::DOUBLE, NULL)
+        ) v(event_id, ts, user_id, event_type, value, props)""")
+    yield sf
+
+
+@pytest.fixture(scope="module")
+def nullnan_duck(nullnan_sf):
+    con = make_duckdb(nullnan_sf)
+    yield con
+    con.close()
+
+
+NULLNAN_CHECKED = [
+    # dsumr group sums mixing skip-NULL with propagate-NaN
+    "q_agg_q1",
+    "q_agg_stats",
+    "q_agg_corr",
+    "q_agg_groupingsets",
+    "q_agg_rollup",
+    "q_sub_scalar",
+    "q_cte_reuse",
+    # dsumw window sums over the interleaved chain + NULLS LAST order
+    "q_win_running",
+    "q_win_range_frame",
+    "q_win_lag",
+    "q_win_first_last",
+    # fin gates where NULL and NaN meet in one frame
+    "q_agg_percentile",
+    "q_evt_histogram",
+    # distinct/count surfaces (COUNT skips NULL, counts NaN)
+    "q_agg_multi_distinct",
+    # python/pandas UDF domain + streaming dsumr
+    "q_udaf_pandas",
+    "q_stream_tumble",
+]
+
+
+@pytest.mark.parametrize("name", NULLNAN_CHECKED)
+def test_nullnan_parity(spark, nullnan_duck, registry, nullnan_sf, name):
+    queries, oracles = registry
+    r = check_parity(
+        spark, nullnan_duck, name, queries[name], oracles[name], nullnan_sf
+    )
+    assert r.ok, (
+        f"{name} diverges on NULL x NaN input: rows={r.rows_match} "
+        f"schema={r.schema_match} hash={r.hash_match}\n{r.detail}"
+    )
+
+
+def test_stats_nullnan_denominators(spark, registry, nullnan_sf):
+    """The r7 ADVICE fix, pinned at its composed extreme: COMPNN's
+    n counts only the NaN row (avg = NaN, var = NULL via n > 1 gate);
+    COMPALLN has n = 0 (avg NULL via the n > 0 gate, no ANSI /0)."""
+    queries, _ = registry
+    rows = {
+        r["c_mktsegment"]: r
+        for r in queries["q_agg_stats"](spark, nullnan_sf).collect()
+    }
+    assert math.isnan(rows["COMPNN"]["avg_bal"]), rows["COMPNN"]
+    assert rows["COMPNN"]["var_bal"] is None, rows["COMPNN"]
+    assert rows["COMPALLN"]["avg_bal"] is None, rows["COMPALLN"]
+    assert rows["COMPALLN"]["min_bal"] is None, rows["COMPALLN"]
+
+
+def test_running_sum_skips_null_then_poisons_at_nan(spark, registry, nullnan_sf):
+    """Customer 920001's chain: 10, NULL, 20, NaN, 40 → running sums
+    10, 10, 30, NaN, NaN — the NULL is skipped (sum unchanged), the
+    NaN poisons its own prefix and everything after."""
+    import pyspark.sql.functions as F
+
+    queries, _ = registry
+    out = (
+        queries["q_win_running"](spark, nullnan_sf)
+        .where(F.col("o_custkey") == 920001)
+        .orderBy("o_orderdate")
+        .collect()
+    )
+    sums = [r["running_total"] for r in out]
+    assert sums[0] == 10.0 and sums[1] == 10.0 and sums[2] == 30.0, sums
+    assert math.isnan(sums[3]) and math.isnan(sums[4]), sums
+
+
+# ---------------------------------------------------------------- 2
+@pytest.fixture(scope="module")
+def keyts_sf(tmp_path_factory):
+    sf = _copy_sf(tmp_path_factory, "degen_keyts")
+    # Events: the NULL-user "partition" itself carries one in-domain,
+    # one pre-epoch, one post-ceiling, and one NULL timestamp; user
+    # 601 anchors in-domain windows around its own out-of-domain rows.
+    # In-domain rows stay inside the generated data's natural span
+    # (2024) so q_ts_gapfill's grid stays bounded (r6 fixture tip).
+    _rewrite(sf, "events", """
+        SELECT * FROM (VALUES
+          (995001::BIGINT, TIMESTAMP '2024-03-03 10:00:00', NULL::BIGINT,
+           'view', 1.0::DOUBLE, NULL),
+          (995002, TIMESTAMP '2024-03-03 10:05:00', NULL, 'purchase',
+           2.0, NULL),
+          (995003, TIMESTAMP '1969-12-31 23:59:59', NULL, 'click',
+           3.0, NULL),
+          (995004, TIMESTAMP '9999-12-31 23:59:59', NULL, 'click',
+           4.0, NULL),
+          (995005, NULL::TIMESTAMP, NULL, 'purchase', 5.0, NULL),
+          (995006, TIMESTAMP '2024-03-03 10:10:00', 601::BIGINT,
+           'view', 6.0, NULL),
+          (995007, TIMESTAMP '0001-01-01 00:00:00', 601, 'click',
+           7.0, NULL),
+          (995008, TIMESTAMP '2200-01-01 00:00:00', 601, 'click',
+           8.0, NULL),
+          (995009, TIMESTAMP '2024-03-03 10:20:00', 601, 'purchase',
+           9.0, NULL),
+          (995010, NULL::TIMESTAMP, 601, 'view', 10.0, NULL)
+        ) v(event_id, ts, user_id, event_type, value, props)""")
+    # Orders: the NULL-custkey window partition composed with extreme
+    # and NULL order dates (the odates sweep used valid custkeys only).
+    _rewrite(sf, "orders", """
+        SELECT * FROM (VALUES
+          (986001::BIGINT, NULL::BIGINT, 'O', 10.0::DOUBLE,
+           TIMESTAMP '0001-01-01 00:00:00', '1-URGENT'),
+          (986002, NULL, 'O', 20.0, TIMESTAMP '9999-12-31 23:59:59',
+           '2-HIGH'),
+          (986003, NULL, 'O', 30.0, NULL::TIMESTAMP, '3-MEDIUM'),
+          (986004, NULL, 'O', 40.0, TIMESTAMP '1996-05-01', '4-NOT SPECIFIED')
+        ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, o_orderpriority)""")
+    yield sf
+
+
+@pytest.fixture(scope="module")
+def keyts_duck(keyts_sf):
+    con = make_duckdb(keyts_sf)
+    yield con
+    con.close()
+
+
+KEYTS_CHECKED = [
+    # window family over the NULL-user partition with domain exclusion
+    "q_win_tumble",
+    "q_win_slide",
+    "q_win_session",
+    "q_win_time_range",
+    "q_rollup_time",
+    "q_ts_gapfill",
+    "q_scd2_intervals",
+    # event ops keyed on the nullable user
+    "q_evt_funnel",
+    "q_evt_retention",
+    "q_evt_markov",
+    # the NULL-custkey order partition with extreme/NULL dates
+    "q_win_lag",
+    "q_win_running",
+    "q_win_first_last",
+    "q_feat_snapshot",
+    # streaming drives: domain gate + NULL-key rows + sentinel filters
+    "q_stream_session",
+    "q_stream_join_left",
+    "q_stream_dedup",
+    "q_stream_cep",
+]
+
+
+@pytest.mark.parametrize("name", KEYTS_CHECKED)
+def test_keyts_parity(spark, keyts_duck, registry, keyts_sf, name):
+    queries, oracles = registry
+    r = check_parity(
+        spark, keyts_duck, name, queries[name], oracles[name], keyts_sf
+    )
+    assert r.ok, (
+        f"{name} diverges on NULL-key x extreme-ts input: "
+        f"rows={r.rows_match} schema={r.schema_match} "
+        f"hash={r.hash_match}\n{r.detail}"
+    )
+
+
+def test_null_user_window_keeps_only_in_domain(spark, registry, keyts_sf):
+    """The planted hour (base data is 2024-01, so it is ours alone)
+    holds exactly the four in-domain events — 2 NULL-user + 2 from
+    user 601; the pre-epoch, post-ceiling, and NULL-ts rows are
+    excluded and NULL-key bucketing resurrects nothing."""
+    import pyspark.sql.functions as F
+
+    queries, _ = registry
+    rows = (
+        queries["q_win_tumble"](spark, keyts_sf)
+        .where(F.col("win_start") == "2024-03-03 10:00:00")
+        .collect()
+    )
+    assert len(rows) == 1 and rows[0]["n_events"] == 4, rows
+
+
+# ---------------------------------------------------------------- 3
+@pytest.fixture(scope="module")
+def unidup_sf(tmp_path_factory):
+    sf = _copy_sf(tmp_path_factory, "degen_unidup")
+    # Duplicate doc_ids whose rows are UNICODE variants: the entity's
+    # shingle set is the distinct union over rows (law 25), and the
+    # fold is [A-Z]-only translate (law 13) — so straße/STRASSE fold
+    # to straße/strasse (distinct tokens, identically on both
+    # engines), NBSP (U+00A0) stays inside a token, and the 4-byte
+    # emoji pair tests char-vs-byte length surfaces.
+    _rewrite(sf, "documents", """
+        SELECT * FROM (VALUES
+          (980001::BIGINT, 'the straße fuß walk was long today indeed',
+           'de', 'degen-uni', 42::BIGINT),
+          (980001, 'THE STRASSE FUSS WALK WAS LONG TODAY INDEED',
+           'de', 'degen-uni', 44),
+          (980002, 'alpha' || chr(160) || 'beta gamma delta epsilon',
+           'en', 'degen-uni', 30),
+          (980002, 'alpha beta gamma delta epsilon', 'en', 'degen-uni', 30),
+          (980003, 'mixed ẞ and ß case pair token stream here', 'de',
+           'degen-uni', 41),
+          (980003, 'mixed ẞ and ß case pair token stream here', 'de',
+           'degen-uni', 41),
+          (980010, '🎉 party time with cake and music and friends fun',
+           'en', 'degen-uni', 49),
+          (980011, '🎂 party time with cake and music and friends fun',
+           'en', 'degen-uni', 49)
+        ) v(doc_id, text, lang, source, n_chars)""")
+    yield sf
+
+
+@pytest.fixture(scope="module")
+def unidup_duck(unidup_sf):
+    con = make_duckdb(unidup_sf)
+    yield con
+    con.close()
+
+
+UNIDUP_CHECKED = [
+    # the shingle-entity family (law 25) on unicode-variant dup rows
+    "q_dedup_near",
+    "q_dedup_cluster",
+    "q_dedup_lsh",
+    "q_dedup_exact",
+    "q_text_decontaminate",
+    "q_dedup_prefix",
+    # hash/fingerprint surfaces over folded unicode text
+    "q_dedup_simhash",
+    "q_text_fingerprint",
+    "q_text_tfidf",
+    "q_text_langid",
+    "q_text_tokens",
+    "q_vocab_typo",
+]
+
+
+@pytest.mark.parametrize("name", UNIDUP_CHECKED)
+def test_unidup_parity(spark, unidup_duck, registry, unidup_sf, name):
+    queries, oracles = registry
+    r = check_parity(
+        spark, unidup_duck, name, queries[name], oracles[name], unidup_sf
+    )
+    assert r.ok, (
+        f"{name} diverges on unicode x dup-doc_id input: "
+        f"rows={r.rows_match} schema={r.schema_match} "
+        f"hash={r.hash_match}\n{r.detail}"
+    )

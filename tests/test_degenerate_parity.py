@@ -139,6 +139,10 @@ def degen_sf(spark, tmp_path_factory):
         (5, t0.replace(minute=20), None, "view", 1.0, "{}"),  # NULL user
         (6, t0.replace(minute=25), 10, None, None, None),  # NULL type/value
         (7, t0.replace(minute=40), 10, "purchase", 9.0, "{}"),
+        # NULL-user PURCHASE (r7 ADVICE): an unmatched LEFT row whose
+        # join key is NULL — the batch LEFT join keeps it (NULL c_id),
+        # so q_stream_join_left's sentinel filter must not eat it.
+        (8, t0.replace(minute=45), None, "purchase", 3.0, "{}"),
     ]
     _write_table(spark, sf, "events", evts, EVT_SCHEMA)
     # Orders with a NULL o_orderdate (and NULL price/custkey): the
@@ -197,6 +201,7 @@ DEGEN_CHECKED = [
     "q_scd2_intervals",
     "q_evt_markov",
     "q_stream_session",  # streaming twin incl. NULL-user session
+    "q_stream_join_left",  # NULL-user purchase survives the sentinel filter (r7)
     "q_stream_cep",  # NFA fold over NULL user/event_type
     # NULL-relational regime (NULL o_orderdate in the window order):
     "q_win_lag",
@@ -239,11 +244,12 @@ def test_langid_zero_letters_falls_through(spark, registry, degen_sf):
 
 
 def test_stream_slide_drops_null_ts_row(spark, registry, degen_sf):
-    """The NULL-ts event contributes to NO window: 6 windowable events
-    × 2 overlapping windows each = 12 window memberships total."""
+    """The NULL-ts event contributes to NO window: 7 windowable events
+    (incl. the r7 NULL-user purchase) × 2 overlapping windows each =
+    14 window memberships total."""
     queries, _ = registry
     rows = queries["q_stream_slide"](spark, degen_sf).collect()
-    assert sum(r.n_events for r in rows) == 12, rows
+    assert sum(r.n_events for r in rows) == 14, rows
     assert all(r.win_start is not None for r in rows), rows
 
 
