@@ -24,6 +24,18 @@ pairwise theta join:
 Ties on (key, on) among right rows must be resolved by the caller
 (dedupe to one right row per (key, on)) or the matched row depends on
 input order — q_join_asof in plans/joins.py dedupes explicitly.
+
+NULL keys and NULL timestamps follow SQL JOIN semantics (r7 composed
+NULL-key x extreme-ts sweep): a NULL never equals anything and a NULL
+comparison is UNKNOWN, so a right row with a NULL key or NULL ``on``
+matches NOTHING, and a left row with a NULL key or NULL ``on`` is
+kept with NULL payload. The window formulation does NOT give this for
+free — partitionBy groups NULL keys into a real partition (so NULL-key
+purchases silently "matched" NULL-key clicks, diverging from DuckDB's
+ASOF equi-join), and in the forward direction a NULL-``on`` left row
+sorts NULLS-FIRST into a frame containing every right row. Stated
+explicitly: right rows are pre-filtered, and the matched struct is
+masked NULL unless the left row's key and ``on`` are both non-NULL.
 """
 
 from __future__ import annotations
@@ -65,6 +77,11 @@ def asof_join(
         )
     l_tag, r_tag = (1, 0) if direction == "backward" else (0, 1)
     lcols = left.columns
+    # SQL join semantics: a right row with a NULL key or NULL `on`
+    # can match nothing — drop it before the union (see module
+    # docstring; the window would otherwise hand it to the NULL-key
+    # partition's left rows).
+    right = right.where(F.col(key).isNotNull() & F.col(on).isNotNull())
     r_packed = right.select(key, on, F.struct(*payload).alias("_p"))
     p_type = r_packed.schema["_p"].dataType
 
@@ -94,7 +111,14 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "_tag",
-        fill.over(w).alias("_p"),
+        # A left row with a NULL key or NULL `on` matches nothing
+        # (comparison UNKNOWN): mask the fill. Without this, a forward
+        # NULL-`on` left row sorts NULLS-FIRST into a frame containing
+        # every right row of its key and "matches" the earliest one.
+        F.when(
+            F.col(key).isNotNull() & F.col(on).isNotNull(),
+            fill.over(w),
+        ).alias("_p"),
     )
     matched = filled.where(F.col("_tag") == l_tag)
     return matched.select(

@@ -346,7 +346,12 @@ def q_struct_funcs(spark, sf_dir):
         s.getField("st").alias("st"),
         s.getField("price").alias("price"),
         F.lit(len(_STRUCT_FIELDS)).alias("n_fields"),
-        F.concat_ws(
-            ":", s.getField("st"), s.getField("ck").cast("string")
+        # F.concat, NOT concat_ws: the oracle's || propagates NULL
+        # (packed key of a NULL custkey is NULL), while concat_ws
+        # SKIPS NULL args and emitted a bare 'O' for the same row
+        # (r7 composed sweep — NULL custkey never met this query
+        # before; same family as law 16's string_agg-vs-concat_ws).
+        F.concat(
+            s.getField("st"), F.lit(":"), s.getField("ck").cast("string")
         ).alias("packed_key"),
     )

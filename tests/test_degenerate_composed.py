@@ -45,6 +45,12 @@ from oracle import check_parity, make_duckdb
 
 from conftest import SF_SMOKE
 
+# Slow lane (r7 verdict task 6): streaming drives / property programs /
+# full degenerate sweeps — excluded by `pytest -m "not slow"`; the full
+# suite (no filter) is the round-close gate.
+pytestmark = pytest.mark.slow
+
+
 TABLES = [
     "region",
     "nation",
@@ -300,6 +306,15 @@ KEYTS_CHECKED = [
     "q_win_running",
     "q_win_first_last",
     "q_feat_snapshot",
+    # as-of family: the union+window formulation must give NULL keys
+    # and NULL timestamps SQL join semantics, not window-partition
+    # semantics (r7 sf0.1 composed sweep find — operators/asof.py)
+    "q_join_asof",
+    "q_join_asof_fwd",
+    "q_join_asof_tol",
+    # concat NULL propagation on the NULL-custkey packed key (r7
+    # sf0.1 composed sweep find — concat_ws skipped the NULL arg)
+    "q_struct_funcs",
     # streaming drives: domain gate + NULL-key rows + sentinel filters
     "q_stream_session",
     "q_stream_join_left",
@@ -365,6 +380,20 @@ def unidup_sf(tmp_path_factory):
           (980011, '🎂 party time with cake and music and friends fun',
            'en', 'degen-uni', 49)
         ) v(doc_id, text, lang, source, n_chars)""")
+    # Duplicate vec_ids where the second copy fails the participation
+    # contract (NaN element / NULL embedding): every oracle stage must
+    # join the GATED set — q_sim_ann_multi's scoring joins hit the raw
+    # table and let the NaN copy ride into the top-3 (r7 sf0.1 sweep).
+    _rewrite(sf, "embeddings", """
+        SELECT * FROM (VALUES
+          (930001::BIGINT, [ 'NaN'::FLOAT, 1.0, 0.5, 0.25 ]
+               || list_transform(range(60), x -> 0.0::FLOAT), 1::INT),
+          (930001, [ 0.6::FLOAT, 0.8 ]
+               || list_transform(range(62), x -> 0.0::FLOAT), 1),
+          (930003, NULL, NULL),
+          (930003, [ 0.0::FLOAT, -1.0 ]
+               || list_transform(range(62), x -> 0.0::FLOAT), 2)
+        ) v(vec_id, embedding, label)""")
     yield sf
 
 
@@ -390,6 +419,11 @@ UNIDUP_CHECKED = [
     "q_text_langid",
     "q_text_tokens",
     "q_vocab_typo",
+    # duplicate vec_id whose second copy fails emb_finite: every
+    # oracle stage joins the gated set (r7 sf0.1 sweep find)
+    "q_sim_ann_multi",
+    "q_sim_ann",
+    "q_emb_normalize",
 ]
 
 

@@ -5,6 +5,14 @@ from __future__ import annotations
 
 from conftest import SF_T2
 
+import pytest
+
+# Slow lane (r7 verdict task 6): streaming drives / property programs /
+# full degenerate sweeps — excluded by `pytest -m "not slow"`; the full
+# suite (no filter) is the round-close gate.
+pytestmark = pytest.mark.slow
+
+
 
 def test_lsh_recall_against_exact(spark, registry):
     from flink_streaming_kmeans_spark.operators.minhash import (

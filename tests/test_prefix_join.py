@@ -12,6 +12,12 @@ import random
 
 import pytest
 
+# Slow lane (r7 verdict task 6): streaming drives / property programs /
+# full degenerate sweeps — excluded by `pytest -m "not slow"`; the full
+# suite (no filter) is the round-close gate.
+pytestmark = pytest.mark.slow
+
+
 
 def _brute(docs, t_num=19, t_den=20):
     out = set()

@@ -15,6 +15,12 @@ from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
 
+# Slow lane (r7 verdict task 6): streaming drives / property programs /
+# full degenerate sweeps — excluded by `pytest -m "not slow"`; the full
+# suite (no filter) is the round-close gate.
+pytestmark = pytest.mark.slow
+
+
 
 def _events_stream(spark, sf_dir, **reader_opts):
     """readStream over the events parquet, with the same DTYPE-GATED

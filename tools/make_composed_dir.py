@@ -1,0 +1,163 @@
+"""Build a composed-degenerate doctored SF dir (r7 verdict task 4).
+
+Copies a real testdata SF dir and plants rows that COMPOSE the r6
+single-regime divergence classes — NULL x NaN in one measure, NULL
+keys x extreme timestamps, unicode x duplicate doc/vec ids, and
+extreme magnitudes (the 1e10..2.5e12 cast/guard boundaries, 9.5e15
+ceil/floor bound, 1e30 finite overflow) INSIDE those compositions.
+The r6 sweeps all ran at sf0.001-class size and the cast-divergence
+class was value-dependent, so the r7 program re-runs the composed
+regimes at sf0.1 with the adversarial values scaled too:
+
+    python tools/make_composed_dir.py /root/testdata/sf0.1 /tmp/composed_sf01
+    python tools/preflight.py /tmp/composed_sf01
+
+The pytest-scale twin (pinned permanently) is
+tests/test_degenerate_composed.py; this tool exists so the full-registry
+sweep is one command and reproducible for the judge.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def build(src: str, dest: str) -> None:
+    os.makedirs(dest, exist_ok=True)
+    for t in TABLES:
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), os.path.join(dest, f"{t}.parquet")
+        )
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+
+    def rewrite(name, values_sql):
+        s, tmp = f"{dest}/{name}.parquet", f"{dest}/_{name}.parquet"
+        con.sql(
+            f"COPY (SELECT * FROM '{s}' UNION ALL BY NAME {values_sql})"
+            f" TO '{tmp}' (FORMAT PARQUET)"
+        )
+        os.replace(tmp, s)
+
+    # NULL x NaN x extreme magnitude in the same segments.
+    rewrite("customer", """
+        SELECT * FROM (VALUES
+          (920001::BIGINT, 'null-bal', 1::INT, NULL::DOUBLE, 'BUILDING'),
+          (920002, 'nan-bal', 1, 'NaN'::DOUBLE, 'BUILDING'),
+          (920003, 'huge-bal', 1, 2.5e12::DOUBLE, 'BUILDING'),
+          (920004, 'comp-null', 2, NULL, 'COMPNN'),
+          (920005, 'comp-nan', 2, 'NaN'::DOUBLE, 'COMPNN'),
+          (920006, 'all-null-1', 3, NULL, 'COMPALLN'),
+          (920007, 'all-null-2', 3, NULL, 'COMPALLN')
+        ) v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)""")
+    # NULL-custkey window partition x extreme/NULL dates x extreme
+    # prices; plus a valid customer's NULL/NaN-interleaved chain.
+    rewrite("orders", """
+        SELECT * FROM (VALUES
+          (975001::BIGINT, 920001::BIGINT, 'O', 10.0::DOUBLE,
+           TIMESTAMP '1996-01-01', '1-URGENT'),
+          (975002, 920001, 'O', NULL::DOUBLE, TIMESTAMP '1996-01-02', '2-HIGH'),
+          (975003, 920001, 'O', 20.0, TIMESTAMP '1996-01-03', '3-MEDIUM'),
+          (975004, 920001, 'O', 'NaN'::DOUBLE, TIMESTAMP '1996-01-04',
+           '4-NOT SPECIFIED'),
+          (975005, 920001, 'O', 2.5e12::DOUBLE, TIMESTAMP '1996-01-05', '5-LOW'),
+          (986001, NULL, 'O', 999999999999.1234::DOUBLE,
+           TIMESTAMP '0001-01-01 00:00:00', '1-URGENT'),
+          (986002, NULL, 'O', 2.5e12, TIMESTAMP '9999-12-31 23:59:59', '2-HIGH'),
+          (986003, NULL, 'O', 'NaN'::DOUBLE, NULL::TIMESTAMP, '3-MEDIUM'),
+          (986004, NULL, 'O', NULL, TIMESTAMP '1996-05-01', '4-NOT SPECIFIED')
+        ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, o_orderpriority)""")
+    # One group mixing NULL qty, NaN price, the 9.5e15 ceil/floor
+    # bound, and a 1e12 decimal-guard boundary value.
+    rewrite("lineitem", """
+        SELECT * FROM (VALUES
+          (715001::BIGINT, 1::BIGINT, 1::BIGINT, 1::INT, NULL::DOUBLE,
+           50.0::DOUBLE, 0.05::DOUBLE, 0.02::DOUBLE, 'N', 'O',
+           TIMESTAMP '1997-06-01'),
+          (715002, 2, 2, 1, 5.0, 'NaN'::DOUBLE, 0.0, 0.0, 'N', 'O',
+           TIMESTAMP '1997-06-02'),
+          (715003, 3, 3, 1, NULL, 'NaN'::DOUBLE, NULL, 0.0, 'N', 'O',
+           TIMESTAMP '1997-06-03'),
+          (715004, 4, 4, 1, 9.5e15::DOUBLE, 1.0e12::DOUBLE, 0.0, 0.0,
+           'N', 'O', TIMESTAMP '1997-06-04')
+        ) v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+            l_extendedprice, l_discount, l_tax, l_returnflag,
+            l_linestatus, l_shipdate)""")
+    # NULL user x {in-domain, pre-epoch, post-ceiling, NULL} ts, with
+    # NaN/NULL values riding the same rows (triple composition). The
+    # in-domain rows stay inside the source data's natural January
+    # span so q_ts_gapfill's grid stays bounded.
+    rewrite("events", """
+        SELECT * FROM (VALUES
+          (995001::BIGINT, TIMESTAMP '2024-01-15 10:00:00', NULL::BIGINT,
+           'view', 1.0::DOUBLE, NULL),
+          (995002, TIMESTAMP '2024-01-15 10:05:00', NULL, 'purchase',
+           'NaN'::DOUBLE, NULL),
+          (995003, TIMESTAMP '1969-12-31 23:59:59', NULL, 'click', 3.0, NULL),
+          (995004, TIMESTAMP '9999-12-31 23:59:59', NULL, 'click',
+           'NaN'::DOUBLE, NULL),
+          (995005, NULL::TIMESTAMP, NULL, 'purchase', NULL::DOUBLE, NULL),
+          (995006, TIMESTAMP '2024-01-15 10:10:00', 987601::BIGINT,
+           'view', 6.0, NULL),
+          (995007, TIMESTAMP '0001-01-01 00:00:00', 987601, 'click',
+           7.0, NULL),
+          (995008, TIMESTAMP '2200-01-01 00:00:00', 987601, 'click',
+           'NaN'::DOUBLE, NULL),
+          (995009, TIMESTAMP '2024-01-15 10:20:00', 987601, 'purchase',
+           9.0, NULL),
+          (995010, NULL::TIMESTAMP, 987601, 'view', 10.0, NULL)
+        ) v(event_id, ts, user_id, event_type, value, props)""")
+    # Unicode x duplicate doc_ids, plus a dup id with a NULL-text row
+    # (unicode x NULL composition).
+    rewrite("documents", """
+        SELECT * FROM (VALUES
+          (980001::BIGINT, 'the straße fuß walk was long today indeed',
+           'de', 'degen-uni', 42::BIGINT),
+          (980001, 'THE STRASSE FUSS WALK WAS LONG TODAY INDEED',
+           'de', 'degen-uni', 44),
+          (980002, 'alpha' || chr(160) || 'beta gamma delta epsilon',
+           'en', 'degen-uni', 30),
+          (980002, 'alpha beta gamma delta epsilon', 'en', 'degen-uni', 30),
+          (980003, 'mixed ẞ and ß case pair token stream here', 'de',
+           'degen-uni', 41),
+          (980003, NULL, 'de', 'degen-uni', NULL),
+          (980010, '🎉 party time with cake and music and friends fun',
+           'en', 'degen-uni', 49),
+          (980011, '🎂 party time with cake and music and friends fun',
+           'en', 'degen-uni', 49)
+        ) v(doc_id, text, lang, source, n_chars)""")
+    # Duplicate vec_ids where one copy is non-finite / out-of-bound
+    # (entity identity x the emb_finite participation contract).
+    rewrite("embeddings", """
+        SELECT * FROM (VALUES
+          (930001::BIGINT, [ 'NaN'::FLOAT, 1.0, 0.5, 0.25 ]
+               || list_transform(range(60), x -> 0.0::FLOAT), 1::INT),
+          (930001, [ 0.6::FLOAT, 0.8 ] || list_transform(range(62), x -> 0.0::FLOAT), 1),
+          (930002, [ 1.0e30::FLOAT, 0.0 ] || list_transform(range(62), x -> 0.1::FLOAT), 2),
+          (930003, NULL, NULL),
+          (930003, [ 0.0::FLOAT, -1.0 ] || list_transform(range(62), x -> 0.0::FLOAT), 2)
+        ) v(vec_id, embedding, label)""")
+    con.close()
+    print(f"composed dir ready: {dest}")
+
+
+if __name__ == "__main__":
+    build(sys.argv[1], sys.argv[2])
