@@ -438,3 +438,89 @@ def test_unidup_parity(spark, unidup_duck, registry, unidup_sf, name):
         f"rows={r.rows_match} schema={r.schema_match} "
         f"hash={r.hash_match}\n{r.detail}"
     )
+
+
+# ---------------------------------------------------------------- 4
+@pytest.fixture(scope="module")
+def jsonnull_sf(tmp_path_factory):
+    """JSON edges x NULL keys x unicode-in-strings: the Jackson-
+    strictness scan and the integer-value contract composed with a
+    NULL event_type GROUP (both engines' GROUP BY keeps it), a row
+    whose user AND ts are NULL, and structural-scan stressors where
+    the ',}' / escaped-quote / escaped-backslash sequences sit next
+    to multi-byte unicode."""
+    sf = _copy_sf(tmp_path_factory, "degen_jsonnull")
+    _rewrite(sf, "events", r"""
+        SELECT * FROM (VALUES
+          -- NULL event_type group: one canonical int, one
+          -- trailing-comma doc (excluded by Jackson strictness),
+          -- one NULL props
+          (955001::BIGINT, TIMESTAMP '2024-03-04 08:00:00', 301::BIGINT,
+           NULL, 1.0::DOUBLE, '{"k": 7}'),
+          (955002, TIMESTAMP '2024-03-04 08:01:00', 301, NULL, 1.0,
+           '{"k": 3,}'),
+          (955003, TIMESTAMP '2024-03-04 08:02:00', 301, NULL, 1.0, NULL),
+          -- fully NULL-keyed row (user AND ts NULL) carrying JSON
+          (955004, NULL::TIMESTAMP, NULL::BIGINT, 'json-nullkeys', 1.0,
+           '{"k": 5}'),
+          -- unicode stressors on the outside-string structural scan
+          (955010, TIMESTAMP '2024-03-04 08:10:00', 302, 'json-uni', 1.0,
+           '{"s": "ß,}💥", "k": 9}'),
+          (955011, TIMESTAMP '2024-03-04 08:11:00', 302, 'json-uni', 1.0,
+           '{"s": "a\"ß", "k": 4}'),
+          (955012, TIMESTAMP '2024-03-04 08:12:00', 302, 'json-uni', 1.0,
+           '{"s": "a\\", "k": 6}'),
+          (955013, TIMESTAMP '2024-03-04 08:13:00', 302, 'json-uni', 1.0,
+           '{"t": ["ß","💥"], "k": 2,}')
+        ) v(event_id, ts, user_id, event_type, value, props)""")
+    yield sf
+
+
+@pytest.fixture(scope="module")
+def jsonnull_duck(jsonnull_sf):
+    con = make_duckdb(jsonnull_sf)
+    yield con
+    con.close()
+
+
+JSONNULL_CHECKED = [
+    "q_json_extract",
+    # time/key consumers over the same doctored rows
+    "q_win_tumble",
+    "q_evt_markov",
+    "q_evt_funnel",
+]
+
+
+@pytest.mark.parametrize("name", JSONNULL_CHECKED)
+def test_jsonnull_parity(spark, jsonnull_duck, registry, jsonnull_sf, name):
+    queries, oracles = registry
+    r = check_parity(
+        spark, jsonnull_duck, name, queries[name], oracles[name], jsonnull_sf
+    )
+    assert r.ok, (
+        f"{name} diverges on JSON x NULL-key x unicode input: "
+        f"rows={r.rows_match} schema={r.schema_match} "
+        f"hash={r.hash_match}\n{r.detail}"
+    )
+
+
+def test_json_composed_groups(spark, registry, jsonnull_sf):
+    """Value-contract arithmetic on the composed groups: the NULL
+    event_type group counts only its canonical int (7; the trailing
+    comma and NULL props contribute NULL), the unicode group counts
+    9+4+6 (the ',}' lives INSIDE strings / behind escapes) and
+    excludes the genuine trailing-comma doc (2), and the
+    NULL-user+NULL-ts row still reaches its group."""
+    import pyspark.sql.functions as F
+
+    queries, _ = registry
+    rows = {
+        r["event_type"]: r
+        for r in queries["q_json_extract"](spark, jsonnull_sf).collect()
+    }
+    assert rows[None]["sum_k"] == 7 and rows[None]["n_events"] == 3, rows[None]
+    uni = rows["json-uni"]
+    assert uni["sum_k"] == 19 and uni["n_events"] == 4, uni
+    nk = rows["json-nullkeys"]
+    assert nk["sum_k"] == 5 and nk["n_events"] == 1, nk
