@@ -162,19 +162,28 @@ def main() -> int:
     # overwritten every pass, so per-query cross-round diffs required
     # git archaeology. The current round = max driver-recorded
     # BENCH_r{N}.json + 1 (the driver writes r{N} at round close,
-    # AFTER our in-round passes).
-    import re as _re
+    # AFTER our in-round passes). Canonical-run guard (review r7): a
+    # bench against any non-default SF dir (e.g. a doctored composed
+    # /tmp dir) must NOT clobber the round's cross-round record.
+    if sf_dir == "/root/testdata/sf0.1":
+        import re as _re
 
-    rounds = [
-        int(m.group(1))
-        for f_ in os.listdir(here)
-        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f_))
-    ]
-    stamped = os.path.join(
-        here, f"BENCH_full_r{(max(rounds, default=0) + 1):02d}.json"
-    )
-    with open(stamped, "w") as f:
-        json.dump(full, f, indent=1)
+        rounds = [
+            int(m.group(1))
+            for f_ in os.listdir(here)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f_))
+        ]
+        stamped = os.path.join(
+            here, f"BENCH_full_r{(max(rounds, default=0) + 1):02d}.json"
+        )
+        with open(stamped, "w") as f:
+            json.dump(full, f, indent=1)
+    else:
+        print(
+            f"[bench] non-canonical sf dir {sf_dir}: round-stamped "
+            "sidecar not written",
+            file=sys.stderr,
+        )
     # Do NOT print the full map to stdout: the ~4KB line used to sit
     # right before the compact line and ate the driver's 2000-char
     # tail as mid-line JSON garbage (r5 verdict task 8). The sidecar

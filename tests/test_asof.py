@@ -9,10 +9,7 @@ from flink_streaming_kmeans_spark.operators.asof import asof_join
 
 import pytest
 
-# Slow lane (r7 verdict task 6): streaming drives / property programs /
-# full degenerate sweeps — excluded by `pytest -m "not slow"`; the full
-# suite (no filter) is the round-close gate.
-pytestmark = pytest.mark.slow
+pytestmark = pytest.mark.slow  # slow lane — see pytest.ini
 
 
 
@@ -57,6 +54,51 @@ def test_keys_do_not_leak(spark):
     right = _mk(spark, [(1, _ts(5), 1.0)], "k int, ts timestamp, rv double")
     out = {r.lv: r.rv for r in asof_join(left, right, "k", "ts", ["rv"]).collect()}
     assert out == {"a": 1.0, "b": None}
+
+
+def test_null_key_and_null_ts_follow_join_semantics(spark):
+    """SQL join semantics for NULLs (r7 composed sweep; operators/
+    asof.py docstring): a NULL-key or NULL-ts right row matches
+    NOTHING, and a NULL-key or NULL-ts left row is kept with NULL
+    payload — in BOTH directions. The window formulation would
+    otherwise group NULL keys into a real partition (backward) or
+    let a NULLS-FIRST NULL-ts probe see every right row (forward)."""
+    left = _mk(
+        spark,
+        [
+            (None, _ts(10), "null-key"),
+            (1, None, "null-ts"),
+            (None, None, "null-both"),
+            (1, _ts(10), "ok"),
+        ],
+        "k int, ts timestamp, lv string",
+    )
+    right = _mk(
+        spark,
+        [
+            (None, _ts(5), 111.0),   # NULL key: matches nothing
+            (1, None, 222.0),        # NULL ts: matches nothing
+            (1, _ts(5), 333.0),      # the only matchable row
+        ],
+        "k int, ts timestamp, rv double",
+    )
+    for direction, want_ok in (("backward", 333.0), ("forward", None)):
+        out = {
+            r.lv: r.rv
+            for r in asof_join(
+                left, right, "k", "ts", ["rv"], direction=direction
+            ).collect()
+        }
+        assert out["null-key"] is None, (direction, out)
+        assert out["null-ts"] is None, (direction, out)
+        assert out["null-both"] is None, (direction, out)
+        assert out["ok"] == want_ok, (direction, out)
+    # forward sanity: the probe at ts=5 DOES match the ts=5 right row
+    fwd = asof_join(
+        _mk(spark, [(1, _ts(5), "p")], "k int, ts timestamp, lv string"),
+        right, "k", "ts", ["rv"], direction="forward",
+    ).collect()
+    assert fwd[0].rv == 333.0
 
 
 def test_null_payload_not_backfilled(spark):

@@ -27,10 +27,12 @@ Compositions (each a module fixture + parity checklist):
    pairs like straße/STRASSE must stay DISTINCT tokens on both
    engines, and NBSP is a token CHARACTER, never whitespace).
 
-The sf0.1-scale composed sweep (same doctoring, 100× data, scaled
-adversarial magnitudes) runs out-of-band via tools/preflight on a
-doctored /tmp dir — recorded in BASELINE.md r7; this module pins the
-findings permanently at pytest scale.
+The sf0.1-scale composed sweep (tools/make_composed_dir.py +
+tools/preflight.py — recorded in BASELINE.md r7) doctors the same
+divergence CLASSES at 100× data with scaled adversarial magnitudes
+and harder (triple) compositions; it is not a row-for-row copy of
+these fixtures. Classes found at either scale get their pytest pin
+HERE.
 """
 
 from __future__ import annotations
@@ -45,10 +47,7 @@ from oracle import check_parity, make_duckdb
 
 from conftest import SF_SMOKE
 
-# Slow lane (r7 verdict task 6): streaming drives / property programs /
-# full degenerate sweeps — excluded by `pytest -m "not slow"`; the full
-# suite (no filter) is the round-close gate.
-pytestmark = pytest.mark.slow
+pytestmark = pytest.mark.slow  # slow lane — see pytest.ini
 
 
 TABLES = [

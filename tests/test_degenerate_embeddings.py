@@ -40,10 +40,7 @@ from oracle import check_parity, make_duckdb
 
 from conftest import SF_SMOKE
 
-# Slow lane (r7 verdict task 6): streaming drives / property programs /
-# full degenerate sweeps — excluded by `pytest -m "not slow"`; the full
-# suite (no filter) is the round-close gate.
-pytestmark = pytest.mark.slow
+pytestmark = pytest.mark.slow  # slow lane — see pytest.ini
 
 
 TABLES = [

@@ -127,15 +127,16 @@ def test_partition_invariance(spark, registry, name):
     _check_partition_invariance(spark, queries, name)
 
 
-def _r7_window_names():
-    """The driver's correctness window = the first 50 registered hash
-    queries (r7 verdict task 5: the window's oldest modules were last
-    driver-checked on r2-era testdata, and the hand-picked
-    PARTITION_SENSITIVE sample doesn't cover them all). Computed from
-    the live registry so the list tracks _MODULES rotation; rows-tier
-    queries are excluded — their FLOAT outputs (k-means centroids)
-    carry no cross-partition hash contract (value parity is asserted
-    in their own test modules instead)."""
+def _current_window_names():
+    """The driver's CURRENT correctness window = the first 50
+    registered hash queries, computed from the live registry so the
+    list follows each round's _MODULES rotation automatically (added
+    r7, whose window's oldest modules were last driver-checked on
+    r2-era testdata and the hand-picked PARTITION_SENSITIVE sample
+    didn't cover them all). Rows-tier queries are excluded — their
+    FLOAT outputs (k-means centroids) carry no cross-partition hash
+    contract (value parity is asserted in their own test modules
+    instead)."""
     from flink_streaming_kmeans_spark.plans.registry import collect
 
     queries, oracles = collect()
@@ -143,7 +144,9 @@ def _r7_window_names():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name", sorted(set(_r7_window_names()) - set(PARTITION_SENSITIVE)))
+@pytest.mark.parametrize(
+    "name", sorted(set(_current_window_names()) - set(PARTITION_SENSITIVE))
+)
 def test_window_partition_invariance(spark, registry, name):
     """Partition-invariance smoke over the FULL current driver window
     (minus the PARTITION_SENSITIVE names already checked above)."""

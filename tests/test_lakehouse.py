@@ -18,17 +18,13 @@ from flink_streaming_kmeans_spark.operators.lakehouse import (
     read_table,
 )
 from flink_streaming_kmeans_spark.plans.lakehouse import (
-
     _merge_fn,
     _merge_source,
     _seed_table,
     _SEGMENTS,
 )
 
-# Slow lane (r7 verdict task 6): streaming drives / property programs /
-# full degenerate sweeps — excluded by `pytest -m "not slow"`; the full
-# suite (no filter) is the round-close gate.
-pytestmark = pytest.mark.slow
+pytestmark = pytest.mark.slow  # slow lane — see pytest.ini
 
 
 def _file_hashes(root: str, manifest: dict) -> dict[str, str]:

