@@ -1,12 +1,13 @@
 """Probabilistic-structure operators made hash-verifiable.
 
-The engine already carries approximate operators in two weaker
-evidence tiers: `q_agg_approx_cd` (Spark's internal HLL, rows-only —
-the two engines' sketch implementations legitimately differ) and the
-test-tier HLL/Bloom behaviors in tests/test_properties.py. This
-module closes that gap with PORTABLE sketch constructions whose
-every bit is pinned by md5, so both engines build the identical
-sketch and the driver can hash-compare it:
+This module carries the PORTABLE sketch constructions whose every
+bit is pinned by md5, so both engines build the identical sketch and
+the driver can hash-compare it. (`q_agg_approx_cd` — once rows-only
+because Spark's internal HLL isn't bit-comparable to DuckDB's — was
+re-registered hash-tier in r6 on the same portable construction as
+q_sketch_hll and now lives in plans/approx_cd.py; Spark's native
+approx_count_distinct stays a test-tier behavior in
+tests/test_sketches.py.)
 
 - q_sketch_cms: Count-Min sketch (depth 4 x width 64) over the
   events.event_type frequency stream, plus the point-query estimates
@@ -285,9 +286,10 @@ def q_sketch_hll(spark, sf_dir):
     uses to combine HLL state at 100 TB, where the answer's cost is
     one scan + a 256-row reduce regardless of N.
 
-    This is the portable, hash-verified twin of q_agg_approx_cd
-    (rows-tier: Spark's internal HLL sketch is not bit-comparable
-    across engines — this construction is)."""
+    This is the register-file face of the same portable construction
+    q_agg_approx_cd (plans/approx_cd.py, hash-tier since r6) finishes
+    into an integer-exact estimate — native engine sketches are not
+    bit-comparable across engines; this construction is."""
     e = load_table(spark, sf_dir, "events")
     h = e.select(
         F.expr(_SPARK_H60.format(x="cast(user_id as string)")).alias("hv")

@@ -528,8 +528,12 @@ def q_stream_session(spark, sf_dir):
     WITH seqs AS (
         SELECT user_id,
                COUNT(*) AS n_events,
-               string_agg(substr(event_type, 1, 1), ''
-                          ORDER BY ts, event_id) AS seq
+               -- COALESCE: string_agg over ONLY-NULL chars is NULL
+               -- where Spark's array_join of the skipped list is ''
+               -- (law 16; r7 composed superset — an all-NULL-type
+               -- user made n_funnels NULL on one engine only)
+               COALESCE(string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id), '') AS seq
         FROM events GROUP BY user_id
     )
     SELECT user_id, n_events,

@@ -488,6 +488,11 @@ JSONNULL_CHECKED = [
     "q_win_tumble",
     "q_evt_markov",
     "q_evt_funnel",
+    # an ALL-NULL-type user: string_agg over only-NULL chars is NULL
+    # where array_join of the skipped list is '' (law 16) — the cep
+    # oracles now COALESCE (r7 composed superset find)
+    "q_evt_cep",
+    "q_stream_cep",
 ]
 
 

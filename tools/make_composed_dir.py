@@ -128,7 +128,28 @@ def build(src: str, dest: str) -> None:
            'NaN'::DOUBLE, NULL),
           (995009, TIMESTAMP '2024-01-15 10:20:00', 987601, 'purchase',
            9.0, NULL),
-          (995010, NULL::TIMESTAMP, 987601, 'view', 10.0, NULL)
+          (995010, NULL::TIMESTAMP, 987601, 'view', 10.0, NULL),
+          -- JSON x NULL group keys x unicode structural stressors
+          -- (composed regime 4): canonical int / trailing comma /
+          -- NULL props in a NULL event_type group; a fully
+          -- NULL-keyed JSON row; ',}' inside multi-byte strings and
+          -- behind escape pairs
+          (955001, TIMESTAMP '2024-01-16 08:00:00', 987701, NULL, 1.0,
+           '{"k": 7}'),
+          (955002, TIMESTAMP '2024-01-16 08:01:00', 987701, NULL, 1.0,
+           '{"k": 3,}'),
+          (955003, TIMESTAMP '2024-01-16 08:02:00', 987701, NULL, 1.0,
+           NULL),
+          (955004, NULL::TIMESTAMP, NULL, 'json-nullkeys', 1.0,
+           '{"k": 5}'),
+          (955010, TIMESTAMP '2024-01-16 08:10:00', 987702, 'json-uni',
+           1.0, '{"s": "ß,}💥", "k": 9}'),
+          (955011, TIMESTAMP '2024-01-16 08:11:00', 987702, 'json-uni',
+           1.0, '{"s": "a\"ß", "k": 4}'),
+          (955012, TIMESTAMP '2024-01-16 08:12:00', 987702, 'json-uni',
+           1.0, '{"s": "a\\", "k": 6}'),
+          (955013, TIMESTAMP '2024-01-16 08:13:00', 987702, 'json-uni',
+           1.0, '{"t": ["ß","💥"], "k": 2,}')
         ) v(event_id, ts, user_id, event_type, value, props)""")
     # Unicode x duplicate doc_ids, plus a dup id with a NULL-text row
     # (unicode x NULL composition).
