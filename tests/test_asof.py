@@ -147,6 +147,60 @@ def test_randomized_against_bruteforce(spark):
             assert got[lv] == want, (seed, lv, got[lv], want)
 
 
+def test_randomized_with_nulls_against_bruteforce(spark):
+    """The randomized brute-force pin EXTENDED with NULL keys and NULL
+    timestamps on both sides (r7 composed-sweep contract): SQL join
+    semantics — a NULL never equals and never compares, so NULL-key/
+    NULL-ts right rows match nothing and NULL-key/NULL-ts left rows
+    carry NULL payload, in both directions."""
+    import random
+
+    for seed in (21, 34):
+        rng = random.Random(seed)
+
+        def nk():
+            return None if rng.random() < 0.2 else rng.randint(1, 4)
+
+        def nt():
+            return None if rng.random() < 0.2 else rng.randint(0, 40)
+
+        left = [(nk(), (lambda s: None if s is None else _ts(s))(nt()), f"L{i}")
+                for i in range(40)]
+        seen = set()
+        right = []
+        for i in range(40):
+            k, s = nk(), nt()
+            if (k, s) not in seen:
+                seen.add((k, s))
+                right.append((k, None if s is None else _ts(s), float(i)))
+        ldf = _mk(spark, left, "k int, ts timestamp, lv string")
+        rdf = _mk(spark, right, "k int, ts timestamp, rv double")
+        for direction in ("backward", "forward"):
+            got = {
+                r.lv: r.rv
+                for r in asof_join(
+                    ldf, rdf, "k", "ts", ["rv"], direction=direction
+                ).collect()
+            }
+            for k, ts, lv in left:
+                if k is None or ts is None:
+                    want = None
+                else:
+                    cands = [
+                        (rts, rv)
+                        for rk, rts, rv in right
+                        if rk == k and rts is not None
+                        and (rts <= ts if direction == "backward" else rts >= ts)
+                    ]
+                    if not cands:
+                        want = None
+                    elif direction == "backward":
+                        want = max(cands)[1]
+                    else:
+                        want = min(cands)[1]
+                assert got[lv] == want, (seed, direction, lv, got[lv], want)
+
+
 def test_forward_basic_next_at_or_after(spark):
     left = _mk(spark, [(1, _ts(10), "L1"), (1, _ts(30), "L2")], "k int, ts timestamp, lv string")
     right = _mk(

@@ -1,0 +1,136 @@
+"""Physical-plan audit across the whole registry (r7 evidence pass).
+
+For every registered query, builds the DataFrame at the given sf dir
+and summarizes the physical plan the way the 100 TB review questions
+are phrased: how many Exchanges (shuffles / broadcasts), any
+BroadcastNestedLoopJoin / CartesianProduct (quadratic joins), any
+row-at-a-time Python (BatchEvalPython — the slow path; Arrow-batched
+MapInPandas / FlatMapGroupsInPandas / ArrowEvalPython are the
+sanctioned Python surfaces), and the widest parquet ReadSchema (is
+column pruning reaching the scan?).
+
+    python tools/plan_audit.py /root/testdata/sf0.01 [query ...]
+
+Prints one line per query plus an EXCEPTIONS section. Documented
+exceptions (test_plans.py pins the intent):
+- q_join_theta: non-equi self-join on a 25-row dim — BNLJ is the
+  right plan at any scale (broadcast side is a dimension).
+- q_join_range: the DELIBERATE unbinned range join kept as the
+  contrast to q_join_range_binned (its docstring documents the BNLJ
+  cost; the binned rewrite is the scale path).
+- q_udf_python: the row-at-a-time Python UDF SHOWCASE row (§2.11) —
+  exists to prove the surface, not to be a hot path.
+- q_join_cross: a 5x5 region cross join (CartesianProduct of two
+  broadcastable dims).
+
+Queries that RUN work at build time (streaming drives, lakehouse
+seeds) execute it here — the audit reads the FINAL returned frame's
+plan, which for sink read-backs is a plain parquet scan by design
+(the streaming work happened inside the drive).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_streaming_kmeans_spark.plans.registry import collect  # noqa: E402
+from flink_streaming_kmeans_spark.session import get_spark  # noqa: E402
+
+# A BroadcastNestedLoopJoin is LINEAR, not quadratic, when the build
+# side is bounded by construction — the "attach a scalar/probe frame"
+# pattern (crossJoin(F.broadcast(<1-row stats / k centroids / constant
+# table>))). Every entry below was verified against its query's source
+# (r7 audit); a BNLJ from any query NOT listed fails the audit, so a
+# quadratic join can't slip in silently.
+DOCUMENTED = {
+    # genuinely non-equi / all-pairs, documented as such
+    "q_join_theta": "non-equi dim self-join: BNLJ over a broadcast dim",
+    "q_join_range": "deliberate unbinned contrast to q_join_range_binned",
+    "q_join_cross": "5x5 dim cross join",
+    "q_dedup_embed": "declared brute-force baseline twin of the ANN paths",
+    "q_udf_python": "row-at-a-time Python UDF showcase (§2.11)",
+    # bounded-broadcast scalar/probe attaches (linear)
+    "q_cte_reuse": "scalar aggregate attach (1-row broadcast)",
+    "q_dedup_lsh": "broadcast minhash coefficient frame (constants)",
+    "q_evt_basket": "broadcast per-type counts + 1-row total",
+    "q_join_salted": "broadcast salt-range / dim frame",
+    "q_ml_kmeans_assign": "broadcast k-row centroid frame",
+    "q_ml_kmeans_iter2": "broadcast k-row centroid frame",
+    "q_ml_kmeans_update": "broadcast k-row centroid frame",
+    "q_neg_sample": "broadcast bounded positives frame",
+    "q_sample_mixture": "broadcast per-source weight frame",
+    "q_sim_ann": "broadcast probe set (vec_id < 10)",
+    "q_sim_ann_multi": "broadcast probe set (vec_id < 10)",
+    "q_sim_ivf": "broadcast probe + centroid frames",
+    "q_sim_knn": "broadcast probe set",
+    "q_sketch_bloom": "broadcast k/bit constant frames",
+    "q_sketch_cms": "broadcast depth-constant frame",
+    "q_sketch_quantile": "broadcast 1-row (min,max) stats frame",
+    "q_stream_quantile": "broadcast 1-row stats frame (batch finisher)",
+    "q_text_surprisal": "broadcast 1-row corpus total",
+    "q_text_tfidf": "broadcast 1-row doc-count total",
+    "q_ts_gapfill": "broadcast 1-row (min,max) grid bounds",
+}
+
+
+def audit_one(name, df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = len(re.findall(r"\bExchange\b", plan))
+    n_bcast = len(re.findall(r"BroadcastExchange", plan))
+    flags = []
+    if "BroadcastNestedLoopJoin" in plan:
+        flags.append("BNLJ")
+    if "CartesianProduct" in plan:
+        flags.append("CARTESIAN")
+    if re.search(r"\bBatchEvalPython\b", plan):
+        flags.append("ROW_PYTHON")
+    widths = [len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
+    return {
+        "exchanges": n_exchange,
+        "broadcasts": n_bcast,
+        "flags": flags,
+        "max_scan_cols": max(widths, default=0),
+    }
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    queries, _ = collect()
+    spark = get_spark("plan_audit")
+    rows, errors = {}, {}
+    for name in sorted(queries):
+        if only and name not in only:
+            continue
+        try:
+            rows[name] = audit_one(name, queries[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — report, keep going
+            errors[name] = repr(exc)[:120]
+    for name, r in rows.items():
+        flag = ",".join(r["flags"]) or "-"
+        print(
+            f"{name:28s} exch={r['exchanges']:2d} bcast={r['broadcasts']:2d} "
+            f"scan_cols={r['max_scan_cols']:2d} {flag}"
+        )
+    print("\n== EXCEPTIONS ==")
+    clean = True
+    for name, r in rows.items():
+        for f in r["flags"]:
+            note = DOCUMENTED.get(name)
+            status = f"documented: {note}" if note else "UNDOCUMENTED"
+            if not note:
+                clean = False
+            print(f"  {name}: {f} ({status})")
+    for name, e in errors.items():
+        clean = False
+        print(f"  {name}: ERROR {e}")
+    print("clean" if clean else "UNDOCUMENTED EXCEPTIONS PRESENT")
+    return 0 if clean else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
