@@ -25,7 +25,19 @@ Compositions (each a module fixture + parity checklist):
    law (25: shingles = distinct union over duplicate-id rows) composed
    with law 13 (ASCII-fold via translate, [A-Z] only — unicode case
    pairs like straße/STRASSE must stay DISTINCT tokens on both
-   engines, and NBSP is a token CHARACTER, never whitespace).
+   engines, and NBSP is a token CHARACTER, never whitespace); plus
+   duplicate vec_ids whose second copy fails the participation gate.
+
+4. **JSON edges × NULL group keys × unicode** (jsonnull_sf): the
+   Jackson-strictness scan and integer-value contract in a NULL
+   event_type group, on a fully NULL-keyed row, and with ',}' inside
+   multi-byte strings / behind escape pairs — plus the all-NULL-type
+   user that caught the cep oracles' law-16 string_agg NULL.
+
+5. **Lakehouse merge family × {dup custkey, NULL segment, NaN/inf
+   balances}** (lakenn_sf): laws 8 (partition-scoped merge), 11
+   (presence markers), and 12 (Hive NULL-partition marker) stated on
+   separate rows in r6, exercised on composed rows here.
 
 The sf0.1-scale composed sweep (tools/make_composed_dir.py +
 tools/preflight.py — recorded in BASELINE.md r7) doctors the same
@@ -528,3 +540,62 @@ def test_json_composed_groups(spark, registry, jsonnull_sf):
     assert uni["sum_k"] == 19 and uni["n_events"] == 4, uni
     nk = rows["json-nullkeys"]
     assert nk["sum_k"] == 5 and nk["n_events"] == 1, nk
+
+
+# ---------------------------------------------------------------- 5
+@pytest.fixture(scope="module")
+def lakenn_sf(tmp_path_factory):
+    """Lakehouse merge family x {dup custkey, NULL segment, NaN/inf
+    balances} in ONE customer table: the r6 tpch sweep stated the
+    partition-scoped merge contract (law 8), presence markers (11),
+    and the Hive NULL-partition marker (12) on separate rows; here a
+    single custkey spans a touched segment AND the NULL partition, a
+    NULL-keyed row carries NaN in a touched segment, and an infinite
+    balance rides the copy-on-write passthrough."""
+    sf = _copy_sf(tmp_path_factory, "degen_lakenn")
+    _rewrite(sf, "customer", """
+        SELECT * FROM (VALUES
+          (930101::BIGINT, 'dup-null-seg', 1::INT, 'NaN'::DOUBLE,
+           NULL::VARCHAR),
+          (930101, 'dup-touched-seg', 1, 55.5::DOUBLE, 'BUILDING'),
+          (NULL, 'null-key-nan', 2, 'NaN'::DOUBLE, 'BUILDING'),
+          (930102, 'all-null', 3, NULL, NULL),
+          (930103, 'inf-touched', 4, 'Infinity'::DOUBLE, 'AUTOMOBILE'),
+          (930104, 'neginf-null-seg', 5, '-Infinity'::DOUBLE, NULL)
+        ) v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)""")
+    yield sf
+
+
+@pytest.fixture(scope="module")
+def lakenn_duck(lakenn_sf):
+    con = make_duckdb(lakenn_sf)
+    yield con
+    con.close()
+
+
+LAKENN_CHECKED = [
+    # copy-on-write merge / delete / compact / time travel / incremental
+    "q_merge_cow",
+    "q_lake_delete",
+    "q_lake_compact",
+    "q_lake_time_travel",
+    "q_lake_incremental",
+    # relational merge + CDC twins
+    "q_merge_upsert",
+    "q_cdc_diff",
+    # the streaming CDC merge drive
+    "q_stream_upsert",
+]
+
+
+@pytest.mark.parametrize("name", LAKENN_CHECKED)
+def test_lakenn_parity(spark, lakenn_duck, registry, lakenn_sf, name):
+    queries, oracles = registry
+    r = check_parity(
+        spark, lakenn_duck, name, queries[name], oracles[name], lakenn_sf
+    )
+    assert r.ok, (
+        f"{name} diverges on dup-key x NULL-segment x NaN input: "
+        f"rows={r.rows_match} schema={r.schema_match} "
+        f"hash={r.hash_match}\n{r.detail}"
+    )
