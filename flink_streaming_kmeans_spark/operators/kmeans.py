@@ -458,10 +458,14 @@ ASSIGN_CTE = """
         -- NULL-only centroid made c1 a NULL-element list and crashed
         -- DuckDB's list_inner_product in q_ml_kmeans_iter2,
         -- NULL-embeddings sweep r6; a NaN element forked every dot
-        -- downstream, NaN/Inf sweep r6). Spark sides filter
-        -- emb_finite in lockstep.
+        -- downstream, NaN/Inf sweep r6). vec_id IS NOT NULL (r7
+        -- NULL-entity-id probe): in k-means the id IS the entity key
+        -- (centroid init order, assignment state) — a NULL id made
+        -- Spark's ORDER BY LIMIT k (ASC NULLS FIRST) elect a
+        -- NULL-cid centroid that DuckDB's NULLS LAST never saw.
+        -- Spark sides filter isNotNull & emb_finite in lockstep.
         SELECT vec_id, embedding FROM embeddings
-        WHERE {fin}
+        WHERE vec_id IS NOT NULL AND {fin}
     ), c AS (
         SELECT vec_id AS cid, embedding AS cemb
         FROM emb ORDER BY vec_id LIMIT 10

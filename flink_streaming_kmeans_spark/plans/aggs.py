@@ -357,7 +357,8 @@ def q_agg_bool(spark, sf_dir):
         FROM orders GROUP BY o_orderstatus, o_orderpriority
     ), ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-                                     ORDER BY cnt DESC, o_orderpriority) AS rn
+                                     ORDER BY cnt DESC,
+                                              o_orderpriority NULLS LAST) AS rn
         FROM counts
     )
     SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
@@ -376,7 +377,11 @@ def q_agg_mode(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt")
     )
     w = W.partitionBy("o_orderstatus").orderBy(
-        F.desc("cnt"), F.asc("o_orderpriority")
+        # asc_nulls_last: law 2 on the tie-break — a NULL priority is a
+        # real GROUP (NULL-priority orders exist in degenerate data),
+        # and a count tie against it split Spark's ASC NULLS FIRST from
+        # DuckDB's NULLS LAST (r7 composed audit of F.asc sites).
+        F.desc("cnt"), F.asc_nulls_last("o_orderpriority")
     )
     return (
         counts.withColumn("rn", F.row_number().over(w))

@@ -182,7 +182,11 @@ def q_dedup_near(spark, sf_dir):
         SELECT doc_id2, doc_id1 FROM near
     ),
     walk(doc_id, node) AS (
-        SELECT doc_id, doc_id FROM documents
+        -- doc_id IS NOT NULL: a NULL id identifies no entity (law 25;
+        -- r7 NULL-entity-id probe) — the label-propagation closure is
+        -- JOIN-keyed on the id, where a NULL can never participate, so
+        -- both engines exclude it from the cluster listing outright
+        SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
         UNION
         SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.node
     )
@@ -210,8 +214,15 @@ def q_dedup_cluster(spark, sf_dir):
     edges = pairs.select(
         F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst")
     )
-    nodes = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id")
+    # isNotNull: a NULL doc_id identifies no entity (law 25) — the
+    # closure's label joins would silently drop it anyway, so the
+    # exclusion is stated here and mirrored in the oracle's walk base
+    # (r7 NULL-entity-id probe: the oracle's FROM documents kept a
+    # NULL singleton row the Spark joins never emitted).
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull())
+        .select(F.col("doc_id").alias("id"))
     )
     labels = connected_components(nodes, edges)
     # No broadcast hint on sizes: its cardinality is one row per
@@ -529,10 +540,11 @@ def q_sim_ivf(spark, sf_dir):
     on the cluster id, so cost per probe is the list size, never the
     corpus. Single-probe geometry for oracle determinism; production
     raises nprobe and trains the quantizer with q_ml_kmeans_iter."""
-    # embedding IS NOT NULL: lockstep with ASSIGN_CTE's emb CTE
-    # (NULL-embeddings sweep, r6).
+    # vec_id isNotNull & emb_finite: lockstep with ASSIGN_CTE's emb
+    # CTE (NULL-embeddings sweep r6; NULL-entity-id probe r7 — the id
+    # is the k-means entity key feeding the quantizer's centroids).
     e = load_table(spark, sf_dir, "embeddings").where(
-        emb_finite("embedding")
+        F.col("vec_id").isNotNull() & emb_finite("embedding")
     )
     from ..operators.kmeans import assign, init_centroids
 
@@ -801,7 +813,11 @@ def q_pipeline_clean(spark, sf_dir):
         SELECT doc_id2, doc_id1 FROM near
     ),
     walk(doc_id, node) AS (
-        SELECT doc_id, doc_id FROM documents
+        -- doc_id IS NOT NULL: lockstep with q_dedup_cluster's walk —
+        -- a NULL id identifies no entity (law 25); here the later
+        -- comp-to-documents equi-join dropped it anyway, but the
+        -- contract is stated, not incidental (r7 NULL-entity-id probe)
+        SELECT doc_id, doc_id FROM documents WHERE doc_id IS NOT NULL
         UNION
         SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.node
     ),
@@ -842,7 +858,11 @@ def q_dedup_canonical(spark, sf_dir):
         F.col("doc_id1").alias("src"), F.col("doc_id2").alias("dst")
     )
     docs = load_table(spark, sf_dir, "documents")
-    nodes = docs.select(F.col("doc_id").alias("id"))
+    # isNotNull: stated NULL-entity exclusion, lockstep with
+    # q_dedup_cluster (the label join back to docs dropped it anyway).
+    nodes = docs.where(F.col("doc_id").isNotNull()).select(
+        F.col("doc_id").alias("id")
+    )
     labels = connected_components(nodes, edges)
     scored = labels.join(
         docs.select("doc_id", "n_chars"),

@@ -44,7 +44,9 @@ def q_ml_kmeans_assign(spark, sf_dir):
     goes to the nearest centroid by cosine (== dot on unit vectors),
     ties to the lowest cluster id. dist = 1 - cosine."""
     e = load_table(spark, sf_dir, "embeddings").where(
-        emb_finite("embedding")
+        # vec_id isNotNull: the id IS the k-means entity key — lockstep
+        # with ASSIGN_CTE's emb CTE (r7 NULL-entity-id probe)
+        F.col("vec_id").isNotNull() & emb_finite("embedding")
     )
     a = assign(fan_out(e), init_centroids(e))
     return a.select(
@@ -70,7 +72,9 @@ def q_ml_kmeans_update(spark, sf_dir):
     """One Lloyd step, update half: new centroid = per-dimension mean
     of assigned vectors (exact decimal summation + matched round)."""
     e = load_table(spark, sf_dir, "embeddings").where(
-        emb_finite("embedding")
+        # vec_id isNotNull: the id IS the k-means entity key — lockstep
+        # with ASSIGN_CTE's emb CTE (r7 NULL-entity-id probe)
+        F.col("vec_id").isNotNull() & emb_finite("embedding")
     )
     a = assign(fan_out(e), init_centroids(e))
     upd = update(a)  # (cid, dim, c_val) — c_val unrounded double
@@ -87,7 +91,9 @@ def q_ml_kmeans_iter(spark, sf_dir):
     Rows-only for the driver; tests/test_kmeans.py checks ≥0.95 label
     purity against embeddings.label ground truth and MLlib agreement."""
     e = load_table(spark, sf_dir, "embeddings").where(
-        emb_finite("embedding")
+        # vec_id isNotNull: the id IS the k-means entity key — lockstep
+        # with ASSIGN_CTE's emb CTE (r7 NULL-entity-id probe)
+        F.col("vec_id").isNotNull() & emb_finite("embedding")
     )
     # No fan_out here: each iteration is one vectorized numpy pass over
     # the persisted input, and at this row count 32-way task launch per
@@ -122,7 +128,9 @@ def q_kmeans_stream(spark, sf_dir):
     from ..streaming.kmeans import StreamingKMeans
 
     e = load_table(spark, sf_dir, "embeddings").where(
-        emb_finite("embedding")
+        # vec_id isNotNull: the id IS the k-means entity key — lockstep
+        # with ASSIGN_CTE's emb CTE (r7 NULL-entity-id probe)
+        F.col("vec_id").isNotNull() & emb_finite("embedding")
     ).select("vec_id", "embedding")
     cent = init_centroids(e).collect()
     skm = StreamingKMeans(

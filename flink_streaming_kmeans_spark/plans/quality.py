@@ -107,12 +107,16 @@ _R2_ORACLE = f"""
     ), c1 AS (
         SELECT cid, list(cq ORDER BY dim) AS cemb FROM u1 GROUP BY cid
     ), s2 AS (
-        -- finite-embedding gate: lockstep with ASSIGN_CTE's emb CTE
-        -- (NULL-embeddings + NaN/Inf sweeps, r6)
+        -- participation gate: lockstep with ASSIGN_CTE's emb CTE
+        -- (NULL-embeddings + NaN/Inf sweeps r6; vec_id IS NOT NULL
+        -- per the r7 NULL-entity-id probe — round 2 re-reads the raw
+        -- table, and without the id gate the NULL-id vector rode back
+        -- into the second assignment on the oracle side only)
         SELECT e.vec_id, c.cid,
                list_inner_product(e.embedding::DOUBLE[], c.cemb) AS dot
         FROM (SELECT vec_id, embedding FROM embeddings
-              WHERE {sql_emb_finite('embedding')}) e CROSS JOIN c1 c
+              WHERE vec_id IS NOT NULL
+                AND {sql_emb_finite('embedding')}) e CROSS JOIN c1 c
     ), r2 AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                      ORDER BY dot DESC, cid) AS rn
@@ -145,7 +149,9 @@ def q_ml_kmeans_iter2(spark, sf_dir):
     same per-iteration cost profile lloyd_iterate pays; nothing here
     grows with corpus size except the embarrassingly parallel scans."""
     e = load_table(spark, sf_dir, "embeddings").where(
-        emb_finite("embedding")
+        # vec_id isNotNull: the id IS the k-means entity key — lockstep
+        # with ASSIGN_CTE's emb CTE (r7 NULL-entity-id probe)
+        F.col("vec_id").isNotNull() & emb_finite("embedding")
     )
     a1 = assign(fan_out(e), init_centroids(e))
     u1 = update(a1)  # (cid, dim, c_val) — unrounded double means

@@ -331,7 +331,9 @@ def q_kmeans_stream_reassign(spark, sf_dir):
 
     e = (
         load_table(spark, sf_dir, "embeddings")
-        .where(emb_finite("embedding"))  # vector-op contract, r6
+        # isNotNull: the assignment state is KEYED on vec_id — a NULL
+        # entity id cannot be tracked (r7 probe); emb_finite: r6.
+        .where(F.col("vec_id").isNotNull() & emb_finite("embedding"))
         .select("vec_id", "embedding")
     )
     cent = init_centroids(e).collect()

@@ -25,12 +25,18 @@ from .registry import register
            DENSE_RANK() OVER w AS drnk,
            ROW_NUMBER() OVER w AS rn
     FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey NULLS LAST)
     """,
 )
 def q_win_rank(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
-    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w = W.partitionBy("c_nationkey").orderBy(
+        # asc_nulls_last: law 2 on the TIE-BREAK key — custkey was
+        # never NULL until the r7 composed lakehouse fixture, where
+        # Spark's ASC NULLS FIRST default broke rank parity against
+        # DuckDB's NULLS LAST on NaN-balance ties (superset sweep)
+        F.desc("c_acctbal"), F.asc_nulls_last("c_custkey")
+    )
     return c.select(
         "c_custkey",
         "c_nationkey",
@@ -141,14 +147,17 @@ def q_win_range_frame(spark, sf_dir):
            FIRST_VALUE(c_custkey) OVER w2 AS richest,
            LAST_VALUE(c_custkey) OVER w2 AS poorest
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
-           w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey NULLS LAST),
+           w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey NULLS LAST
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
 def q_win_ntile(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w = W.partitionBy("c_mktsegment").orderBy(
+        # asc_nulls_last tie-break: see q_win_rank (r7 composed find)
+        F.desc("c_acctbal"), F.asc_nulls_last("c_custkey")
+    )
     w2 = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return c.select(
         "c_custkey",
@@ -167,9 +176,9 @@ def q_win_ntile(spark, sf_dir):
            LAST_VALUE(c_custkey) OVER w2 AS poorest
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
-                 ORDER BY c_acctbal DESC, c_custkey),
+                 ORDER BY c_acctbal DESC, c_custkey NULLS LAST),
            w2 AS (PARTITION BY c_mktsegment, c_nationkey
-                  ORDER BY c_acctbal DESC, c_custkey
+                  ORDER BY c_acctbal DESC, c_custkey NULLS LAST
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -187,7 +196,8 @@ def q_win_ntile_scaled(spark, sf_dir):
     composite key fans out past the 5-partition hazard."""
     c = load_table(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment", "c_nationkey").orderBy(
-        F.desc("c_acctbal"), F.asc("c_custkey")
+        # asc_nulls_last tie-break: see q_win_rank (r7 composed find)
+        F.desc("c_acctbal"), F.asc_nulls_last("c_custkey")
     )
     w2 = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return c.select(

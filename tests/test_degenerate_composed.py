@@ -389,7 +389,12 @@ def unidup_sf(tmp_path_factory):
           (980010, '🎉 party time with cake and music and friends fun',
            'en', 'degen-uni', 49),
           (980011, '🎂 party time with cake and music and friends fun',
-           'en', 'degen-uni', 49)
+           'en', 'degen-uni', 49),
+          -- NULL doc_id with REAL near-dup text: the entity-id NULL
+          -- group flows through shingle joins, dedup windows, and
+          -- tie-break ORDER BYs (r7 F.asc-site audit)
+          (NULL, 'the straße fuß walk was long today also', 'de',
+           'degen-uni', 40)
         ) v(doc_id, text, lang, source, n_chars)""")
     # Duplicate vec_ids where the second copy fails the participation
     # contract (NaN element / NULL embedding): every oracle stage must
@@ -403,7 +408,12 @@ def unidup_sf(tmp_path_factory):
                || list_transform(range(62), x -> 0.0::FLOAT), 1),
           (930003, NULL, NULL),
           (930003, [ 0.0::FLOAT, -1.0 ]
-               || list_transform(range(62), x -> 0.0::FLOAT), 2)
+               || list_transform(range(62), x -> 0.0::FLOAT), 2),
+          -- NULL vec_id with a FINITE embedding: passes emb_finite,
+          -- flows through LSH buckets as a potential neighbor (the
+          -- entity-id NULL group; r7 F.asc-site audit)
+          (NULL, [ 0.8::FLOAT, 0.6 ]
+               || list_transform(range(62), x -> 0.0::FLOAT), 3)
         ) v(vec_id, embedding, label)""")
     yield sf
 
@@ -435,6 +445,16 @@ UNIDUP_CHECKED = [
     "q_sim_ann_multi",
     "q_sim_ann",
     "q_emb_normalize",
+    # NULL entity ids (r7 probe): a NULL doc_id is no dedup entity
+    # (cluster/canonical walk bases exclude it), and a NULL vec_id is
+    # no k-means entity (Spark's ORDER BY LIMIT k elected a NULL-cid
+    # centroid under ASC NULLS FIRST; ASSIGN_CTE + Spark gates now
+    # require vec_id IS NOT NULL)
+    "q_dedup_canonical",
+    "q_ml_kmeans_assign",
+    "q_ml_kmeans_update",
+    "q_ml_kmeans_iter2",
+    "q_sim_ivf",
 ]
 
 

@@ -70,7 +70,15 @@ def build(src: str, dest: str) -> None:
           (920004, 'comp-null', 2, NULL, 'COMPNN'),
           (920005, 'comp-nan', 2, 'NaN'::DOUBLE, 'COMPNN'),
           (920006, 'all-null-1', 3, NULL, 'COMPALLN'),
-          (920007, 'all-null-2', 3, NULL, 'COMPALLN')
+          (920007, 'all-null-2', 3, NULL, 'COMPALLN'),
+          -- lakehouse merge family x {dup custkey, NULL segment,
+          -- NaN/inf balances} (composed regime 5)
+          (930101, 'dup-null-seg', 1, 'NaN'::DOUBLE, NULL::VARCHAR),
+          (930101, 'dup-touched-seg', 1, 55.5::DOUBLE, 'BUILDING'),
+          (NULL, 'null-key-nan', 2, 'NaN'::DOUBLE, 'BUILDING'),
+          (930102, 'all-null-row', 3, NULL, NULL),
+          (930103, 'inf-touched', 4, 'Infinity'::DOUBLE, 'AUTOMOBILE'),
+          (930104, 'neginf-null-seg', 5, '-Infinity'::DOUBLE, NULL)
         ) v(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)""")
     # NULL-custkey window partition x extreme/NULL dates x extreme
     # prices; plus a valid customer's NULL/NaN-interleaved chain.
@@ -168,7 +176,10 @@ def build(src: str, dest: str) -> None:
           (980010, '🎉 party time with cake and music and friends fun',
            'en', 'degen-uni', 49),
           (980011, '🎂 party time with cake and music and friends fun',
-           'en', 'degen-uni', 49)
+           'en', 'degen-uni', 49),
+          -- NULL doc_id with real near-dup text (entity-id NULL probe)
+          (NULL, 'the straße fuß walk was long today also', 'de',
+           'degen-uni', 40)
         ) v(doc_id, text, lang, source, n_chars)""")
     # Duplicate vec_ids where one copy is non-finite / out-of-bound
     # (entity identity x the emb_finite participation contract).
@@ -179,7 +190,9 @@ def build(src: str, dest: str) -> None:
           (930001, [ 0.6::FLOAT, 0.8 ] || list_transform(range(62), x -> 0.0::FLOAT), 1),
           (930002, [ 1.0e30::FLOAT, 0.0 ] || list_transform(range(62), x -> 0.1::FLOAT), 2),
           (930003, NULL, NULL),
-          (930003, [ 0.0::FLOAT, -1.0 ] || list_transform(range(62), x -> 0.0::FLOAT), 2)
+          (930003, [ 0.0::FLOAT, -1.0 ] || list_transform(range(62), x -> 0.0::FLOAT), 2),
+          -- NULL vec_id with a finite embedding (entity-id NULL probe)
+          (NULL, [ 0.8::FLOAT, 0.6 ] || list_transform(range(62), x -> 0.0::FLOAT), 3)
         ) v(vec_id, embedding, label)""")
     con.close()
     print(f"composed dir ready: {dest}")
