@@ -53,29 +53,38 @@ def register(name: str, oracle: str | None = None):
 # explicitly ordered this rotation; this list is the CANONICAL rotation
 # plan — module docstrings defer here).
 #
-# Round-7 window (executes the round-6 verdict tasks 1+2 — the written
-# r7 plan with q_agg_approx_cd FRONTED in, swapped for one of the nine
-# re-confirming llm slots; approx_cd got its own module for exactly
-# this, see plans/approx_cd.py):
-#   udf(4, re-confirming 2) + streaming_ext(1, the r6 q_stream_slide)
-#   + lakehouse(5) + windows(9) + relational(9) + scalars(9) + ml(4)
-#   + approx_cd(1) + llm(first 8) = 50 exactly. This gives
-#   q_stream_slide, q_lake_compact, and q_agg_approx_cd — the only
-#   three hash queries with zero driver rows after r6 — their first
-#   driver-recorded evidence.
+# Round-8 window (executes the round-7 verdict task 1 — the r8 plan
+# exactly as written there and in the r7 registry comment):
+#   llm(13, re-confirming the 8 that led the r7 window) + textops(16)
+#   + training(6) + quality(2) + scans(6) + filters(3)
+#   + joins(first 4: inner/broadcast/left/full) = 50 exactly.
+#   This gives the textops/training/quality/scans/filters modules —
+#   last driver-recorded in rounds 3-5, i.e. on PREVIOUS-generation
+#   testdata — their first driver rows on current-generation data.
 #
-# Round-8 plan: llm(13, re-confirming 8) + textops(16) + training(6)
-#   + quality(2) + scans(6) + filters(3) + joins(first 4) = 50, by
-#   which point every registered query has a driver row no older than
-#   two testdata generations except the joins tail/aggs/setops (all
-#   r5-driver-green on current data); round 9 fronts joins(13) +
-#   aggs(14) + setops(4) + next-oldest (approx_cd rejoins its aggs
-#   window-mates there).
+# Round-9 plan (verdict task 7, prepped now): joins(13, re-confirming
+#   the 4 that close the r8 window) + aggs(14) + approx_cd(1 — rejoins
+#   its aggs window-mates; the module stays separate, just ordered
+#   adjacent) + setops(4) + oldest re-confirms: sketches(4) +
+#   coverage(10) + corpus(first 4) = 50 exactly.
+#
+# ROTATION LAW (steady state from r9 on): every registered query gets
+#   a driver-recorded hash row at most TWO testdata generations old.
+#   The window always fronts (a) any query with zero driver evidence,
+#   then (b) the modules whose last driver row is oldest, padded to 50
+#   with re-confirms from the previous window's tail so adjacent
+#   windows overlap and a regression introduced mid-round is caught by
+#   the next driver run. After r9-close every query's newest driver
+#   row is ≤2 generations old and the rotation simply cycles
+#   oldest-first.
 #
 # Executed history: r6 window = sketches(4) + coverage(10) +
-#   corpus(15) + streams(10) + events(9) + udf(first 2) = 50,
-#   driver-confirmed 48/48 hash-green + 2 rows-tier in
-#   CORRECTNESS_r06.json.
+#   corpus(15) + streams(10) + events(9) + udf(first 2), 48/48 hash
+#   in CORRECTNESS_r06.json; r7 window = udf(4) + streaming_ext(1) +
+#   lakehouse(5) + windows(9) + relational(9) + scalars(9) + ml(4) +
+#   approx_cd(1, fronted per r6 verdict) + llm(first 8), 48/48 hash
+#   in CORRECTNESS_r07.json — with which EVERY declared hash query
+#   has at least one driver-recorded green row (163/163 cumulative).
 #
 # NEVER add queries to modules inside the current window prefix
 # mid-round (it would shift the window and orphan tail queries); new
@@ -84,14 +93,6 @@ def register(name: str, oracle: str | None = None):
 # semantics depend on it (verified by the full preflight sweep each
 # round).
 _MODULES = [
-    "udf",
-    "streaming_ext",
-    "lakehouse",
-    "windows",
-    "relational",
-    "scalars",
-    "ml",
-    "approx_cd",  # fronted per r6 verdict task 2 — see module docstring.
     "llm",
     "textops",
     "training",
@@ -100,12 +101,20 @@ _MODULES = [
     "filters",
     "joins",
     "aggs",
+    "approx_cd",  # ordered with aggs again per the r9 plan above.
     "setops",
     "sketches",
     "coverage",
     "corpus",
     "streams",
     "events",
+    "udf",
+    "streaming_ext",
+    "lakehouse",
+    "windows",
+    "relational",
+    "scalars",
+    "ml",
 ]
 
 
