@@ -44,36 +44,47 @@ from flink_streaming_kmeans_spark.session import get_spark  # noqa: E402
 # side is bounded by construction — the "attach a scalar/probe frame"
 # pattern (crossJoin(F.broadcast(<1-row stats / k centroids / constant
 # table>))). Every entry below was verified against its query's source
-# (r7 audit); a BNLJ from any query NOT listed fails the audit, so a
-# quadratic join can't slip in silently.
+# (r7 audit); a flag from any (query, flag) pair NOT listed fails the
+# audit, so a quadratic join can't slip in silently. Keyed on
+# (name, flag) — not name alone — so a query documented for one
+# exception class (say a bounded-broadcast BNLJ) still FAILS the gate
+# if it later grows a different flag (CARTESIAN / ROW_PYTHON); the r7
+# advice pass flagged the name-only table as a laundering hole.
 DOCUMENTED = {
     # genuinely non-equi / all-pairs, documented as such
-    "q_join_theta": "non-equi dim self-join: BNLJ over a broadcast dim",
-    "q_join_range": "deliberate unbinned contrast to q_join_range_binned",
-    "q_join_cross": "5x5 dim cross join",
-    "q_dedup_embed": "declared brute-force baseline twin of the ANN paths",
-    "q_udf_python": "row-at-a-time Python UDF showcase (§2.11)",
+    ("q_join_theta", "BNLJ"): "non-equi dim self-join: BNLJ over a broadcast dim",
+    ("q_join_range", "BNLJ"): "deliberate unbinned contrast to q_join_range_binned",
+    # The declared 5x5 dim cross join — Spark picks BNLJ when a side
+    # is broadcastable (the usual plan here) and CartesianProduct only
+    # if broadcast is disabled; both physical strategies are the same
+    # documented contract shape, so both pairs are listed. (The
+    # (name, flag) re-keying surfaced this: the old name-only table
+    # hid that the live plan is BNLJ, not CartesianProduct.)
+    ("q_join_cross", "CARTESIAN"): "5x5 dim cross join",
+    ("q_join_cross", "BNLJ"): "5x5 dim cross join (broadcastable side)",
+    ("q_dedup_embed", "BNLJ"): "declared brute-force baseline twin of the ANN paths",
+    ("q_udf_python", "ROW_PYTHON"): "row-at-a-time Python UDF showcase (§2.11)",
     # bounded-broadcast scalar/probe attaches (linear)
-    "q_cte_reuse": "scalar aggregate attach (1-row broadcast)",
-    "q_dedup_lsh": "broadcast minhash coefficient frame (constants)",
-    "q_evt_basket": "broadcast per-type counts + 1-row total",
-    "q_join_salted": "broadcast salt-range / dim frame",
-    "q_ml_kmeans_assign": "broadcast k-row centroid frame",
-    "q_ml_kmeans_iter2": "broadcast k-row centroid frame",
-    "q_ml_kmeans_update": "broadcast k-row centroid frame",
-    "q_neg_sample": "broadcast bounded positives frame",
-    "q_sample_mixture": "broadcast per-source weight frame",
-    "q_sim_ann": "broadcast probe set (vec_id < 10)",
-    "q_sim_ann_multi": "broadcast probe set (vec_id < 10)",
-    "q_sim_ivf": "broadcast probe + centroid frames",
-    "q_sim_knn": "broadcast probe set",
-    "q_sketch_bloom": "broadcast k/bit constant frames",
-    "q_sketch_cms": "broadcast depth-constant frame",
-    "q_sketch_quantile": "broadcast 1-row (min,max) stats frame",
-    "q_stream_quantile": "broadcast 1-row stats frame (batch finisher)",
-    "q_text_surprisal": "broadcast 1-row corpus total",
-    "q_text_tfidf": "broadcast 1-row doc-count total",
-    "q_ts_gapfill": "broadcast 1-row (min,max) grid bounds",
+    ("q_cte_reuse", "BNLJ"): "scalar aggregate attach (1-row broadcast)",
+    ("q_dedup_lsh", "BNLJ"): "broadcast minhash coefficient frame (constants)",
+    ("q_evt_basket", "BNLJ"): "broadcast per-type counts + 1-row total",
+    ("q_join_salted", "BNLJ"): "broadcast salt-range / dim frame",
+    ("q_ml_kmeans_assign", "BNLJ"): "broadcast k-row centroid frame",
+    ("q_ml_kmeans_iter2", "BNLJ"): "broadcast k-row centroid frame",
+    ("q_ml_kmeans_update", "BNLJ"): "broadcast k-row centroid frame",
+    ("q_neg_sample", "BNLJ"): "broadcast bounded positives frame",
+    ("q_sample_mixture", "BNLJ"): "broadcast per-source weight frame",
+    ("q_sim_ann", "BNLJ"): "broadcast probe set (vec_id < 10)",
+    ("q_sim_ann_multi", "BNLJ"): "broadcast probe set (vec_id < 10)",
+    ("q_sim_ivf", "BNLJ"): "broadcast probe + centroid frames",
+    ("q_sim_knn", "BNLJ"): "broadcast probe set",
+    ("q_sketch_bloom", "BNLJ"): "broadcast k/bit constant frames",
+    ("q_sketch_cms", "BNLJ"): "broadcast depth-constant frame",
+    ("q_sketch_quantile", "BNLJ"): "broadcast 1-row (min,max) stats frame",
+    ("q_stream_quantile", "BNLJ"): "broadcast 1-row stats frame (batch finisher)",
+    ("q_text_surprisal", "BNLJ"): "broadcast 1-row corpus total",
+    ("q_text_tfidf", "BNLJ"): "broadcast 1-row doc-count total",
+    ("q_ts_gapfill", "BNLJ"): "broadcast 1-row (min,max) grid bounds",
 }
 
 
@@ -101,6 +112,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     queries, _ = collect()
+    unknown = only - set(queries)
+    if unknown:
+        # A typo'd name must not read as a clean audit (r7 advice): the
+        # name filter would silently skip everything and print "clean".
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
     spark = get_spark("plan_audit")
     rows, errors = {}, {}
     for name in sorted(queries):
@@ -120,7 +137,7 @@ def main():
     clean = True
     for name, r in rows.items():
         for f in r["flags"]:
-            note = DOCUMENTED.get(name)
+            note = DOCUMENTED.get((name, f))
             status = f"documented: {note}" if note else "UNDOCUMENTED"
             if not note:
                 clean = False
