@@ -153,9 +153,9 @@ def build(src: str, dest: str) -> None:
           (955010, TIMESTAMP '2024-01-16 08:10:00', 987702, 'json-uni',
            1.0, '{"s": "ß,}💥", "k": 9}'),
           (955011, TIMESTAMP '2024-01-16 08:11:00', 987702, 'json-uni',
-           1.0, '{"s": "a\"ß", "k": 4}'),
+           1.0, '{"s": "a\\"ß,}", "k": 4}'),
           (955012, TIMESTAMP '2024-01-16 08:12:00', 987702, 'json-uni',
-           1.0, '{"s": "a\\", "k": 6}'),
+           1.0, '{"s": "a\\\\", "k": 6}'),
           (955013, TIMESTAMP '2024-01-16 08:13:00', 987702, 'json-uni',
            1.0, '{"t": ["ß","💥"], "k": 2,}')
         ) v(event_id, ts, user_id, event_type, value, props)""")
