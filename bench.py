@@ -8,7 +8,11 @@ ONE JSON line:
 Execution is measured with the noop sink (full plan runs, nothing is
 shipped to the driver), the standard Spark bench pattern — so numbers
 reflect engine time, not result-pickling time. One warmup query runs
-first so JVM/codegen startup is not charged to the first query.
+first so JVM/codegen startup is not charged to the first query, and
+every query is timed TWICE (min kept, runs temporally separated by a
+full suite pass) so one-time optimizer-JIT/codegen compile and
+external-load bursts don't masquerade as plan regressions — see the
+pass-2 comment in main() for the measurements behind this.
 """
 
 from __future__ import annotations
@@ -129,10 +133,55 @@ def main() -> int:
     for name in sorted(queries):
         times[name] = timed(name)
 
+    # Second timed pass, min kept (r7 verdict task 2): a query's FIRST
+    # run charges one-time optimizer-JIT + whole-stage-codegen compile
+    # to whichever query hits the cold code path — measured 5.5 s →
+    # 2.2 s → ~1.5 s steady for q_agg_corr on a fresh JVM, and r6/r7
+    # repeatedly toggled weak-marks on sub-second queries over exactly
+    # this (q_win_rank 0.20 → 0.94 s on an unchanged plan). A family-
+    # representative warmup does NOT transfer (probed: q_agg_stats
+    # untimed first still left q_agg_corr at 2.7 s), so the fix is a
+    # full second pass: every query is measured twice, temporally
+    # separated (the whole suite runs between a query's two runs), and
+    # the min is kept — standard steady-state practice, disclosed in
+    # the agg field. Queries that errored or hit the watchdog cap in
+    # pass 1 are skipped (an error stays an error; a capped query gets
+    # its one extra shot from the outlier retry below, not a second
+    # guaranteed 150 s).
+    for name in sorted(queries):
+        if name not in errors and times[name] <= QUERY_CAP_SEC:
+            times[name] = min(times[name], timed(name))
+
     med = sorted(times.values())[len(times) // 2]
     retry_cutoff = max(2.0, 4 * med)
+
+    # Third chance for anything still suspicious: suite-median outliers
+    # (external-load bursts land tens of seconds on one query) and any
+    # query above 2.5x its best ROUND-STAMPED historical value.
+    # Reference = per-query MIN over all BENCH_full_r*.json sidecars
+    # (min across rounds filters the noise out of the reference
+    # itself).
+    here = os.path.dirname(os.path.abspath(__file__))
+    import re as _re
+
+    hist: dict[str, float] = {}
+    for f_ in os.listdir(here):
+        if _re.fullmatch(r"BENCH_full_r(\d+)\.json", f_):
+            try:
+                with open(os.path.join(here, f_)) as fh:
+                    for k, v in json.load(fh).get("queries", {}).items():
+                        hist[k] = min(hist.get(k, float("inf")), float(v))
+            except (OSError, ValueError):
+                continue
+
+    def suspicious(name: str) -> bool:
+        if times[name] > retry_cutoff:
+            return True
+        ref = hist.get(name)
+        return ref is not None and times[name] > max(0.3, 2.5 * ref)
+
     for name in sorted(times, key=times.get, reverse=True):
-        if name not in errors and times[name] > retry_cutoff:
+        if name not in errors and suspicious(name):
             times[name] = min(times[name], timed(name))
     times = {k: round(v, 3) for k, v in times.items()}
 
@@ -144,7 +193,7 @@ def main() -> int:
         "queries": times,
         "sf": os.path.basename(os.path.normpath(sf_dir)),
         "n_queries": len(times),
-        "agg": "min_of_pass_plus_outlier_retry",
+        "agg": "min_of_2_passes_plus_outlier_retry",
     }
     if errors:
         full["errors"] = errors
@@ -154,7 +203,6 @@ def main() -> int:
     # So: full map → sidecar file + an early stdout line (for humans),
     # and the FINAL stdout line is a compact summary guaranteed to fit
     # the tail capture (top slowest queries only, full map referenced).
-    here = os.path.dirname(os.path.abspath(__file__))
     sidecar = os.path.join(here, "BENCH_full.json")
     with open(sidecar, "w") as f:
         json.dump(full, f, indent=1)
@@ -162,17 +210,26 @@ def main() -> int:
     # overwritten every pass, so per-query cross-round diffs required
     # git archaeology. The current round = max driver-recorded
     # BENCH_r{N}.json + 1 (the driver writes r{N} at round close,
-    # AFTER our in-round passes). Canonical-run guard (review r7): a
-    # bench against any non-default SF dir (e.g. a doctored composed
-    # /tmp dir) must NOT clobber the round's cross-round record.
-    if sf_dir == "/root/testdata/sf0.1":
-        import re as _re
-
+    # AFTER our in-round passes), falling back to the tracked
+    # BENCH_full_r{N}.json names when no driver file exists (r7
+    # advice: a fresh clone carries only the tracked stamped sidecars,
+    # and would otherwise restart numbering at r01). Canonical-run
+    # guard (review r7 + r7 advice): compare REALPATHS so a trailing
+    # slash, relative path, or symlink to the canonical dir still
+    # counts as canonical, while a doctored composed /tmp dir never
+    # clobbers the round's cross-round record.
+    if os.path.realpath(sf_dir) == os.path.realpath("/root/testdata/sf0.1"):
         rounds = [
             int(m.group(1))
             for f_ in os.listdir(here)
             if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f_))
         ]
+        if not rounds:
+            rounds = [
+                int(m.group(1))
+                for f_ in os.listdir(here)
+                if (m := _re.fullmatch(r"BENCH_full_r(\d+)\.json", f_))
+            ]
         stamped = os.path.join(
             here, f"BENCH_full_r{(max(rounds, default=0) + 1):02d}.json"
         )
