@@ -180,6 +180,13 @@ def create_table(
             "partition_col": partition_col,
             "partition_type": ptype,
             "stats_cols": stats_cols or [],
+            # The table schema lives in table METADATA, not only in data
+            # file footers — the Delta/Iceberg design point that makes an
+            # EMPTY table (or an empty commit) first-class: at scale an
+            # incremental batch can legitimately be empty, and seeding a
+            # pipeline's output table before any data arrives is normal.
+            # read_table falls back to this when a snapshot has no files.
+            "schema": json.loads(df.schema.json()),
             "files": files,
         },
     )
@@ -219,14 +226,24 @@ def read_table(
     if not files:
         # A pruned-to-nothing selection is legitimate (an all-INSERT
         # merge whose source partitions are new to the table; a CDF
-        # read over a churn-free interval). The table schema is only
-        # derivable from data files, so read the FULL snapshot's file
-        # list and filter to lit(False): Catalyst's
+        # read over a churn-free interval). Read the FULL snapshot's
+        # file list and filter to lit(False): Catalyst's
         # PropagateEmptyRelation folds the scan away, so no data pages
         # are ever read — this is a schema-only operation.
         files = m["files"]
         empty_selection = True
         if not files:
+            # A snapshot with ZERO data files (empty table seed, or a
+            # delete that emptied every partition) — the schema comes
+            # from the manifest, the Delta/Iceberg design point (see
+            # create_table). Legacy manifests without a recorded schema
+            # keep the loud error.
+            if m.get("schema") is not None:
+                from pyspark.sql.types import StructType
+
+                return spark.createDataFrame(
+                    [], StructType.fromJson(m["schema"])
+                )
             raise ValueError(
                 f"table at {root} has no data files in version={m['version']}"
             )
@@ -411,6 +428,9 @@ def merge_cow(
             "partition_col": pcol,
             "partition_type": prev["partition_type"],
             "stats_cols": prev.get("stats_cols") or [],
+            # A merge's output schema is the table's new schema (the
+            # mergeSchema read path NULL-fills carried-forward files).
+            "schema": json.loads(merged.schema.json()),
             "files": carried + new_files,
         },
     )
@@ -471,6 +491,8 @@ def compact(
             "partition_col": pcol,
             "partition_type": prev["partition_type"],
             "stats_cols": prev.get("stats_cols") or [],
+            # Compaction is a pure rewrite: schema carried forward.
+            "schema": prev.get("schema"),
             "files": carried + new_files,
         },
     )

@@ -89,7 +89,16 @@ def q_sink_partitioned(spark, sf_dir):
     li.select("l_orderkey", "l_returnflag", "l_linestatus", "l_quantity").write.mode(
         "overwrite"
     ).partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out).where(F.col("l_returnflag") == "R")
+    # Explicit schema on re-read (same rule as the CSV source): schema
+    # inference is an extra listing+footer pass at 100 TB, and an EMPTY
+    # partitioned write leaves zero footers to infer from (the empty-
+    # input sweep hit exactly that). Partition discovery still runs —
+    # l_returnflag comes from the directory names and the pruning
+    # filter below stays a PartitionFilter.
+    back = spark.read.schema(
+        "l_orderkey bigint, l_linestatus string, l_quantity double, "
+        "l_returnflag string"
+    ).parquet(out).where(F.col("l_returnflag") == "R")
     return back.groupBy("l_linestatus").agg(
         F.count(F.lit(1)).alias("cnt"),
         dsumr("l_quantity").alias("sum_qty"),

@@ -93,9 +93,18 @@ def q_stream_dedup(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
         "event_id", "ts", "value"
     )
+    # Empty-source guard + ntile clamp (r8 full-registry empty sweep;
+    # same idiom as q_stream_session): an empty stream has no batch
+    # files and no sink dir, and ntile(3) over <3 rows leaves a batch
+    # with no partition dir — both abort the replay prep loudly.
+    cnt = ev.count()
+    if cnt == 0:
+        return spark.createDataFrame(
+            [], "event_id bigint, ts_s timestamp, value double"
+        )
     dups = ev.where(F.col("event_id") % 7 == 0)
     d = _tmp_out("stream_dedup", sf_dir)
-    in_dir = _write_time_batches(ev.unionAll(dups), d, 3)
+    in_dir = _write_time_batches(ev.unionAll(dups), d, min(3, cnt))
 
     deduped = (
         spark.readStream.schema(ev.schema)
@@ -154,8 +163,15 @@ def q_stream_join(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
         "event_id", "user_id", "event_type", "ts"
     )
+    # Empty-source guard + ntile clamp (r8 empty sweep — see
+    # q_stream_dedup): zero joined pairs is the oracle's answer.
+    cnt = ev.count()
+    if cnt == 0:
+        return spark.createDataFrame(
+            [], "user_id bigint, p_id bigint, c_id bigint"
+        )
     d = _tmp_out("stream_join", sf_dir)
-    in_dir = _write_time_batches(ev, d, 3)
+    in_dir = _write_time_batches(ev, d, min(3, cnt))
 
     def src():
         return (
@@ -273,15 +289,28 @@ def q_stream_upsert(spark, sf_dir):
     root = _seed_table(spark, sf_dir)
     src = _merge_source(spark, sf_dir)
 
+    from ..operators.lakehouse import merge_cow, read_table
+
+    # Empty-source guard + ntile clamp (r8 empty sweep): a merge of
+    # nothing IS the seed snapshot — return it directly (the seed's
+    # empty-table read works via the manifest-recorded schema).
+    cnt = src.count()
+    if cnt == 0:
+        t = read_table(spark, root)
+        return t.select(
+            "custkey", "name", mround("acctbal").alias("acctbal"), "segment"
+        )
+
     d = _tmp_out("stream_upsert", sf_dir)
-    # 3 batches of DISJOINT, contiguous custkey ranges (ntile on the
+    # Batches of DISJOINT, contiguous custkey ranges (ntile on the
     # ordered key — insert keys are negated custkeys, so range-split
     # keeps every batch non-empty where a mod split would not).
+    n_batches = min(3, cnt)
     in_dir = batch_input_dir(
-        time_batch_col(src, 3, order_cols=("custkey",)), d, range(3)
+        time_batch_col(src, n_batches, order_cols=("custkey",)),
+        d,
+        range(n_batches),
     )
-
-    from ..operators.lakehouse import merge_cow, read_table
 
     def fb(batch_df, _bid):
         # isEmpty short-circuits at the first row; a count() here
@@ -588,8 +617,15 @@ def q_stream_cep(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("i")
     )
+    # Empty-source guard + ntile clamp (r8 empty sweep — see
+    # q_stream_dedup): no events, no NFAs.
+    cnt = ev.count()
+    if cnt == 0:
+        return spark.createDataFrame(
+            [], "user_id bigint, n_events bigint, n_funnels bigint, converted int"
+        )
     d = _tmp_out("stream_cep", sf_dir)
-    in_dir = _write_time_batches(ev, d, 3)
+    in_dir = _write_time_batches(ev, d, min(3, cnt))
 
     state_schema = (
         "user_id bigint, n_events bigint, nfa int, rel int, n_funnels bigint"
@@ -734,8 +770,13 @@ def q_stream_hll(spark, sf_dir):
     (<=256 keys), so no watermark is needed — the canonical
     'small-keyspace running aggregate' streaming shape."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # Empty-source guard + ntile clamp (r8 empty sweep — see
+    # q_stream_dedup): an empty stream has empty registers.
+    cnt = ev.count()
+    if cnt == 0:
+        return spark.createDataFrame([], "bucket int, max_rank int")
     d = _tmp_out("stream_hll", sf_dir)
-    in_dir = _write_time_batches(ev, d, 3)
+    in_dir = _write_time_batches(ev, d, min(3, cnt))
 
     stream = (
         spark.readStream.schema(ev.schema)

@@ -338,8 +338,17 @@ def q_stream_tumble(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
         "event_id", "ts", "value"
     )
+    # Empty-source guard + ntile clamp (r8 full-registry empty sweep;
+    # same idiom as q_stream_session): replay prep aborts loudly on a
+    # batch with no rows, and zero windows is the oracle's answer.
+    cnt = ev.count()
+    if cnt == 0:
+        return spark.createDataFrame(
+            [], "win_start timestamp, n_events bigint, sum_value double"
+        )
+    n_batches = min(3, cnt)
     d = _tmp_out("stream_tumble", sf_dir)
-    in_dir = batch_input_dir(time_batch_col(ev, 3), d, range(3))
+    in_dir = batch_input_dir(time_batch_col(ev, n_batches), d, range(n_batches))
 
     # Update-mode sink: keep the latest emitted row per window; the
     # final dict IS the aggregate state at stream end.

@@ -1,25 +1,31 @@
-"""Empty-input parity: the oracle comparison re-run on EMPTY tables.
+"""Empty-input parity: the oracle comparison re-run on EMPTY tables —
+over the FULL registry (r7 verdict task 4; was a 78-query subset).
 
 Small-SF parity proves the happy path; the classic places engines
 disagree are the edges — grouping sets' grand-total row on zero input,
 null-aware anti joins, windows over empty partitions, aggregates that
-return one row vs none. Each selected query runs on a directory of
+return one row vs none. EVERY hash query runs on a directory of
 schema-identical but EMPTY parquet tables, against the same DuckDB
 oracle, with the same rows/schema/hash comparator the driver uses.
+The list is DERIVED from the live registry, so a newly registered
+hash query is covered automatically — coverage gaps were exactly how
+the r7 composed program's divergence classes stayed hidden.
 
-The subset covers every plan module and each construct with known
-empty-input subtleties; ML/streaming queries are excluded because
-their semantics genuinely require data (k-means needs k seed points)
-— that exclusion is the documented behavior, not an oversight.
-
-One GENUINE engine divergence found by this sweep and pinned below
+GENUINE engine divergence found by this sweep and pinned below
 (test_grouping_sets_empty_divergence): on zero input rows the SQL
 standard (and DuckDB, and PostgreSQL) emits the grand-total grouping
 set's single row — count 0, NULL group keys — while Spark's
 ROLLUP/CUBE/GROUPING SETS emit NO rows. A user moving a
 grouping-sets query between engines sees a 0-vs-1-row difference on
 empty partitions; on any non-empty input the engines agree (the
-regular sf0.01 parity rows stay hash-green).
+regular sf0.01 parity rows stay hash-green). The r8 full-registry
+extension found the SAME class hiding in q_rollup_time (a ROLLUP) and
+three NEW robustness bugs, all fixed rather than excluded: the
+lakehouse crashed on zero-data-file snapshots (schema now lives in
+the manifest, the Delta/Iceberg design), q_sink_partitioned's re-read
+could not infer a schema from an empty partitioned dir (explicit
+schema now), and six streaming drives aborted in replay prep
+(empty-source guards + ntile clamps, the q_stream_session idiom).
 """
 
 from __future__ import annotations
@@ -32,6 +38,7 @@ import pytest
 from oracle import check_parity, make_duckdb
 
 from conftest import SF_SMOKE
+from flink_streaming_kmeans_spark.plans.registry import collect as _collect
 
 TABLES = [
     "region",
@@ -46,88 +53,25 @@ TABLES = [
     "embeddings",
 ]
 
-# One representative per module + every empty-edge-sensitive construct.
-EMPTY_CHECKED = [
-    "q_scan_parquet",
-    "q_sink_roundtrip",
-    "q_source_csv",
-    "q_project_compute",
-    "q_case_null",
-    "q_join_inner",
-    "q_join_left",
-    "q_join_full",
-    "q_join_anti",
-    "q_join_not_in",  # null-aware anti join on empty build side
-    "q_join_asof",
-    "q_join_range_binned",
-    "q_agg_q1",
-    "q_agg_percentile",
-    "q_agg_string_agg",
-    "q_set_union_all",
-    "q_set_except",
-    "q_win_rank",
-    "q_win_running",
-    "q_sort_limit",
-    "q_sub_exists",
-    "q_sub_scalar",  # scalar subquery over empty → NULL row semantics
-    "q_cte_reuse",
-    "q_pivot",  # explicit value list keeps schema stable on empty
-    "q_unpivot",
-    "q_merge_upsert",
-    "q_cdc_diff",
-    "q_str_funcs",
-    "q_date_funcs",
-    "q_json_extract",
-    "q_evt_funnel",
-    "q_ts_gapfill",
-    "q_dedup_exact",
-    "q_dedup_lsh",
-    "q_text_tfidf",
-    "q_text_quality",
-    "q_text_surprisal",
-    "q_text_heavy_hitters",
-    "q_emb_quantize",
-    "q_zorder_cluster",
-    "q_evt_markov",
-    "q_evt_anomaly",
-    "q_evt_basket",
-    "q_graph_pagerank",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_profile_table",
-    "q_feat_snapshot",  # LEFT join semantics with an empty fact side
-    "q_neg_sample",  # anti-join with empty positives keeps all candidates
-    "q_sketch_cms",  # empty key set -> empty sketch, no NULL cells
-    "q_sketch_bloom",  # empty member set + empty probe side
-    "q_sketch_hll",  # empty register file, no bucket-0 fabrication
-    "q_join_asof_tol",  # tolerance filter over an empty asof union
-    "q_evt_cep",  # empty sequence aggregate, replace-trick on ''
-    "q_dedup_prefix",  # empty corpus -> empty prefix buckets
-    "q_sketch_quantile",  # NULL min/max stats row, empty histogram
-    "q_tpch_q10",  # top-k over an empty join tree
-    "q_tpch_q18",  # HAVING aggregate + semi join over empty facts
-    "q_vocab_typo",  # deletion-variant join over an empty vocabulary
-    "q_dq_expect",  # all-zero violation counts, 5 rows either way
-    # r6-window additions (r5 verdict task 9 — every windowed module
-    # keeps a degenerate row):
-    "q_udf_python",  # row-at-a-time UDF over zero rows
-    "q_udaf_pandas",  # grouped pandas UDAF with no groups
-    "q_udtf_python",  # UDTF lateral join over zero rows
-    "q_win_tumble",  # windowed agg on empty events
-    "q_win_slide",  # slide enumeration on empty events
-    "q_win_session",  # session windows on empty events
-    "q_source_orc",  # ORC round-trip of an empty table
-    "q_join_asof_fwd",  # forward as-of over empty both sides
-    "q_sim_ann_multi",  # LSH buckets over an empty embedding table
-    "q_ml_score",  # linear scorer over zero vectors
-    "q_agg_approx_cd",  # empty register file -> zero estimate rows
-    # streaming drives with explicit empty-table guards (top-is-None
-    # early return; the unguarded drives keep the documented loud
-    # replay error instead)
-    "q_stream_session",
-    "q_stream_join_left",
-    "q_stream_slide",
+# Spark emits NO rows for ROLLUP/CUBE/GROUPING SETS over zero input;
+# the standard (and DuckDB) emit the grand-total set's row(s) — the
+# pinned divergence (module docstring + test below).
+GROUPING_SET_QUERIES = [
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_groupingsets",
+    "q_rollup_time",
 ]
+
+# Every hash query except the pinned grand-total divergences. The
+# rows-tier queries (no oracle) are covered by their own pytest
+# invariants, not this comparator.
+_QUERIES, _ORACLES = _collect()
+EMPTY_CHECKED = sorted(
+    n
+    for n in _QUERIES
+    if _ORACLES.get(n) is not None and n not in GROUPING_SET_QUERIES
+)
 
 
 @pytest.fixture(scope="module")
@@ -162,9 +106,6 @@ def test_empty_input_parity(spark, empty_duck, registry, empty_sf, name):
         f"{name} diverges on EMPTY input: rows={r.rows_match} "
         f"schema={r.schema_match} hash={r.hash_match}\n{r.detail}"
     )
-
-
-GROUPING_SET_QUERIES = ["q_agg_rollup", "q_agg_cube", "q_agg_groupingsets"]
 
 
 @pytest.mark.parametrize("name", GROUPING_SET_QUERIES)

@@ -544,6 +544,48 @@ def test_empty_selection_preserves_schema(spark):
     assert read_table(spark, root, partitions=[]).count() == 0
 
 
+def test_empty_table_lifecycle(spark, tmp_path):
+    """An EMPTY table is first-class (r8 full-registry empty sweep):
+    the schema lives in table METADATA (manifest), the Delta/Iceberg
+    design point — create a zero-row table, read it back schema-stable,
+    commit an empty merge on top, then merge REAL rows into the empty
+    table. At scale an empty incremental batch is normal, and seeding a
+    pipeline's output table before data arrives must not crash."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from flink_streaming_kmeans_spark.operators.lakehouse import (
+        create_table,
+        latest_version,
+    )
+
+    schema = "custkey bigint, name string, acctbal double, segment string"
+    empty = spark.createDataFrame([], schema)
+    root = str(tmp_path / "empty_lake")
+    create_table(empty, root, "segment")
+    back = read_table(spark, root)
+    assert back.count() == 0
+    assert back.schema == empty.schema
+
+    # empty merge source: commits a new (still empty) snapshot
+    v1 = merge_cow(spark, root, spark.createDataFrame(
+        [], "custkey bigint, spend double, segment string"), _merge_fn)
+    assert v1 == 1 and latest_version(root) == 1
+    assert read_table(spark, root).count() == 0
+
+    # real rows into the empty table: all INSERT branches
+    src = spark.createDataFrame(
+        [(1, 10.0, "BUILDING"), (2, 20.0, "AUTOMOBILE")],
+        "custkey bigint, spend double, segment string",
+    )
+    v2 = merge_cow(spark, root, src, _merge_fn)
+    rows = sorted(
+        (r.custkey, r.name, r.acctbal, r.segment)
+        for r in read_table(spark, root, version=v2).collect()
+    )
+    assert rows == [(1, "NEW", 10.0, "BUILDING"), (2, "NEW", 20.0, "AUTOMOBILE")]
+    # and time travel to the empty snapshots still works
+    assert read_table(spark, root, version=0).count() == 0
+
+
 def test_merge_all_insert_new_partition(spark):
     """MERGE whose source holds only partition values NEW to the table:
     the touched target selection is empty, every source row inserts,
