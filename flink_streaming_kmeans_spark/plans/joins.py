@@ -262,20 +262,36 @@ def q_join_range_binned(spark, sf_dir):
 
 @register(
     "q_join_asof",
+    # NULL-on rows are stated EXPLICITLY on the oracle side too (law
+    # 35's r8 extension): DuckDB's native ASOF sorts a NULL-ts probe
+    # past every candidate and "matches" the user's LAST click, where
+    # SQL comparison semantics (and operators/asof.py) say a NULL ts
+    # asserts no temporal relation — no match. So NULL-ts probes are
+    # split out and re-attached with NULL payload, and NULL-key/
+    # NULL-ts right rows are filtered, mirroring the operator's gates
+    # (found by the r8 composed sweep: a NULL-ts purchase for a user
+    # who HAS clicks — prior fixtures only had NULL-ts probes on
+    # NULL-key users, which the equi-join masked).
     oracle="""
     WITH clicks AS (
         SELECT user_id, ts, event_id, value,
                ROW_NUMBER() OVER (PARTITION BY user_id, ts
                                   ORDER BY event_id DESC) AS rn
-        FROM events WHERE event_type = 'click'
+        FROM events
+        WHERE event_type = 'click'
+          AND user_id IS NOT NULL AND ts IS NOT NULL
     ), c AS (
         SELECT user_id, ts, event_id AS click_id, value AS click_value
         FROM clicks WHERE rn = 1
     ), p AS (
         SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
     )
-    SELECT p.event_id, p.user_id, c.click_id, c.click_value
-    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    SELECT pn.event_id, pn.user_id, c.click_id, c.click_value
+    FROM (SELECT * FROM p WHERE ts IS NOT NULL) pn
+        ASOF LEFT JOIN c ON pn.user_id = c.user_id AND pn.ts >= c.ts
+    UNION ALL
+    SELECT event_id, user_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM p WHERE ts IS NULL
     """,
 )
 def q_join_asof(spark, sf_dir):

@@ -993,8 +993,16 @@ def q_sample_mixture(spark, sf_dir):
             F.first("w_all").alias("w_all"),
         )
     )
+    # asc_nulls_last on BOTH rank keys (law 2/40): md5(NULL id) is NULL,
+    # and Spark's ASC NULLS FIRST default ranked a NULL-id doc rn=1
+    # (kept) where DuckDB's NULLS LAST ranked it past the quota cut —
+    # latent until the r8 composed dir moved the quota boundary into
+    # the partition carrying the NULL-id row. Multiple NULL-id rows in
+    # one source tie at the tail on both engines, but their output
+    # tuples are identical (NULL, source), so the kept SET is stable.
     win = W.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        F.asc_nulls_last(F.md5(F.col("doc_id").cast("string"))),
+        F.asc_nulls_last(F.col("doc_id")),
     )
     ranked = (
         d.join(F.broadcast(wts), "source")

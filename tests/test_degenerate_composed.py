@@ -619,3 +619,137 @@ def test_lakenn_parity(spark, lakenn_duck, registry, lakenn_sf, name):
         f"rows={r.rows_match} schema={r.schema_match} "
         f"hash={r.hash_match}\n{r.detail}"
     )
+
+
+# ---------------------------------------------------------------- 6
+@pytest.fixture(scope="module")
+def r8deep_sf(tmp_path_factory):
+    """r8's deeper axis (r7 verdict task 6) — the two classes the
+    sf0.1 composed superset found, pinned at pytest scale:
+
+    (41) **as-of NULL-on probes**: DuckDB's native ASOF JOIN sorts a
+    NULL-ts probe past every candidate and "matches" the user's LAST
+    click; SQL comparison semantics (and operators/asof.py) say a NULL
+    ts asserts no temporal relation — the oracle must SPLIT NULL-ts
+    probes out (NULL payload) and filter NULL-key/NULL-ts right rows
+    explicitly. Latent until a NULL-ts purchase lands on a user who
+    HAS clicks (NULL-key users masked it via the equi-join).
+
+    (42) **law 2/40 on sampling RANK keys**: md5(NULL doc_id) is NULL,
+    so Spark's ASC NULLS FIRST ranked the NULL-id doc first (always
+    kept) where DuckDB's NULLS LAST ranked it past the quota cut —
+    latent until the quota boundary moves into the partition carrying
+    the NULL-id row. asc_nulls_last on BOTH rank keys, both engines.
+
+    Also rides: ±Infinity measures on NULL-user/NULL-ts/out-of-domain
+    rows, an only-{+inf,-inf} user, and strata keys (source) going
+    NULL/unicode/empty-string with a dup doc_id crossing strata."""
+    sf = _copy_sf(tmp_path_factory, "degen_r8deep")
+    _rewrite(sf, "events", """
+        SELECT * FROM (VALUES
+          -- law 41: NULL-ts purchase for a user WITH clicks; NULL-ts
+          -- and NULL-user clicks as right-side probes; a valid
+          -- purchase so the right rows are genuinely at risk
+          (947001::BIGINT, NULL::TIMESTAMP, 76501::BIGINT, 'purchase',
+           1.0::DOUBLE, NULL),
+          (947002, TIMESTAMP '2024-03-03 08:00:00', 76501, 'click',
+           2.0::DOUBLE, NULL),
+          (947003, NULL::TIMESTAMP, 76501, 'click', 2.5::DOUBLE, NULL),
+          (947004, TIMESTAMP '2024-03-03 08:30:00', NULL::BIGINT, 'click',
+           3.0::DOUBLE, NULL),
+          (947005, TIMESTAMP '2024-03-03 09:00:00', 76501, 'purchase',
+           4.0::DOUBLE, NULL),
+          -- ±inf composed with NULL user / NULL ts; only-±inf user
+          (947006, TIMESTAMP '2024-03-03 09:10:00', NULL::BIGINT, 'view',
+           'Infinity'::DOUBLE, NULL),
+          (947007, NULL::TIMESTAMP, 76502::BIGINT, 'purchase',
+           '-Infinity'::DOUBLE, NULL),
+          (947008, TIMESTAMP '2024-03-03 09:20:00', 76503, 'view',
+           'Infinity'::DOUBLE, NULL),
+          (947009, TIMESTAMP '2024-03-03 09:21:00', 76503, 'view',
+           '-Infinity'::DOUBLE, NULL)
+        ) v(event_id, ts, user_id, event_type, value, props)""")
+    _rewrite(sf, "documents", """
+        SELECT * FROM (VALUES
+          -- law 42: NULL doc_id inside a real source partition
+          (NULL::BIGINT, 'rank key null id token stream alpha', 'en',
+           'degen-rank', 34::BIGINT),
+          (984001, 'rank key real id token stream beta', 'en',
+           'degen-rank', 33),
+          (984002, 'rank key real id token stream gamma', 'en',
+           'degen-rank', 34),
+          -- strata keys degenerate: NULL / unicode / empty-string
+          -- source; dup doc_id crossing strata
+          (984003, 'strata token stream one', 'en', NULL::VARCHAR, 23),
+          (984004, 'strata token stream two', 'en', 'srç-ünï', 23),
+          (984005, 'strata token stream tri', 'en', 'srç-ünï', 23),
+          (984005, 'strata token stream tri', 'de', NULL, 23),
+          (984006, 'strata token stream for', 'en', '', 23)
+        ) v(doc_id, text, lang, source, n_chars)""")
+    yield sf
+
+
+@pytest.fixture(scope="module")
+def r8deep_duck(r8deep_sf):
+    con = make_duckdb(r8deep_sf)
+    yield con
+    con.close()
+
+
+R8DEEP_CHECKED = [
+    # law 41: all three as-of variants (tol previously passed by LUCK
+    # — date_diff over NULL pts nulled its CASE; now explicit)
+    "q_join_asof",
+    "q_join_asof_fwd",
+    "q_join_asof_tol",
+    # law 42 + degenerate strata keys
+    "q_sample_mixture",
+    "q_sample_stratified",
+    "q_sample_hash",
+    # ±inf composed with NULL keys/ts: group + window + stream shapes
+    "q_agg_stats",
+    "q_win_running",
+    "q_evt_histogram",
+    "q_rollup_time",
+    "q_stream_dedup",
+]
+
+
+@pytest.mark.parametrize("name", R8DEEP_CHECKED)
+def test_r8deep_parity(spark, r8deep_duck, registry, r8deep_sf, name):
+    queries, oracles = registry
+    r = check_parity(
+        spark, r8deep_duck, name, queries[name], oracles[name], r8deep_sf
+    )
+    assert r.ok, (
+        f"{name} diverges on the r8 deep-composed input: "
+        f"rows={r.rows_match} schema={r.schema_match} "
+        f"hash={r.hash_match}\n{r.detail}"
+    )
+
+
+def test_asof_null_on_probe_unmatched(spark, registry, r8deep_sf):
+    """Law 41 stated directly: the NULL-ts purchase of a user who HAS
+    clicks gets NULL payload in all three as-of variants."""
+    queries, _ = registry
+    for name in ("q_join_asof", "q_join_asof_fwd", "q_join_asof_tol"):
+        rows = {
+            r.event_id: (r.click_id, r.click_value)
+            for r in queries[name](spark, r8deep_sf).collect()
+        }
+        assert rows[947001] == (None, None), (name, rows[947001])
+        # and the valid purchase still matches the valid click in the
+        # backward direction (the NULL right rows didn't eat the match)
+        if name == "q_join_asof":
+            assert rows[947005] == (947002, 2.0), rows[947005]
+
+
+def test_mixture_null_id_ranks_last(spark, registry, r8deep_sf):
+    """Law 42 stated directly: if the NULL-id doc's source survives
+    sampling at all, the NULL-id row is only kept when the whole
+    partition is (it ranks LAST on both engines)."""
+    queries, _ = registry
+    out = queries["q_sample_mixture"](spark, r8deep_sf).collect()
+    kept = [r.doc_id for r in out if r.source == "degen-rank"]
+    if None in kept:
+        assert {984001, 984002} <= set(kept), kept

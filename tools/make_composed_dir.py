@@ -12,6 +12,14 @@ regimes at sf0.1 with the adversarial values scaled too:
     python tools/make_composed_dir.py /root/testdata/sf0.1 /tmp/composed_sf01
     python tools/preflight.py /tmp/composed_sf01
 
+Round 8 goes one axis deeper (r7 verdict task 6): ±Infinity measures
+composed with NULL-user/NULL-ts/out-of-domain-ts rows whose ids the
+dedup drive REDELIVERS (≡0 mod 7), an only-{+inf,-inf} user, NULL /
+unicode / empty-string SOURCE strata crossed with duplicate doc ids,
+duplicate vec_ids whose copies both pass the participation gate but
+differ, orphan lineitem facts with NaN measures, and orders fanning
+out through the duplicate customer key.
+
 tests/test_degenerate_composed.py pins the same divergence CLASSES
 permanently at pytest scale with per-regime fixtures; this tool is NOT
 a row-for-row copy of those fixtures — it deliberately composes
@@ -95,7 +103,15 @@ def build(src: str, dest: str) -> None:
            TIMESTAMP '0001-01-01 00:00:00', '1-URGENT'),
           (986002, NULL, 'O', 2.5e12, TIMESTAMP '9999-12-31 23:59:59', '2-HIGH'),
           (986003, NULL, 'O', 'NaN'::DOUBLE, NULL::TIMESTAMP, '3-MEDIUM'),
-          (986004, NULL, 'O', NULL, TIMESTAMP '1996-05-01', '4-NOT SPECIFIED')
+          (986004, NULL, 'O', NULL, TIMESTAMP '1996-05-01', '4-NOT SPECIFIED'),
+          -- r8 axis: orders referencing the DUPLICATE customer key
+          -- 930101 (two dim rows) — the customer⋈orders join FANS OUT
+          -- 2x, and any window/top-k over the fanned rows must not
+          -- lean on engine-private tie order (law 34 at join level)
+          (987001, 930101, 'O', 77.0::DOUBLE, TIMESTAMP '1996-03-01',
+           '1-URGENT'),
+          (987002, 930101, 'O', 'NaN'::DOUBLE, TIMESTAMP '1996-03-02',
+           '2-HIGH')
         ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
             o_orderdate, o_orderpriority)""")
     # One group mixing NULL qty, NaN price, the 9.5e15 ceil/floor
@@ -110,7 +126,15 @@ def build(src: str, dest: str) -> None:
           (715003, 3, 3, 1, NULL, 'NaN'::DOUBLE, NULL, 0.0, 'N', 'O',
            TIMESTAMP '1997-06-03'),
           (715004, 4, 4, 1, 9.5e15::DOUBLE, 1.0e12::DOUBLE, 0.0, 0.0,
-           'N', 'O', TIMESTAMP '1997-06-04')
+           'N', 'O', TIMESTAMP '1997-06-04'),
+          -- r8 axis: ORPHAN facts (l_orderkey matching no order) whose
+          -- measures are themselves degenerate — inner joins must drop
+          -- them, outer/anti shapes must keep them, and the NaN must
+          -- not leak through either path
+          (717001, 5, 5, 1, 'NaN'::DOUBLE, 60.0::DOUBLE, 0.0, 0.0,
+           'R', 'F', TIMESTAMP '1997-07-01'),
+          (717001, 6, 6, 2, NULL::DOUBLE, 'NaN'::DOUBLE, NULL, 0.0,
+           'R', 'F', TIMESTAMP '1997-07-02')
         ) v(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
             l_extendedprice, l_discount, l_tax, l_returnflag,
             l_linestatus, l_shipdate)""")
@@ -157,7 +181,35 @@ def build(src: str, dest: str) -> None:
           (955012, TIMESTAMP '2024-01-16 08:12:00', 987702, 'json-uni',
            1.0, '{"s": "a\\\\", "k": 6}'),
           (955013, TIMESTAMP '2024-01-16 08:13:00', 987702, 'json-uni',
-           1.0, '{"t": ["ß","💥"], "k": 2,}')
+           1.0, '{"t": ["ß","💥"], "k": 2,}'),
+          -- r8 axis: ±Infinity measures composed with NULL user /
+          -- NULL ts / out-of-domain ts. Ids 945007/945014/945021 are
+          -- ≡0 (mod 7), so q_stream_dedup's at-least-once redelivery
+          -- injection REDELIVERS exactly these degenerate rows — the
+          -- bit-exact-dup contract exercised on the worst rows.
+          (945007, TIMESTAMP '2024-01-17 09:00:00', NULL::BIGINT, 'view',
+           'Infinity'::DOUBLE, NULL),
+          (945014, NULL::TIMESTAMP, 987801::BIGINT, 'purchase',
+           '-Infinity'::DOUBLE, NULL),
+          (945021, TIMESTAMP '2200-01-01 00:00:00', 987801, 'click',
+           'Infinity'::DOUBLE, NULL),
+          (945022, TIMESTAMP '2024-01-17 09:10:00', 987801, 'view',
+           '-Infinity'::DOUBLE, NULL),
+          -- a user whose EVERY value is ±inf: the group's mask carries
+          -- both infinity bits (sum → NaN) with no finite row to lean on
+          (945023, TIMESTAMP '2024-01-17 09:20:00', 987802, 'view',
+           'Infinity'::DOUBLE, NULL),
+          (945024, TIMESTAMP '2024-01-17 09:21:00', 987802, 'view',
+           '-Infinity'::DOUBLE, NULL),
+          -- as-of RIGHT-side law probes: a NULL-ts click and a
+          -- NULL-user click for a user who also has a valid purchase —
+          -- an oracle that forgets the right-side NULL filters hands
+          -- them to DuckDB ASOF's engine-private NULL ordering
+          (945025, NULL::TIMESTAMP, 987801, 'click', 2.0::DOUBLE, NULL),
+          (945026, TIMESTAMP '2024-01-17 09:30:00', NULL::BIGINT, 'click',
+           2.5::DOUBLE, NULL),
+          (945027, TIMESTAMP '2024-01-17 09:35:00', 987801, 'purchase',
+           3.0::DOUBLE, NULL)
         ) v(event_id, ts, user_id, event_type, value, props)""")
     # Unicode x duplicate doc_ids, plus a dup id with a NULL-text row
     # (unicode x NULL composition).
@@ -179,7 +231,21 @@ def build(src: str, dest: str) -> None:
            'en', 'degen-uni', 49),
           -- NULL doc_id with real near-dup text (entity-id NULL probe)
           (NULL, 'the straße fuß walk was long today also', 'de',
-           'degen-uni', 40)
+           'degen-uni', 40),
+          -- r8 axis: the SOURCE/LANG strata keys go degenerate too —
+          -- NULL source, unicode source, EMPTY-STRING source (distinct
+          -- from NULL on both engines), and a dup doc_id whose copies
+          -- sit in DIFFERENT strata (entity law × stratified sampling)
+          (982001, 'token stream for stratified sampling test alpha',
+           'en', NULL::VARCHAR, 46),
+          (982002, 'token stream for stratified sampling test beta',
+           'en', 'srç-ünï', 45),
+          (982003, 'gamma token stream crossing strata now', 'en',
+           'srç-ünï', 38),
+          (982003, 'gamma token stream crossing strata now', 'de',
+           NULL, 38),
+          (982004, 'delta token stream for the empty strata probe',
+           'en', '', 45)
         ) v(doc_id, text, lang, source, n_chars)""")
     # Duplicate vec_ids where one copy is non-finite / out-of-bound
     # (entity identity x the emb_finite participation contract).
@@ -192,7 +258,12 @@ def build(src: str, dest: str) -> None:
           (930003, NULL, NULL),
           (930003, [ 0.0::FLOAT, -1.0 ] || list_transform(range(62), x -> 0.0::FLOAT), 2),
           -- NULL vec_id with a finite embedding (entity-id NULL probe)
-          (NULL, [ 0.8::FLOAT, 0.6 ] || list_transform(range(62), x -> 0.0::FLOAT), 3)
+          (NULL, [ 0.8::FLOAT, 0.6 ] || list_transform(range(62), x -> 0.0::FLOAT), 3),
+          -- r8 axis: a dup vec_id whose copies BOTH pass the
+          -- participation gate but hold DIFFERENT finite vectors —
+          -- entity ambiguity the NULL/non-finite dup rows never test
+          (940001, [ 0.30::FLOAT, 0.40 ] || list_transform(range(62), x -> 0.01::FLOAT), 1),
+          (940001, [ 0.40::FLOAT, 0.30 ] || list_transform(range(62), x -> 0.02::FLOAT), 1)
         ) v(vec_id, embedding, label)""")
     con.close()
     print(f"composed dir ready: {dest}")
