@@ -88,14 +88,20 @@ def build(src: str, dest: str, k: int) -> None:
                event_type, value, props
         FROM read_parquet('{s}')""")
 
-    # Per-copy Caesar shift over 'abcdefghij' (letters common enough to
-    # hit most words): length-preserving, distinct shingles per copy.
+    # Per-copy Caesar shifts over TWO disjoint alphabets (i%10 shifts
+    # a-j, i//10 shifts k-t): length-preserving and distinct for up to
+    # 100 copies. A single 10-letter shift made copies 0,10,20,...
+    # bit-identical at K=100 — the first 100x probe measured a PLANTED
+    # 10-fold dup-rate in the LSH buckets, not engine scaling (its
+    # q_dedup_lsh grew 25x between the 10x and 100x rungs; with
+    # distinct copies the growth is linear again).
     def doc_copy(i: int, s: str) -> str:
-        alpha = "abcdefghij"
-        to = (alpha + alpha)[i % 10:][:10]
+        a1, a2 = "abcdefghij", "klmnopqrst"
+        t1 = (a1 + a1)[i % 10:][:10]
+        t2 = (a2 + a2)[(i // 10) % 10:][:10]
         return f"""
         SELECT doc_id + {i * SHIFT} AS doc_id,
-               translate(text, '{alpha}', '{to}') AS text,
+               translate(text, '{a1 + a2}', '{t1 + t2}') AS text,
                lang, source, n_chars
         FROM read_parquet('{s}')"""
 
