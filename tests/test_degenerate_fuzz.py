@@ -1,0 +1,197 @@
+"""Hypothesis-randomized degenerate doctoring (r7 verdict task 6's
+second arm): the hand-composed program plants the compositions we
+THOUGHT of; this module lets hypothesis draw random compositions of
+the same degenerate alphabets (NULL / NaN / ±inf / empty / unicode /
+boundary timestamps / duplicate keys) and runs the full oracle-parity
+comparator on each draw. Every law the r6–r8 sweeps stated is a
+dimension here, so a regression in any guard — or a composition no
+sweep planted — fails with the exact generated rows in the report.
+
+``derandomize=True``: the examples are a deterministic function of
+the strategy definitions, so this is a stable regression GATE (no CI
+flakiness), not a one-off exploration. To actually explore, run
+locally with HYPOTHESIS_SEED/--hypothesis-seed and more examples; any
+find gets promoted to a planted row in tools/make_composed_dir.py and
+a pin in test_degenerate_composed.py (the r8 process — laws 41/42
+came from exactly that promotion path).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from datetime import datetime
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from oracle import check_parity, make_duckdb
+
+from conftest import SF_SMOKE
+
+pytestmark = pytest.mark.slow  # slow lane — see pytest.ini
+
+NAN, PINF, NINF = float("nan"), float("inf"), float("-inf")
+
+# The degenerate alphabets, one strategy per column class.
+_VALUES = st.one_of(
+    st.none(),
+    st.just(NAN),
+    st.just(PINF),
+    st.just(NINF),
+    st.sampled_from([0.0, -0.0, 1.5, -7.25, 1e10, 2.5e12, 9.5e15, 1e-7]),
+)
+_TS = st.one_of(
+    st.none(),
+    st.sampled_from(
+        [
+            datetime(2024, 1, 15, 10, 0, 0),
+            datetime(2024, 1, 15, 10, 0, 1),
+            datetime(2024, 1, 16, 23, 59, 59),
+            datetime(1970, 1, 2, 0, 0, 0),      # domain lower edge (in)
+            datetime(1970, 1, 1, 23, 59, 59),   # just below (out)
+            datetime(2199, 12, 31, 23, 59, 59), # domain upper edge (in)
+            datetime(2200, 1, 1, 0, 0, 0),      # at the bound (out)
+        ]
+    ),
+)
+_USER = st.one_of(st.none(), st.sampled_from([77001, 77002, 77003]))
+_ETYPE = st.one_of(
+    st.none(), st.sampled_from(["click", "purchase", "view", "", "vïew", "ß"])
+)
+_PROPS = st.one_of(
+    st.none(),
+    st.sampled_from(
+        [
+            '{"k": 7}',
+            '{"k": 3,}',            # trailing comma (yjson vs Jackson)
+            '{"k": "7"}',           # quoted int (text-level contract)
+            '{"k": 1.7}',           # non-integer (TRY_CAST round-trip)
+            '{"s": "ß,}💥"}',       # ',}' inside a multi-byte string
+            '{"s": "a\\"b,}"}',     # ',}' behind an escape pair
+            "not json at all",
+            "",
+        ]
+    ),
+)
+_TEXT = st.one_of(
+    st.none(),
+    st.sampled_from(
+        [
+            "",
+            "   ",
+            "plain word stream for the fuzz probe",
+            "straße FUSS ẞ case pair",
+            "alpha nbsp beta",
+            "🎉 emoji stream 💥",
+            "dup dup dup dup dup",
+        ]
+    ),
+)
+_SOURCE = st.one_of(st.none(), st.sampled_from(["web-1", "", "srç", "degen"]))
+
+_EVENT_ROW = st.tuples(_TS, _USER, _ETYPE, _VALUES, _PROPS)
+_DOC_ROW = st.tuples(st.one_of(st.none(), st.sampled_from([66001, 66002])),
+                     _TEXT, st.sampled_from(["en", "de"]), _SOURCE)
+
+# Cheap, family-diverse consumers of each doctored table. Streaming /
+# iterative drives are excluded on cost; their degenerate coverage is
+# the composed program's job.
+_EVENT_QUERIES = ["q_win_tumble", "q_win_lag", "q_evt_funnel", "q_json_extract"]
+_DOC_QUERIES = ["q_dedup_exact", "q_text_quality", "q_sample_stratified"]
+
+_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+
+
+def _doctored_sf(tmp_path, table, columns, rows):
+    """Copy SF_SMOKE and append ``rows`` (a list of tuples, event_id /
+    doc_id auto-assigned for events via the caller) to ``table``."""
+    sf = str(tmp_path)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(
+            os.path.join(SF_SMOKE, f"{t}.parquet"),
+            os.path.join(sf, f"{t}.parquet"),
+        )
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    src = f"{sf}/{table}.parquet"
+    tmp = f"{sf}/_{table}.parquet"
+    con.execute(
+        f"CREATE TEMP TABLE fuzz AS SELECT * FROM read_parquet('{src}') LIMIT 0"
+    )
+    placeholders = ", ".join("?" for _ in columns)
+    con.executemany(
+        f"INSERT INTO fuzz ({', '.join(columns)}) VALUES ({placeholders})",
+        rows,
+    )
+    con.sql(
+        f"COPY (SELECT * FROM read_parquet('{src}')"
+        f" UNION ALL BY NAME SELECT * FROM fuzz)"
+        f" TO '{tmp}' (FORMAT PARQUET)"
+    )
+    con.close()
+    os.replace(tmp, src)
+    return sf
+
+
+@given(rows=st.lists(_EVENT_ROW, min_size=1, max_size=8))
+@_SETTINGS
+def test_fuzz_events_parity(spark, registry, tmp_path_factory, rows):
+    queries, oracles = registry
+    full = [
+        (66100 + i, ts, user, etype, value, props)
+        for i, (ts, user, etype, value, props) in enumerate(rows)
+    ]
+    sf = _doctored_sf(
+        tmp_path_factory.mktemp("fuzz_ev"),
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        full,
+    )
+    con = make_duckdb(sf)
+    try:
+        for name in _EVENT_QUERIES:
+            r = check_parity(spark, con, name, queries[name], oracles[name], sf)
+            assert r.ok, (
+                f"{name} diverges on fuzzed events {full}: "
+                f"rows={r.rows_match} schema={r.schema_match} "
+                f"hash={r.hash_match}\n{r.detail}"
+            )
+    finally:
+        con.close()
+
+
+@given(rows=st.lists(_DOC_ROW, min_size=1, max_size=6))
+@_SETTINGS
+def test_fuzz_documents_parity(spark, registry, tmp_path_factory, rows):
+    queries, oracles = registry
+    full = [
+        (doc_id, text, lang, source,
+         None if text is None else len(text))
+        for (doc_id, text, lang, source) in rows
+    ]
+    sf = _doctored_sf(
+        tmp_path_factory.mktemp("fuzz_doc"),
+        "documents",
+        ["doc_id", "text", "lang", "source", "n_chars"],
+        full,
+    )
+    con = make_duckdb(sf)
+    try:
+        for name in _DOC_QUERIES:
+            r = check_parity(spark, con, name, queries[name], oracles[name], sf)
+            assert r.ok, (
+                f"{name} diverges on fuzzed documents {full}: "
+                f"rows={r.rows_match} schema={r.schema_match} "
+                f"hash={r.hash_match}\n{r.detail}"
+            )
+    finally:
+        con.close()
