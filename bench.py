@@ -150,10 +150,14 @@ def main() -> int:
     # guaranteed 150 s).
     for name in sorted(queries):
         if name not in errors and times[name] <= QUERY_CAP_SEC:
-            times[name] = min(times[name], timed(name))
-
-    med = sorted(times.values())[len(times) // 2]
-    retry_cutoff = max(2.0, 4 * med)
+            t2 = timed(name)
+            # A retry that RAISED must not contribute its
+            # time-to-exception to min(): a 0.4 s failure would
+            # overwrite a clean 5 s measurement, and the bogus value
+            # would poison the historical-min reference (hist, below)
+            # for every future round (r8 review pass).
+            if name not in errors:
+                times[name] = min(times[name], t2)
 
     # Third chance for anything still suspicious: suite-median outliers
     # (external-load bursts land tens of seconds on one query) and any
@@ -174,6 +178,9 @@ def main() -> int:
             except (OSError, ValueError):
                 continue
 
+    med = sorted(times.values())[len(times) // 2]
+    retry_cutoff = max(2.0, 4 * med)
+
     def suspicious(name: str) -> bool:
         if times[name] > retry_cutoff:
             return True
@@ -182,7 +189,10 @@ def main() -> int:
 
     for name in sorted(times, key=times.get, reverse=True):
         if name not in errors and suspicious(name):
-            times[name] = min(times[name], timed(name))
+            t3 = timed(name)
+            # same errored-run guard as pass 2
+            if name not in errors:
+                times[name] = min(times[name], t3)
     times = {k: round(v, 3) for k, v in times.items()}
 
     total = round(sum(times.values()), 3)
@@ -224,15 +234,22 @@ def main() -> int:
             for f_ in os.listdir(here)
             if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f_))
         ]
-        if not rounds:
-            rounds = [
+        if rounds:
+            rnd = max(rounds) + 1
+        else:
+            # Fallback when no driver file exists (fresh clone): a
+            # BENCH_full_r{M} was stamped IN round M, so the current
+            # round is max(M) itself — NOT max+1, which would
+            # self-increment on every in-round run and fragment one
+            # round into N phantom rounds (r8 review pass). No files
+            # at all → round 1.
+            stamped_rounds = [
                 int(m.group(1))
                 for f_ in os.listdir(here)
                 if (m := _re.fullmatch(r"BENCH_full_r(\d+)\.json", f_))
             ]
-        stamped = os.path.join(
-            here, f"BENCH_full_r{(max(rounds, default=0) + 1):02d}.json"
-        )
+            rnd = max(stamped_rounds, default=1)
+        stamped = os.path.join(here, f"BENCH_full_r{rnd:02d}.json")
         with open(stamped, "w") as f:
             json.dump(full, f, indent=1)
     else:

@@ -157,6 +157,30 @@ def _commit(root: str, version: int, manifest: dict) -> None:
     _atomic_write(os.path.join(root, _MANIFESTS, _LATEST), str(version))
 
 
+def _read_shape_schema(df: DataFrame, pcol: str) -> dict:
+    """The table schema as JSON, normalized to the shape every
+    NON-EMPTY read returns: partition column LAST (partitionBy drops it
+    from the data files and partition discovery appends it), every
+    field nullable (parquet read-back always is). Stored in the
+    manifest so the zero-data-file fallback read is schema-IDENTICAL
+    to a populated read — without the normalization, a table whose
+    partition column was not the writer's last column had different
+    column order (and nullability) between its empty and non-empty
+    snapshots (r8 review pass)."""
+    from pyspark.sql.types import StructField, StructType
+
+    fields = [
+        StructField(f.name, f.dataType, nullable=True)
+        for f in df.schema.fields
+        if f.name != pcol
+    ] + [
+        StructField(f.name, f.dataType, nullable=True)
+        for f in df.schema.fields
+        if f.name == pcol
+    ]
+    return json.loads(StructType(fields).json())
+
+
 def create_table(
     df: DataFrame,
     root: str,
@@ -185,8 +209,9 @@ def create_table(
             # EMPTY table (or an empty commit) first-class: at scale an
             # incremental batch can legitimately be empty, and seeding a
             # pipeline's output table before any data arrives is normal.
-            # read_table falls back to this when a snapshot has no files.
-            "schema": json.loads(df.schema.json()),
+            # read_table falls back to this when a snapshot has no files;
+            # normalized to the read-back shape (see _read_shape_schema).
+            "schema": _read_shape_schema(df, partition_col),
             "files": files,
         },
     )
@@ -429,8 +454,9 @@ def merge_cow(
             "partition_type": prev["partition_type"],
             "stats_cols": prev.get("stats_cols") or [],
             # A merge's output schema is the table's new schema (the
-            # mergeSchema read path NULL-fills carried-forward files).
-            "schema": json.loads(merged.schema.json()),
+            # mergeSchema read path NULL-fills carried-forward files);
+            # normalized to the read-back shape (see _read_shape_schema).
+            "schema": _read_shape_schema(merged, pcol),
             "files": carried + new_files,
         },
     )

@@ -97,7 +97,7 @@ def q_stream_dedup(spark, sf_dir):
     # same idiom as q_stream_session): an empty stream has no batch
     # files and no sink dir, and ntile(3) over <3 rows leaves a batch
     # with no partition dir — both abort the replay prep loudly.
-    cnt = ev.count()
+    cnt = ev.limit(3).count()  # bounded probe: min(3, n) is all we use
     if cnt == 0:
         return spark.createDataFrame(
             [], "event_id bigint, ts_s timestamp, value double"
@@ -165,7 +165,7 @@ def q_stream_join(spark, sf_dir):
     )
     # Empty-source guard + ntile clamp (r8 empty sweep — see
     # q_stream_dedup): zero joined pairs is the oracle's answer.
-    cnt = ev.count()
+    cnt = ev.limit(3).count()  # bounded probe: min(3, n) is all we use
     if cnt == 0:
         return spark.createDataFrame(
             [], "user_id bigint, p_id bigint, c_id bigint"
@@ -294,7 +294,7 @@ def q_stream_upsert(spark, sf_dir):
     # Empty-source guard + ntile clamp (r8 empty sweep): a merge of
     # nothing IS the seed snapshot — return it directly (the seed's
     # empty-table read works via the manifest-recorded schema).
-    cnt = src.count()
+    cnt = src.limit(3).count()  # bounded probe: min(3, n) is all we use
     if cnt == 0:
         t = read_table(spark, root)
         return t.select(
@@ -619,7 +619,7 @@ def q_stream_cep(spark, sf_dir):
     )
     # Empty-source guard + ntile clamp (r8 empty sweep — see
     # q_stream_dedup): no events, no NFAs.
-    cnt = ev.count()
+    cnt = ev.limit(3).count()  # bounded probe: min(3, n) is all we use
     if cnt == 0:
         return spark.createDataFrame(
             [], "user_id bigint, n_events bigint, n_funnels bigint, converted int"
@@ -772,7 +772,7 @@ def q_stream_hll(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     # Empty-source guard + ntile clamp (r8 empty sweep — see
     # q_stream_dedup): an empty stream has empty registers.
-    cnt = ev.count()
+    cnt = ev.limit(3).count()  # bounded probe: min(3, n) is all we use
     if cnt == 0:
         return spark.createDataFrame([], "bucket int, max_rank int")
     d = _tmp_out("stream_hll", sf_dir)

@@ -341,7 +341,7 @@ def q_stream_tumble(spark, sf_dir):
     # Empty-source guard + ntile clamp (r8 full-registry empty sweep;
     # same idiom as q_stream_session): replay prep aborts loudly on a
     # batch with no rows, and zero windows is the oracle's answer.
-    cnt = ev.count()
+    cnt = ev.limit(3).count()  # bounded probe: min(3, n) is all we use
     if cnt == 0:
         return spark.createDataFrame(
             [], "win_start timestamp, n_events bigint, sum_value double"

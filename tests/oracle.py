@@ -34,6 +34,23 @@ def make_duckdb(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def copy_sf_tables(src: str, dest: str) -> str:
+    """Copy all SF tables from ``src`` into ``dest`` (the shared
+    doctored-fixture scaffold — the empty/composed/fuzz degenerate
+    modules all start from a byte-copy of a real SF dir; hoisted here
+    so the table list has ONE home, loader.TABLES, and a new table in
+    the layout propagates everywhere — r8 review pass)."""
+    import os
+    import shutil
+
+    os.makedirs(dest, exist_ok=True)
+    for t in TABLES:
+        shutil.copy(
+            os.path.join(src, f"{t}.parquet"), os.path.join(dest, f"{t}.parquet")
+        )
+    return dest
+
+
 def _canon_cell(v) -> str:
     if v is None:
         # A reserved byte no str() of a real value can produce — NULL

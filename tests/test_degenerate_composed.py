@@ -51,39 +51,20 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 
 import duckdb
 import pytest
-from oracle import check_parity, make_duckdb
+from oracle import check_parity, copy_sf_tables, make_duckdb
 
 from conftest import SF_SMOKE
 
 pytestmark = pytest.mark.slow  # slow lane — see pytest.ini
 
 
-TABLES = [
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-]
-
-
 def _copy_sf(tmp_path_factory, name):
-    sf = str(tmp_path_factory.mktemp(name))
-    for t in TABLES:
-        shutil.copy(
-            os.path.join(SF_SMOKE, f"{t}.parquet"),
-            os.path.join(sf, f"{t}.parquet"),
-        )
-    return sf
+    # shared scaffold: oracle.copy_sf_tables (table list lives in
+    # sources.loader.TABLES — one home, r8 review pass)
+    return copy_sf_tables(SF_SMOKE, str(tmp_path_factory.mktemp(name)))
 
 
 def _rewrite(sf, name, values_sql):

@@ -18,15 +18,13 @@ came from exactly that promotion path).
 
 from __future__ import annotations
 
-import math
 import os
-import shutil
 from datetime import datetime
 
 import duckdb
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
-from oracle import check_parity, make_duckdb
+from oracle import check_parity, copy_sf_tables, make_duckdb
 
 from conftest import SF_SMOKE
 
@@ -113,13 +111,7 @@ _SETTINGS = settings(
 def _doctored_sf(tmp_path, table, columns, rows):
     """Copy SF_SMOKE and append ``rows`` (a list of tuples, event_id /
     doc_id auto-assigned for events via the caller) to ``table``."""
-    sf = str(tmp_path)
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"):
-        shutil.copy(
-            os.path.join(SF_SMOKE, f"{t}.parquet"),
-            os.path.join(sf, f"{t}.parquet"),
-        )
+    sf = copy_sf_tables(SF_SMOKE, str(tmp_path))
     con = duckdb.connect()
     con.sql("SET TimeZone='UTC'")
     src = f"{sf}/{table}.parquet"

@@ -39,19 +39,7 @@ from oracle import check_parity, make_duckdb
 
 from conftest import SF_SMOKE
 from flink_streaming_kmeans_spark.plans.registry import collect as _collect
-
-TABLES = [
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-]
+from flink_streaming_kmeans_spark.sources.loader import TABLES
 
 # Spark emits NO rows for ROLLUP/CUBE/GROUPING SETS over zero input;
 # the standard (and DuckDB) emit the grand-total set's row(s) — the

@@ -586,6 +586,40 @@ def test_empty_table_lifecycle(spark, tmp_path):
     assert read_table(spark, root, version=0).count() == 0
 
 
+def test_empty_table_schema_matches_populated_read(spark, tmp_path):
+    """The manifest-recorded schema is normalized to the READ-BACK
+    shape (partition column last, all nullable — _read_shape_schema):
+    a table created with its partition column MID-schema must return
+    the IDENTICAL schema from its zero-file snapshots and its
+    populated ones (r8 review pass: the raw creation-order schema
+    diverged from partition discovery's append-last column order)."""
+    from pyspark.sql import functions as F
+    from flink_streaming_kmeans_spark.operators.lakehouse import create_table
+
+    # partition column 'segment' deliberately NOT last
+    schema = "custkey bigint, segment string, acctbal double"
+    root = str(tmp_path / "midcol_lake")
+    create_table(spark.createDataFrame([], schema), root, "segment")
+    v0 = read_table(spark, root, version=0)
+    assert v0.columns == ["custkey", "acctbal", "segment"]  # pcol last
+    assert all(f.nullable for f in v0.schema.fields)
+
+    # populate, then empty it again with a shape-preserving merge —
+    # the zero-file v2 read must equal the populated v1 read exactly
+    src = spark.createDataFrame(
+        [(1, "BUILDING", 10.0), (2, "BUILDING", 20.0)], schema
+    )
+    keep_shape = lambda target, source: source.select(*v0.columns)  # noqa: E731
+    v1 = merge_cow(spark, root, src, keep_shape)
+    populated = read_table(spark, root, version=v1)
+    assert v0.schema == populated.schema
+    drop_all = lambda target, source: target.where(F.lit(False))  # noqa: E731
+    v2 = merge_cow(spark, root, src, drop_all)
+    emptied = read_table(spark, root, version=v2)
+    assert emptied.count() == 0
+    assert emptied.schema == populated.schema
+
+
 def test_merge_all_insert_new_partition(spark):
     """MERGE whose source holds only partition values NEW to the table:
     the touched target selection is empty, every source row inserts,

@@ -63,21 +63,27 @@ def main() -> int:
     spark = get_spark("scale_probe")
     run_noop(queries["q_scan_parquet"](spark, base))  # warmup
 
-    def timed_min2(name: str, sf_dir: str) -> float:
-        ts = []
+    def timed_min2(name: str, sf_dir: str):
+        """(min seconds, last built DataFrame). The df is returned so
+        the plan audit below reuses it — rebuilding via queries[name]
+        would re-RUN the whole drive for the streaming/iterative
+        probes, whose work happens inside the callable (r8 review
+        pass: minutes of redundant wall clock at the x100 rung)."""
+        ts, df = [], None
         for _ in range(2):
             t0 = time.perf_counter()
-            run_noop(queries[name](spark, sf_dir))
+            df = queries[name](spark, sf_dir)
+            run_noop(df)
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return min(ts), df
 
     rows = []
     flags_changed = []
     for name in PROBES:
-        t_base = timed_min2(name, base)
-        t_scaled = timed_min2(name, scaled)
-        f_base = plan_audit.audit_one(name, queries[name](spark, base))
-        f_scaled = plan_audit.audit_one(name, queries[name](spark, scaled))
+        t_base, df_base = timed_min2(name, base)
+        t_scaled, df_scaled = timed_min2(name, scaled)
+        f_base = plan_audit.audit_one(name, df_base)
+        f_scaled = plan_audit.audit_one(name, df_scaled)
         same = set(f_base["flags"]) == set(f_scaled["flags"])
         if not same:
             flags_changed.append(
