@@ -615,7 +615,7 @@ def q_evt_anomaly(spark, sf_dir):
       AND o_orderdate < TIMESTAMP '1997-06-30'
       AND l_shipdate > TIMESTAMP '1997-06-30'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, l_orderkey
+    ORDER BY revenue DESC, l_orderkey NULLS LAST
     LIMIT 10
     """,
 )
@@ -654,7 +654,9 @@ def q_tpch_q3(spark, sf_dir):
     ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     return agg.select(
         "l_orderkey", "revenue", "odate", "o_orderpriority"
-    ).orderBy(F.desc("revenue"), "l_orderkey").limit(10)
+    ).orderBy(  # nulls-last tie-break: law 40 / law 38's limit fork
+        F.desc("revenue"), F.asc_nulls_last("l_orderkey")
+    ).limit(10)
 
 
 @register(
@@ -988,7 +990,7 @@ def q_feat_snapshot(spark, sf_dir):
     )
     SELECT custkey, item,
            CAST(ROW_NUMBER() OVER (PARTITION BY custkey
-                                   ORDER BY i_min, item) AS INT) AS rank
+                                   ORDER BY i_min NULLS LAST, item NULLS LAST) AS INT) AS rank
     FROM neg
     QUALIFY rank <= 4
     """,
@@ -1038,7 +1040,10 @@ def q_neg_sample(spark, sf_dir):
         .distinct()
     )
     neg = dedup.join(pos, ["custkey", "item"], "left_anti")
-    w = W.partitionBy("custkey").orderBy("i_min", "item")
+    # both keys nulls-last (law 40, r8 fuzz sweep of bare ASC keys)
+    w = W.partitionBy("custkey").orderBy(
+        F.asc_nulls_last("i_min"), F.asc_nulls_last("item")
+    )
     return (
         neg.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 4)
@@ -1059,7 +1064,7 @@ def q_neg_sample(spark, sf_dir):
       AND o_orderdate < TIMESTAMP '1997-01-01'
       AND l_returnflag = 'R'
     GROUP BY c_custkey, c_name, n_name
-    ORDER BY revenue DESC, c_custkey
+    ORDER BY revenue DESC, c_custkey NULLS LAST
     LIMIT 20
     """,
 )
@@ -1092,7 +1097,9 @@ def q_tpch_q10(spark, sf_dir):
         j.groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("c_custkey", "c_name", "n_name", "revenue")
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .orderBy(  # nulls-last tie-break: law 40 / law 38's limit fork
+            F.desc("revenue"), F.asc_nulls_last("c_custkey")
+        )
         .limit(20)
     )
 

@@ -602,7 +602,7 @@ def q_sample_hash(spark, sf_dir):
         SELECT doc_id, lang,
                ROW_NUMBER() OVER (
                    PARTITION BY lang
-                   ORDER BY {_DUCK_H60.format(x='text')} NULLS LAST, doc_id
+                   ORDER BY {_DUCK_H60.format(x='text')} NULLS LAST, doc_id NULLS LAST
                ) AS rn
         FROM documents
     )
@@ -623,7 +623,9 @@ def q_sample_stratified(spark, sf_dir):
     the NULL-row adversarial sweep, r6)."""
     d = load_table(spark, sf_dir, "documents")
     w = W.partitionBy("lang").orderBy(
-        F.asc_nulls_last(F.expr(_SPARK_H60.format(x="text"))), F.asc("doc_id")
+        # both keys nulls-last (law 40, r8 fuzz sweep): NULL doc_id
+        F.asc_nulls_last(F.expr(_SPARK_H60.format(x="text"))),
+        F.asc_nulls_last("doc_id"),
     )
     return (
         d.withColumn("rn", F.row_number().over(w))
@@ -814,7 +816,7 @@ def q_text_repetition(spark, sf_dir):
         FROM documents
     ), c AS (
         SELECT doc_id, source, n_tok,
-               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id NULLS LAST
                                 ROWS UNBOUNDED PRECEDING) - n_tok AS start_tok
         FROM t
     )
@@ -840,7 +842,9 @@ def q_text_concat_pack(spark, sf_dir):
     t = d.select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
     )
-    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+    # nulls-last pack order (law 40, r8 fuzz sweep): a NULL doc_id
+    # must take the same pack position on both engines
+    w = W.partitionBy("source").orderBy(F.asc_nulls_last("doc_id")).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     c = t.select(
@@ -947,8 +951,9 @@ def q_text_redact(spark, sf_dir):
     ), ranked AS (
         SELECT d.doc_id, d.source, w.wt,
                ROW_NUMBER() OVER (PARTITION BY d.source
-                                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
-                                           d.doc_id) AS rn
+                                  ORDER BY md5(CAST(d.doc_id AS VARCHAR))
+                                               NULLS LAST,
+                                           d.doc_id NULLS LAST) AS rn
         FROM documents d JOIN wts w ON d.source = w.source
     )
     SELECT r.doc_id, r.source

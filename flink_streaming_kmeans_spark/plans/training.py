@@ -85,7 +85,7 @@ def q_shard_assign(spark, sf_dir):
     ), r AS (
         SELECT doc_id, band,
                ROW_NUMBER() OVER (PARTITION BY band
-                                  ORDER BY h NULLS LAST, doc_id) AS rn
+                                  ORDER BY h NULLS LAST, doc_id NULLS LAST) AS rn
         FROM b
     ), o AS (
         SELECT band, COUNT(*) AS c FROM b GROUP BY band
@@ -126,7 +126,8 @@ def q_curriculum_order(spark, sf_dir):
         "rn",
         F.row_number().over(
             W.partitionBy("band").orderBy(
-                F.asc_nulls_last("h"), F.asc("doc_id")
+                # both keys nulls-last (law 40, r8 fuzz sweep)
+                F.asc_nulls_last("h"), F.asc_nulls_last("doc_id")
             )
         ),
     )

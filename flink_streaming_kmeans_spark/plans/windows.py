@@ -54,7 +54,7 @@ def q_win_rank(spark, sf_dir):
            {sql_mround('LEAD(o_totalprice) OVER w')} AS next_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_orderdate NULLS LAST, o_orderkey)
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST)
     """,
 )
 def q_win_lag(spark, sf_dir):
@@ -64,7 +64,10 @@ def q_win_lag(spark, sf_dir):
     # q_win_range_frame documents (review r6).
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(
-        F.asc_nulls_last("o_orderdate"), "o_orderkey"
+        # asc_nulls_last on the TIE-BREAK too (law 40; r8 fuzz find on
+        # q_win_running's identical window — a NULL orderkey tying on
+        # date sorts FIRST in Spark, LAST in DuckDB)
+        F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey")
     )
     return o.select(
         "o_orderkey",
@@ -80,7 +83,7 @@ def q_win_lag(spark, sf_dir):
            {sql_mround(sql_dsumw('o_totalprice', 'OVER w'))} AS running_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_orderdate NULLS LAST, o_orderkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
@@ -93,7 +96,11 @@ def q_win_running(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
-        .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
+        # asc_nulls_last tie-break (law 40): the r8 randomized TPC-H
+        # fuzz planted a NULL o_orderkey tying on o_orderdate — the
+        # running prefix then includes/excludes that row's price in a
+        # different position per engine (hash-red trial 9, seed 777).
+        .orderBy(F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return o.select(
@@ -215,14 +222,17 @@ def q_win_ntile_scaled(spark, sf_dir):
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                                  ORDER BY o_totalprice DESC, o_orderkey NULLS LAST) AS rn
         FROM orders
     ) WHERE rn <= 3
     """,
 )
 def q_topk_group(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    # asc_nulls_last tie-break (law 40, r8 fuzz sweep of F.asc sites)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc_nulls_last("o_orderkey")
+    )
     return (
         o.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
@@ -235,7 +245,7 @@ def q_topk_group(spark, sf_dir):
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
+    ORDER BY o_totalprice DESC, o_orderkey NULLS LAST
     LIMIT 20
     """,
 )
@@ -245,7 +255,10 @@ def q_sort_limit(spark, sf_dir):
     # no shuffle of the full table. Exactly what you want at 100 TB.
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        # asc_nulls_last tie-break (law 40): which rows the LIMIT
+        # keeps must not depend on engine NULL placement (law 38's
+        # orderBy().limit() fork, r8 fuzz sweep)
+        o.orderBy(F.desc("o_totalprice"), F.asc_nulls_last("o_orderkey"))
         .limit(20)
         .select("o_orderkey", "o_totalprice")
     )
@@ -260,7 +273,7 @@ def q_sort_limit(spark, sf_dir):
            NTH_VALUE(o_totalprice, 2) OVER w AS second_price
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_orderdate NULLS LAST, o_orderkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey NULLS LAST
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -274,7 +287,8 @@ def q_win_first_last(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
-        .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
+        # asc_nulls_last tie-break (law 40, r8 fuzz sweep)
+        .orderBy(F.asc_nulls_last("o_orderdate"), F.asc_nulls_last("o_orderkey"))
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     return o.select(

@@ -650,6 +650,22 @@ def r8deep_sf(tmp_path_factory):
           (947009, TIMESTAMP '2024-03-03 09:21:00', 76503, 'view',
            '-Infinity'::DOUBLE, NULL)
         ) v(event_id, ts, user_id, event_type, value, props)""")
+    _rewrite(sf, "orders", """
+        SELECT * FROM (VALUES
+          -- law 40's r8 fuzz find (seed 777 trial 9, minimized): a
+          -- NULL o_orderkey TYING a real order on (custkey, date).
+          -- Every window whose ORDER BY tie-break is the orderkey
+          -- (running sum, lag/lead, first/last, top-k limit) forks
+          -- NULLS FIRST (Spark bare ASC) vs NULLS LAST (DuckDB)
+          -- without the asc_nulls_last pin.
+          (948001::BIGINT, 76504::BIGINT, 'O', 10.0::DOUBLE,
+           TIMESTAMP '1996-02-01', '1-URGENT'),
+          (NULL::BIGINT, 76504, 'O', 33.25::DOUBLE,
+           TIMESTAMP '1996-02-01', '2-HIGH'),
+          (948002, 76504, 'O', 'NaN'::DOUBLE,
+           TIMESTAMP '1996-02-02', '3-MEDIUM')
+        ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, o_orderpriority)""")
     _rewrite(sf, "documents", """
         SELECT * FROM (VALUES
           -- law 42: NULL doc_id inside a real source partition
@@ -693,6 +709,14 @@ R8DEEP_CHECKED = [
     "q_evt_histogram",
     "q_rollup_time",
     "q_stream_dedup",
+    # law 40's fuzz find: NULL orderkey tying on (custkey, date) —
+    # every orderkey-tie-break window/limit shape (r8 pin sweep)
+    "q_win_lag",
+    "q_win_first_last",
+    "q_topk_group",
+    "q_sort_limit",
+    "q_tpch_q3",
+    "q_tpch_q10",
 ]
 
 

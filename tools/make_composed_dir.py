@@ -111,7 +111,14 @@ def build(src: str, dest: str) -> None:
           (987001, 930101, 'O', 77.0::DOUBLE, TIMESTAMP '1996-03-01',
            '1-URGENT'),
           (987002, 930101, 'O', 'NaN'::DOUBLE, TIMESTAMP '1996-03-02',
-           '2-HIGH')
+           '2-HIGH'),
+          -- law 40's r8 fuzz find: a NULL o_orderkey TYING another
+          -- order on (custkey, date) — the window tie-break key is
+          -- NULL, so every bare-ASC ordering forks NULLS FIRST (Spark)
+          -- vs NULLS LAST (DuckDB); all window/limit tie-breaks are
+          -- now pinned nulls-last in lockstep
+          (NULL::BIGINT, 920001, 'O', 33.25::DOUBLE,
+           TIMESTAMP '1996-01-03', '3-MEDIUM')
         ) v(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
             o_orderdate, o_orderpriority)""")
     # One group mixing NULL qty, NaN price, the 9.5e15 ceil/floor
