@@ -27,6 +27,7 @@ from ..sources.loader import _tmp_out, load_table, local_df
 from ..sources.replay import (
     append_batch,
     batch_input_dir,
+    replay_batch_count,
     run_available_now,
     time_batch_col,
 )
@@ -102,7 +103,7 @@ def q_stream_slide(spark, sf_dir):
     # ntile(2) on a 1-row table leaves batch 1 empty, which the
     # replay prep rejects — clamp (same ADVICE-r5 guard as
     # q_stream_quantile/q_stream_topk).
-    n_batches = min(2, int(stats.cnt))
+    n_batches = min(replay_batch_count(2), int(stats.cnt))
     in_dir = batch_input_dir(
         time_batch_col(ev, n_batches, ("ts", "event_id")), d, range(n_batches)
     )

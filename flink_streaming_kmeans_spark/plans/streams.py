@@ -50,6 +50,7 @@ from ..sources.replay import (
     append_batch,
     batch_input_dir,
     memory_sink_name,
+    replay_batch_count,
     run_available_now,
     time_batch_col,
 )
@@ -62,6 +63,16 @@ def _write_time_batches(df, d, n_batches, order_cols=("ts", "event_id")):
     return batch_input_dir(
         time_batch_col(df, n_batches, order_cols), d, range(n_batches)
     )
+
+
+def _probe_batches(df, target=3):
+    """Drive batch count clamped to the source's row count: probes
+    ``limit(b)`` rows only, where b honors the sweep override
+    (sources/replay.replay_batch_count) — 0 means an empty source
+    (the callers' empty-guard). The clamp keeps ntile from leaving
+    empty trailing batch files the replay prep rejects (ADVICE r5)."""
+    b = replay_batch_count(target)
+    return min(b, df.limit(b).count())
 
 
 _run_available_now = run_available_now
@@ -97,14 +108,14 @@ def q_stream_dedup(spark, sf_dir):
     # same idiom as q_stream_session): an empty stream has no batch
     # files and no sink dir, and ntile(3) over <3 rows leaves a batch
     # with no partition dir — both abort the replay prep loudly.
-    cnt = ev.limit(3).count()  # bounded probe: min(3, n) is all we use
+    cnt = _probe_batches(ev)
     if cnt == 0:
         return spark.createDataFrame(
             [], "event_id bigint, ts_s timestamp, value double"
         )
     dups = ev.where(F.col("event_id") % 7 == 0)
     d = _tmp_out("stream_dedup", sf_dir)
-    in_dir = _write_time_batches(ev.unionAll(dups), d, min(3, cnt))
+    in_dir = _write_time_batches(ev.unionAll(dups), d, cnt)
 
     deduped = (
         spark.readStream.schema(ev.schema)
@@ -165,13 +176,13 @@ def q_stream_join(spark, sf_dir):
     )
     # Empty-source guard + ntile clamp (r8 empty sweep — see
     # q_stream_dedup): zero joined pairs is the oracle's answer.
-    cnt = ev.limit(3).count()  # bounded probe: min(3, n) is all we use
+    cnt = _probe_batches(ev)
     if cnt == 0:
         return spark.createDataFrame(
             [], "user_id bigint, p_id bigint, c_id bigint"
         )
     d = _tmp_out("stream_join", sf_dir)
-    in_dir = _write_time_batches(ev, d, min(3, cnt))
+    in_dir = _write_time_batches(ev, d, cnt)
 
     def src():
         return (
@@ -294,7 +305,7 @@ def q_stream_upsert(spark, sf_dir):
     # Empty-source guard + ntile clamp (r8 empty sweep): a merge of
     # nothing IS the seed snapshot — return it directly (the seed's
     # empty-table read works via the manifest-recorded schema).
-    cnt = src.limit(3).count()  # bounded probe: min(3, n) is all we use
+    cnt = _probe_batches(src)
     if cnt == 0:
         t = read_table(spark, root)
         return t.select(
@@ -305,7 +316,7 @@ def q_stream_upsert(spark, sf_dir):
     # Batches of DISJOINT, contiguous custkey ranges (ntile on the
     # ordered key — insert keys are negated custkeys, so range-split
     # keeps every batch non-empty where a mod split would not).
-    n_batches = min(3, cnt)
+    n_batches = cnt
     in_dir = batch_input_dir(
         time_batch_col(src, n_batches, order_cols=("custkey",)),
         d,
@@ -500,7 +511,7 @@ def q_stream_session(spark, sf_dir):
     d = _tmp_out("stream_session", sf_dir)
     # ntile clamp for 1-row tables (same ADVICE-r5 guard as the
     # documents-driven drives).
-    n_batches = min(2, int(stats.cnt))
+    n_batches = min(replay_batch_count(2), int(stats.cnt))
     in_dir = _write_time_batches(ev, d, n_batches)
     # appended file, not a union — see sources/replay.append_batch
     append_batch(sent1, in_dir, n_batches)
@@ -619,13 +630,13 @@ def q_stream_cep(spark, sf_dir):
     )
     # Empty-source guard + ntile clamp (r8 empty sweep — see
     # q_stream_dedup): no events, no NFAs.
-    cnt = ev.limit(3).count()  # bounded probe: min(3, n) is all we use
+    cnt = _probe_batches(ev)
     if cnt == 0:
         return spark.createDataFrame(
             [], "user_id bigint, n_events bigint, n_funnels bigint, converted int"
         )
     d = _tmp_out("stream_cep", sf_dir)
-    in_dir = _write_time_batches(ev, d, min(3, cnt))
+    in_dir = _write_time_batches(ev, d, cnt)
 
     state_schema = (
         "user_id bigint, n_events bigint, nfa int, rel int, n_funnels bigint"
@@ -772,11 +783,11 @@ def q_stream_hll(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     # Empty-source guard + ntile clamp (r8 empty sweep — see
     # q_stream_dedup): an empty stream has empty registers.
-    cnt = ev.limit(3).count()  # bounded probe: min(3, n) is all we use
+    cnt = _probe_batches(ev)
     if cnt == 0:
         return spark.createDataFrame([], "bucket int, max_rank int")
     d = _tmp_out("stream_hll", sf_dir)
-    in_dir = _write_time_batches(ev, d, min(3, cnt))
+    in_dir = _write_time_batches(ev, d, cnt)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -875,7 +886,7 @@ def q_stream_join_left(spark, sf_dir):
     # and (b) the sentinel to flush the tail via the final no-data
     # batch. ntile clamp for 1-row tables.
     d = _tmp_out("stream_join_left", sf_dir)
-    n_batches = min(2, int(stats.cnt))
+    n_batches = min(replay_batch_count(2), int(stats.cnt))
     in_dir = _write_time_batches(ev, d, n_batches)
     append_batch(s1, in_dir, n_batches)
 
@@ -1007,7 +1018,9 @@ def q_stream_quantile(spark, sf_dir):
     # ntile(n) leaves trailing batches EMPTY when the table has fewer
     # rows than batches, and an empty batch file aborts the replay
     # prep — clamp so 1-2-row corpora still drive (ADVICE r5).
-    in_dir = _write_time_batches(d, dd, min(3, int(stats_row.cnt)), ("doc_id",))
+    in_dir = _write_time_batches(
+        d, dd, min(replay_batch_count(3), int(stats_row.cnt)), ("doc_id",)
+    )
 
     stream = (
         spark.readStream.schema(d.schema)
@@ -1066,7 +1079,7 @@ def q_stream_topk(spark, sf_dir):
     dd = _tmp_out("stream_topk", sf_dir)
     # Clamp like q_stream_quantile: ntile(3) on a 1-2-row corpus
     # leaves empty batch files the replay prep rejects (ADVICE r5).
-    n_batches = min(3, d.limit(3).count())
+    n_batches = _probe_batches(d)
     if n_batches == 0:
         return spark.createDataFrame([], "tok string, n bigint, rank int")
     in_dir = _write_time_batches(d, dd, n_batches, ("doc_id",))

@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 from ..functions.hashing import DUCK_H60, SPARK_H60
 from ..functions.vector import davg, dsum, dsumr, emb_finite, fin, mround, sql_davg, sql_dsum, sql_emb_finite, sql_fin, sql_mround, sql_ts_valid, ts_valid
 from ..sources.loader import _tmp_out, fan_out, load_table, local_df
-from ..sources.replay import batch_input_dir, run_available_now, time_batch_col
+from ..sources.replay import (
+    batch_input_dir,
+    replay_batch_count,
+    run_available_now,
+    time_batch_col,
+)
 from .registry import register
 
 # 60-bit md5 prefix as BIGINT — canonical copies in
@@ -342,12 +347,13 @@ def q_stream_tumble(spark, sf_dir):
     # Empty-source guard + ntile clamp (r8 full-registry empty sweep;
     # same idiom as q_stream_session): replay prep aborts loudly on a
     # batch with no rows, and zero windows is the oracle's answer.
-    cnt = ev.limit(3).count()  # bounded probe: min(3, n) is all we use
+    _b = replay_batch_count(3)
+    cnt = ev.limit(_b).count()  # bounded probe: min(b, n) is all we use
     if cnt == 0:
         return spark.createDataFrame(
             [], "win_start timestamp, n_events bigint, sum_value double"
         )
-    n_batches = min(3, cnt)
+    n_batches = min(_b, cnt)
     d = _tmp_out("stream_tumble", sf_dir)
     in_dir = batch_input_dir(time_batch_col(ev, n_batches), d, range(n_batches))
 

@@ -29,6 +29,29 @@ from pyspark.sql import functions as F
 from ..session import scoped_shuffle_partitions
 
 
+def replay_batch_count(n: int) -> int:
+    """The drive's micro-batch count, overridable by the
+    ``SPARK_GRAFT_STREAM_BATCHES`` env var (sweep scaffolding).
+
+    Every registered streaming drive's OUTPUT is contractually
+    invariant to how the bounded input is split into micro-batches —
+    that's what makes the hash oracle a batch-semantics statement
+    rather than a replay transcript. This knob lets a sweep re-run the
+    drives at 1/2/5/7 batches and assert exactly that (the
+    batch-boundary analogue of the 5-vs-32 reducer sweep).
+
+    Call sites MUST route the count through this helper BEFORE both
+    the split and any ``append_batch`` sentinel index — a hidden
+    override inside the split would leave the caller appending its
+    sentinel at the UN-overridden index, silently overwriting a real
+    batch file. Callers still clamp to their row count afterward
+    (ntile leaves empty trailing batches the replay prep rejects).
+    Unset (the default, incl. driver/bench runs) this is the identity.
+    """
+    v = os.environ.get("SPARK_GRAFT_STREAM_BATCHES")
+    return n if not v else max(1, int(v))
+
+
 def time_batch_col(
     df: DataFrame, n_batches: int, order_cols: Sequence[str] = ("ts", "event_id")
 ) -> DataFrame:
