@@ -286,11 +286,21 @@ def q_map_funcs(spark, sf_dir):
     """,
 )
 def q_str_levenshtein(spark, sf_dir):
-    """Edit-distance fuzzy matching (integer-exact on both engines) —
-    the cheap fuzzy-join primitive for catalog/entity dedup. As a
-    filter it's a pure map pass; as a JOIN condition at scale it must
-    be blocked first (prefix/length/q-gram buckets) — levenshtein in a
-    theta-join is the quadratic trap, same rule as q_dedup_near."""
+    """Edit-distance fuzzy matching — the cheap fuzzy-join primitive
+    for catalog/entity dedup. As a filter it's a pure map pass; as a
+    JOIN condition at scale it must be blocked first (prefix/length/
+    q-gram buckets) — levenshtein in a theta-join is the quadratic
+    trap, same rule as q_dedup_near.
+
+    DOMAIN (law 43): levenshtein's UNIT is engine-defined — Spark
+    counts Unicode characters, DuckDB counts UTF-8 bytes (probed:
+    'ß'→'s' is 1 vs 2, '🎉a'→'a' is 1 vs 4). The distances are
+    integer-exact and equal only where every codepoint is single-byte,
+    i.e. ASCII inputs — which TPC-H part names/brands/types are by
+    construction (the same ASCII assumption q_str_funcs states for
+    native upper/lower). Pinned in tests/test_degenerate_fuzz.py::
+    test_levenshtein_unit_law; the part fuzz keeps its string
+    alphabet ASCII for exactly this reason."""
     p = load_table(spark, sf_dir, "part")
     d = F.levenshtein("p_name", F.lit("standard polished brass"))
     return (

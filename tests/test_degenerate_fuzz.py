@@ -161,6 +161,163 @@ def test_fuzz_events_parity(spark, registry, tmp_path_factory, rows):
         con.close()
 
 
+# part/supplier axis (r8 continuation): the last two undoctored
+# tables. Strings stay ASCII for part — q_str_funcs documents the
+# native-upper/lower ASCII assumption and law 43 (below) pins
+# levenshtein's unit divergence off ASCII — but are otherwise hostile
+# (empty, padding, quotes/commas/newlines, regex metachars, repeated
+# words, a 200-char run). Supplier names DO carry unicode and
+# CSV-hostile shapes: q_source_csv is a text round-trip and quoting/
+# multiline is exactly its documented edge.
+_ASCII_NAME = st.one_of(
+    st.none(),
+    st.sampled_from(
+        [
+            "",
+            "   ",
+            "standard polished brass",
+            "standard polished brassy",
+            'a,b"c',
+            "line1\nline2",
+            "[0-9]+ (meta) |chars*",
+            "widget widget widget",
+            "x" * 200,
+            "Brand#13",
+            "0042",
+        ]
+    ),
+)
+_P_SIZE = st.one_of(
+    st.none(), st.sampled_from([0, -1, 7, 2147483647, -2147483648])
+)
+_PART_ROW = st.tuples(
+    st.one_of(st.none(), st.sampled_from([55001, 55002])),
+    _ASCII_NAME,
+    _ASCII_NAME,
+    _ASCII_NAME,
+    _P_SIZE,
+    _VALUES,
+)
+_PART_QUERIES = [
+    "q_str_funcs",
+    "q_str_regexp",
+    "q_str_levenshtein",
+    "q_unpivot",
+    "q_source_orc",
+]
+
+_SUPP_NAME = st.one_of(
+    st.none(),
+    st.sampled_from(
+        [
+            "",
+            "a,b",
+            'quote"q',
+            "line\nbreak",
+            "crlf\r\nrow",
+            "trail  ",
+            "straße ẞ",
+            "🎉",
+            ",,,",
+            '"quoted"',
+            "tab\tsep",
+        ]
+    ),
+)
+_SUPP_ROW = st.tuples(
+    st.one_of(st.none(), st.sampled_from([77501, 77502])),
+    _SUPP_NAME,
+    st.one_of(st.none(), st.sampled_from([0, 15, 999])),  # 999 dangles
+    _VALUES,
+)
+_SUPP_QUERIES = ["q_source_csv", "q_set_intersect", "q_set_except", "q_tpch_q5"]
+
+
+@given(rows=st.lists(_PART_ROW, min_size=1, max_size=6))
+@_SETTINGS
+def test_fuzz_part_parity(spark, registry, tmp_path_factory, rows):
+    queries, oracles = registry
+    sf = _doctored_sf(
+        tmp_path_factory.mktemp("fuzz_part"),
+        "part",
+        ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+        rows,
+    )
+    con = make_duckdb(sf)
+    try:
+        for name in _PART_QUERIES:
+            r = check_parity(spark, con, name, queries[name], oracles[name], sf)
+            assert r.ok, (
+                f"{name} diverges on fuzzed part {rows}: "
+                f"rows={r.rows_match} schema={r.schema_match} "
+                f"hash={r.hash_match}\n{r.detail}"
+            )
+    finally:
+        con.close()
+
+
+@given(rows=st.lists(_SUPP_ROW, min_size=1, max_size=6))
+@_SETTINGS
+def test_fuzz_supplier_parity(spark, registry, tmp_path_factory, rows):
+    queries, oracles = registry
+    sf = _doctored_sf(
+        tmp_path_factory.mktemp("fuzz_supp"),
+        "supplier",
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        rows,
+    )
+    con = make_duckdb(sf)
+    try:
+        for name in _SUPP_QUERIES:
+            r = check_parity(spark, con, name, queries[name], oracles[name], sf)
+            assert r.ok, (
+                f"{name} diverges on fuzzed supplier {rows}: "
+                f"rows={r.rows_match} schema={r.schema_match} "
+                f"hash={r.hash_match}\n{r.detail}"
+            )
+    finally:
+        con.close()
+
+
+def test_levenshtein_unit_law(spark):
+    """Law 43 pinned directly: levenshtein's UNIT is engine-defined —
+    Spark counts Unicode characters, DuckDB counts UTF-8 bytes. The
+    two agree exactly on ASCII (every codepoint one byte), which is
+    the domain q_str_levenshtein states; off ASCII the DIVERGENCE
+    itself is the pinned fact (if either engine changes unit, this
+    fails and the contract must be restated)."""
+    cases = [("ß", "s"), ("straße", "strasse"), ("🎉a", "a"), ("ẞ", "ß")]
+    spark_d = [
+        r[0]
+        for r in spark.createDataFrame(cases, "a string, b string")
+        .selectExpr("levenshtein(a, b)")
+        .collect()
+    ]
+    con = duckdb.connect()
+    duck_d = [
+        con.execute("SELECT levenshtein(?, ?)", list(c)).fetchone()[0]
+        for c in cases
+    ]
+    con.close()
+    assert spark_d == [1, 2, 1, 1]  # characters
+    assert duck_d == [2, 2, 4, 3]  # UTF-8 bytes
+    # and the ASCII subdomain agrees exactly
+    ascii_cases = [("abc", "abd"), ("", "xy"), ("a b,c", "a b.c")]
+    s2 = [
+        r[0]
+        for r in spark.createDataFrame(ascii_cases, "a string, b string")
+        .selectExpr("levenshtein(a, b)")
+        .collect()
+    ]
+    con = duckdb.connect()
+    d2 = [
+        con.execute("SELECT levenshtein(?, ?)", list(c)).fetchone()[0]
+        for c in ascii_cases
+    ]
+    con.close()
+    assert s2 == d2
+
+
 @given(rows=st.lists(_DOC_ROW, min_size=1, max_size=6))
 @_SETTINGS
 def test_fuzz_documents_parity(spark, registry, tmp_path_factory, rows):
