@@ -121,7 +121,20 @@ def q_source_csv(spark, sf_dir):
     re-read with an EXPLICIT schema (schema inference is a full extra
     pass at 100 TB — never rely on it), aggregate. Doubles survive
     exactly: Spark writes shortest round-trip repr. Oracle recomputes
-    from parquet, proving the text round-trip is lossless."""
+    from parquet, proving the text round-trip is lossless.
+
+    LAW 44 (probed, pinned in tests/test_sources.py::
+    test_csv_null_vs_empty_law): the lossless claim has ONE carve-out
+    inherent to the format — under default options an empty STRING is
+    written as an unquoted empty field and read back as NULL
+    (nullValue="" on read), and no quoting option recovers it; an
+    in-band sentinel (nullValue='\\N', the MySQL convention) restores
+    the NULL/'' distinction but then a LITERAL '\\N' value collides
+    with the sentinel (the writer does not escape it). NUL bytes,
+    CRLF, embedded quotes/commas, 10 KB values all survive exactly
+    (probed). This query's output carries no string column, so the
+    registered hash is unaffected either way; the law is the contract
+    a name-emitting CSV pipeline must know."""
     s = load_table(spark, sf_dir, "supplier")
     out = _tmp_out("csv", sf_dir)
     s.write.mode("overwrite").option("header", True).csv(out)

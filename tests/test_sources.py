@@ -151,3 +151,61 @@ def test_local_df_matches_row_list_semantics(spark):
     # None in a double column: must be NULL (not NaN) — fallback path.
     nf = local_df(spark, [(1, "x", None, None)], schema).collect()[0]
     assert nf.d is None
+
+
+def test_csv_null_vs_empty_law(spark):
+    """Law 44 pinned directly (q_source_csv's carve-out): CSV cannot
+    represent NULL and empty string distinctly under default options
+    (both land as NULL on read), an in-band nullValue sentinel
+    restores the distinction, and the sentinel's own literal then
+    collides — all three facts asserted so an engine-side change in
+    any of them fails loudly. Everything else round-trips exactly,
+    including NUL bytes, CRLF, embedded quotes/commas and 10 KB
+    values."""
+    import tempfile
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "x"),
+        (4, "\\N"),          # the sentinel's literal
+        (5, "nul\x00byte"),
+        (6, "crlf\r\nrow"),
+        (7, 'q"x,y'),
+        (8, "y" * 10000),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, v string")
+    schema = "k bigint, v string"
+
+    # Default options: '' collapses to NULL; all hostile bytes survive.
+    d = tempfile.mkdtemp(prefix="csv_law_")
+    df.write.mode("overwrite").option("header", True).csv(d + "/dflt")
+    back = {
+        r.k: r.v
+        for r in spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(d + "/dflt")
+        .collect()
+    }
+    assert back[2] is None  # the carve-out
+    assert back[1] is None
+    assert back[3] == "x" and back[5] == "nul\x00byte"
+    assert back[6] == "crlf\r\nrow" and back[7] == 'q"x,y'
+    assert back[8] == "y" * 10000
+
+    # Sentinel convention: NULL/'' recovered, literal sentinel collides.
+    df.write.mode("overwrite").option("header", True).option(
+        "nullValue", "\\N"
+    ).option("emptyValue", '""').csv(d + "/sent")
+    back = {
+        r.k: r.v
+        for r in spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .csv(d + "/sent")
+        .collect()
+    }
+    assert back[1] is None and back[2] == "" and back[3] == "x"
+    assert back[4] is None  # the collision: literal '\\N' became NULL
