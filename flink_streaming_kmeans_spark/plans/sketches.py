@@ -321,6 +321,7 @@ _QH_PCTS = (50, 90, 95, 99)
     ), b AS (
         SELECT ((n_chars - mn) * {_QH_BINS}) // (mx - mn + 1) AS bin
         FROM documents, stats
+        WHERE n_chars IS NOT NULL
     ), h AS (
         SELECT bin, COUNT(*) AS n FROM b GROUP BY bin
     ), c AS (
@@ -362,7 +363,14 @@ def q_sketch_quantile(spark, sf_dir):
     CMS); the cumulative window runs over ≤128 rows (single-task by
     construction, on sketch-sized data — not a data-sized sort); the
     min/max pre-pass and the 4-row probe frame broadcast."""
-    d = load_table(spark, sf_dir, "documents")
+    # Participation contract (law 45, composed-dir config sweep): a
+    # document with NULL n_chars has no length and cannot occupy a
+    # histogram bin — unfiltered, its NULL bin lands FIRST in Spark's
+    # cumulative window and LAST in DuckDB's (law 2/40 on the window
+    # ORDER key), shifting every crossing by the NULL group's count.
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+    )
     stats = d.agg(
         F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
     )

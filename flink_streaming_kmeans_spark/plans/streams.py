@@ -957,6 +957,7 @@ def q_stream_join_left(spark, sf_dir):
     ), b AS (
         SELECT ((n_chars - mn) * 128) // (mx - mn + 1) AS bin
         FROM documents, stats
+        WHERE n_chars IS NOT NULL
     ), h AS (
         SELECT bin, COUNT(*) AS n FROM b GROUP BY bin
     ), c AS (
@@ -998,7 +999,13 @@ def q_stream_quantile(spark, sf_dir):
     bounded keyspace)."""
     from .sketches import histogram_quantiles  # lazy: registration-order rule
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # Participation contract (law 45 — see q_sketch_quantile): NULL
+    # n_chars cannot occupy a bin; filtered on BOTH engines.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .where(F.col("n_chars").isNotNull())
+    )
     stats_row = d.agg(
         F.min("n_chars").alias("mn"),
         F.max("n_chars").alias("mx"),

@@ -375,7 +375,13 @@ def unidup_sf(tmp_path_factory):
           -- group flows through shingle joins, dedup windows, and
           -- tie-break ORDER BYs (r7 F.asc-site audit)
           (NULL, 'the straße fuß walk was long today also', 'de',
-           'degen-uni', 40)
+           'degen-uni', 40),
+          -- NULL n_chars (law 45, composed-dir config sweep): a
+          -- length histogram cannot bin an unknown length — the NULL
+          -- bin lands FIRST in Spark's cumulative window and LAST in
+          -- DuckDB's (law 2/40), shifting every quantile crossing
+          (980020, 'length unknown for this probe row', 'en',
+           'degen-uni', NULL)
         ) v(doc_id, text, lang, source, n_chars)""")
     # Duplicate vec_ids where the second copy fails the participation
     # contract (NaN element / NULL embedding): every oracle stage must
@@ -436,6 +442,10 @@ UNIDUP_CHECKED = [
     "q_ml_kmeans_update",
     "q_ml_kmeans_iter2",
     "q_sim_ivf",
+    # NULL n_chars cannot occupy a histogram bin (law 45): both
+    # quantile variants filter participation on both engines
+    "q_sketch_quantile",
+    "q_stream_quantile",
 ]
 
 

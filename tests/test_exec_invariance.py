@@ -99,3 +99,33 @@ def test_stream_batch_split_invariance(
         spark, duck_smoke, query, queries[query], oracles[query], SF_SMOKE
     )
     assert r.ok, f"batches={n}/{query}: {r.detail}"
+
+
+# CLI arg robustness (the plan_audit typo lesson from the r8 ADVICE:
+# a misspelled name must fail loudly, not read as a pass).
+def test_config_sweep_rejects_unknown_set():
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "config_sweep.py"),
+         "no_codgen"],  # typo
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 2
+    assert "unknown config sets" in r.stderr
+
+
+def test_config_sweep_rejects_unknown_query():
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "config_sweep.py"),
+         "no_codegen", "--queries", "q_does_not_exist"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 2
+    assert "not hash-registered" in r.stderr
