@@ -215,7 +215,11 @@ def dbl2dec(col, prec: int = 30) -> Column:
     :func:`sql_dbl2dec`.
 
     ``prec``: decimal precision — the default 30 (24 integer digits)
-    overflows (an ANSI crash, not a wrong value) once |x| ≥ 1e24;
+    overflows (an ANSI crash, not a wrong value) once |x| ≥ 1e24 —
+    and DuckDB's DECIMAL(30,6) cast rejects at the IDENTICAL boundary,
+    so out-of-domain magnitude is a mutual loud failure, never a
+    silent divergence (law 46, pinned in test_degenerate_naninf.py::
+    test_decimal_sum_magnitude_domain);
     SQUARED-moment sums (q_agg_stats/q_agg_corr) pass 38, whose 32
     integer digits carry x² for |x| up to 1e16 — past the 1e12 mround
     pass-through and the 2^53 exact-integer ceiling, so every

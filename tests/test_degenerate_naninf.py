@@ -267,3 +267,42 @@ def test_running_sum_nan_from_poisoned_prefix(spark, registry, nan_sf):
     assert math.isnan(by_key[970001])
     assert by_key[970002] == math.inf
     assert by_key[970003] == -math.inf
+
+
+def test_decimal_sum_magnitude_domain(spark):
+    """Law 46 pinned: decimal-summed measures have the domain
+    |x| < 1e24 — DECIMAL(30,6)'s 24 integer digits — and BOTH engines
+    reject out-of-domain magnitudes LOUDLY at the same boundary
+    (Spark ArithmeticException under ANSI, DuckDB Conversion Error):
+    a 1e30 measure is data corruption surfaced, never a silent
+    divergence (grand-exploration find: q_rollup_time on a planted
+    1e30 events.value crashed Spark-side; the oracle rejects the
+    same row identically). Just below the boundary both engines
+    accept and agree exactly."""
+    import duckdb
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.functions.vector import (
+        dbl2dec,
+        sql_dbl2dec,
+    )
+
+    one = spark.range(1)
+
+    # out of domain: both engines refuse
+    with _pt.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE|Decimal"):
+        one.select(dbl2dec(F.lit(1e24))).collect()
+    con = duckdb.connect()
+    with _pt.raises(Exception, match="Conversion Error|Could not convert"):
+        con.execute(f"SELECT {sql_dbl2dec('1e24::DOUBLE')}").fetchone()
+
+    # just inside: both engines accept and agree exactly
+    s_val = one.select(
+        dbl2dec(F.lit(9.99e23)).cast("string").alias("v")
+    ).collect()[0].v
+    d_val = con.execute(
+        f"SELECT CAST({sql_dbl2dec('9.99e23::DOUBLE')} AS VARCHAR)"
+    ).fetchone()[0]
+    con.close()
+    assert s_val == d_val, (s_val, d_val)
