@@ -1,1 +1,1 @@
-from .vector import dot64, l2_norm, dsum, davg  # noqa: F401
+from .vector import dot64, l2_norm, dsum, davg, client_ntz  # noqa: F401

@@ -148,6 +148,37 @@ def sql_ts_valid(expr: str = "ts") -> str:
     )
 
 
+def client_ntz(df):
+    """Cast every returned TIMESTAMP (instant) column to TIMESTAMP_NTZ
+    at the query's CLIENT boundary — law 47 (r8 env sweep).
+
+    The engine computes event time entirely in pinned-UTC micros (the
+    env sweep proved the JVM default timezone never leaks: perturbing
+    it in-process changes nothing). But PySpark's ``TimestampType.
+    fromInternal`` materializes collected instants via ``datetime.
+    fromtimestamp`` — the PYTHON PROCESS's local zone — so the same
+    result collected on a non-UTC driver box carries shifted wall
+    times, while the DuckDB oracle (whose TIMESTAMP is timezone-naive)
+    returns the UTC fields everywhere. ``TimestampNTZType.
+    fromInternal`` converts through ``timezone.utc`` explicitly, so
+    NTZ is both process-TZ-invariant AND the exact semantic twin of
+    the oracle's type. Under the pinned-UTC session the cast is an
+    identity on the micros — hashes on a UTC box are unchanged.
+
+    Apply to the final frame of any hash query that returns an
+    event-time column (the r8 sweep's 13: windows/sessions/slides,
+    range joins, gapfill, SCD2, funnel, streaming sinks). Pinned by
+    tools/env_sweep.py full-registry runs + tests/
+    test_env_layout_invariance.py.
+    """
+    from pyspark.sql.types import TimestampType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp_ntz"))
+    return df
+
+
 def mround(col, scale: int = 4) -> Column:
     """Matched round: ``floor(x*10^s + 0.5)/10^s`` — engine-independent.
 

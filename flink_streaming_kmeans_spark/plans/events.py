@@ -20,7 +20,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.vector import dsum, sql_dsum, sql_dsumw, sql_ts_valid, ts_valid
+from ..functions.vector import (
+    client_ntz,
+    dsum,
+    sql_dsum,
+    sql_dsumw,
+    sql_ts_valid,
+    ts_valid,
+)
 from ..sources.loader import load_table
 from .registry import register
 
@@ -117,7 +124,7 @@ def q_win_tumble(spark, sf_dir):
     # structurally (un-windowable), where bare SQL GROUP BY would emit
     # a NULL-bucket row (NULL-events adversarial sweep, r6).
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts"))
-    return (
+    return client_ntz(
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
@@ -148,7 +155,7 @@ def q_win_tumble(spark, sf_dir):
 )
 def q_win_slide(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts"))
-    return (
+    return client_ntz(
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
         .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
@@ -192,7 +199,7 @@ def q_win_session(spark, sf_dir):
     # session_start RETURNS the raw (second-trunc) timestamp, and a
     # pre-0001-01-03 value crashes the Python-interop conversion.
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts"))
-    return (
+    return client_ntz(
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -264,7 +271,7 @@ def q_evt_funnel(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
-    return (
+    return client_ntz(
         v.join(c, "user_id", "left")
         .join(p, "user_id", "left")
         .select(
@@ -333,7 +340,7 @@ def q_ts_gapfill(spark, sf_dir):
     agg = ev.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"), dsum("value", "sv"))
-    return (
+    return client_ntz(
         grid.join(agg, ["h", "event_type"], "left")
         .select(
             F.col("h").alias("win_start"),
@@ -370,7 +377,7 @@ def q_win_time_range(spark, sf_dir):
     # SQL frame spec: the DataFrame rangeBetween API takes raw longs,
     # which for timestamps means remembering the internal microsecond
     # encoding — the INTERVAL literal form is explicit and readable.
-    return ev.selectExpr(
+    return client_ntz(ev.selectExpr(
         "event_id",
         "user_id",
         "date_trunc('second', ts) AS ts_s",
@@ -383,7 +390,7 @@ def q_win_time_range(spark, sf_dir):
             "RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW)",
         )
         + " AS sum_value_10m",
-    )
+    ))
 
 
 @register(
@@ -459,7 +466,7 @@ def q_scd2_intervals(spark, sf_dir):
     )
     w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     nxt = F.lead("ts").over(w)
-    return ev.select(
+    return client_ntz(ev.select(
         "user_id",
         F.col("event_type").alias("state"),
         # registry rule 2: second-truncate returned events timestamps
@@ -467,4 +474,4 @@ def q_scd2_intervals(spark, sf_dir):
         F.date_trunc("second", "ts").alias("valid_from"),
         F.date_trunc("second", nxt).alias("valid_to"),
         nxt.isNull().alias("is_current"),
-    )
+    ))

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.vector import dsum, sql_dsum, sql_ts_valid, ts_valid
+from ..functions.vector import client_ntz, dsum, sql_dsum, sql_ts_valid, ts_valid
 from ..sources.loader import fan_out, load_table
 from .registry import register
 
@@ -204,9 +204,9 @@ def q_join_range(spark, sf_dir):
     joined = ev.join(
         F.broadcast(b), (ev.ts >= b.bstart) & (ev.ts < b.bend)
     )
-    return joined.groupBy("bstart").agg(
+    return client_ntz(joined.groupBy("bstart").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
-    )
+    ))
 
 
 @register(
@@ -255,9 +255,9 @@ def q_join_range_binned(spark, sf_dir):
     joined = ev.join(b_binned, "bin").where(
         (F.col("ts") >= F.col("bstart")) & (F.col("ts") < F.col("bend"))
     )
-    return joined.groupBy("bstart").agg(
+    return client_ntz(joined.groupBy("bstart").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
-    )
+    ))
 
 
 @register(

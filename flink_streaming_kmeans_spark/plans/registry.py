@@ -12,7 +12,12 @@ every query module):
    this removes sum-order drift entirely instead of hoping rounding
    hides it.
 2. Parquet ms/ns timestamps: cast to DATE (orders/lineitem) or
-   second-truncate (events) in any returned column.
+   second-truncate (events) in any returned column — and any returned
+   event-time column crosses the client boundary as TIMESTAMP_NTZ
+   (``client_ntz``, law 47: the instant-typed PySpark collect
+   materializes PROCESS-LOCAL wall time, so a non-UTC driver box
+   would shift every timestamp; NTZ converts through UTC explicitly
+   and matches the oracle's naive TIMESTAMP semantics exactly).
 3. UTC everywhere (session.py).
 4. Every LIMIT / top-k carries a total order with a unique tie-break.
 5. No approx_* in hash queries.

@@ -22,7 +22,7 @@ from datetime import timedelta
 
 from pyspark.sql import functions as F
 
-from ..functions.vector import dsum, sql_dsum, sql_ts_valid, ts_valid
+from ..functions.vector import client_ntz, dsum, sql_dsum, sql_ts_valid, ts_valid
 from ..sources.loader import _tmp_out, load_table, local_df
 from ..sources.replay import (
     append_batch,
@@ -130,4 +130,6 @@ def q_stream_slide(spark, sf_dir):
     # Drop any sentinel-era window (win_start > top); the sentinel's
     # count-1 windows never emit under the final watermark, but the
     # filter makes the exclusion structural, not timing-dependent.
-    return spark.read.parquet(sink_dir).where(F.col("win_start") <= top)
+    return client_ntz(
+        spark.read.parquet(sink_dir).where(F.col("win_start") <= top)
+    )

@@ -44,7 +44,7 @@ import os
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import emb_finite, mround, sql_dsumr, sql_mround, sql_ts_valid, ts_valid
+from ..functions.vector import client_ntz, emb_finite, mround, sql_dsumr, sql_mround, sql_ts_valid, ts_valid
 from ..sources.loader import _tmp_out, load_table, local_df
 from ..sources.replay import (
     append_batch,
@@ -138,11 +138,11 @@ def q_stream_dedup(spark, sf_dir):
         spark,
     )
 
-    return spark.read.parquet(sink_dir).select(
+    return client_ntz(spark.read.parquet(sink_dir).select(
         "event_id",
         F.date_trunc("second", "ts").alias("ts_s"),
         mround("value").alias("value"),
-    )
+    ))
 
 
 @register(
@@ -553,12 +553,12 @@ def q_stream_session(spark, sf_dir):
         .where(F.col("n") > 1)
     )
     assert dups.isEmpty(), "session re-emitted"
-    return res.select(
+    return client_ntz(res.select(
         "user_id",
         # registry rule 2 + lockstep with q_win_session (review r6)
         F.date_trunc("second", "session_start").alias("session_start"),
         "n_events",
-    )
+    ))
 
 
 @register(

@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCK_H60, SPARK_H60
-from ..functions.vector import davg, dsum, dsumr, emb_finite, fin, mround, sql_davg, sql_dsum, sql_emb_finite, sql_fin, sql_mround, sql_ts_valid, ts_valid
+from ..functions.vector import client_ntz, davg, dsum, dsumr, emb_finite, fin, mround, sql_davg, sql_dsum, sql_emb_finite, sql_fin, sql_mround, sql_ts_valid, ts_valid
 from ..sources.loader import _tmp_out, fan_out, load_table, local_df
 from ..sources.replay import (
     batch_input_dir,
@@ -351,7 +351,7 @@ def q_stream_tumble(spark, sf_dir):
     cnt = ev.limit(_b).count()  # bounded probe: min(b, n) is all we use
     if cnt == 0:
         return spark.createDataFrame(
-            [], "win_start timestamp, n_events bigint, sum_value double"
+            [], "win_start timestamp_ntz, n_events bigint, sum_value double"
         )
     n_batches = min(_b, cnt)
     d = _tmp_out("stream_tumble", sf_dir)
@@ -375,7 +375,17 @@ def q_stream_tumble(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             dsumr("value").alias("sum_value"),
         )
-        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+        # timestamp_ntz BEFORE the foreachBatch collect: this query
+        # round-trips win_start through Python driver memory, and the
+        # instant-typed collect boundary materializes PROCESS-LOCAL
+        # wall time (law 47) — the final client_ntz cast could not
+        # undo a shift baked in here (caught by the tz_tokyo gate in
+        # tests/test_env_layout_invariance.py).
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
     )
     run_available_now(
         agg.writeStream.foreachBatch(sink)
@@ -389,8 +399,8 @@ def q_stream_tumble(spark, sf_dir):
         (w, int(n), float(s)) for w, (n, s) in sorted(state.items())
     ]
     out = local_df(
-        spark, rows, "win_start timestamp, n_events bigint, sum_value double"
+        spark, rows, "win_start timestamp_ntz, n_events bigint, sum_value double"
     )
-    return out.select(
+    return client_ntz(out.select(
         "win_start", "n_events", mround("sum_value").alias("sum_value")
-    ).orderBy("win_start")
+    ).orderBy("win_start"))
