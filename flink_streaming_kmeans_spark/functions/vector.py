@@ -148,6 +148,32 @@ def sql_ts_valid(expr: str = "ts") -> str:
     )
 
 
+def isum64(col, name: str) -> Column:
+    """SUM of a raw (untrusted-magnitude) BIGINT column, accumulated
+    through DECIMAL(38,0) — law 48 (r8 bigint-extreme exploration).
+
+    Spark's native long SUM uses a 64-BIT accumulator: under ANSI mode
+    an extreme addend (a corrupt ``n_chars`` near 2^63) crashes MID-
+    AGGREGATION even when the group's true total fits in BIGINT.
+    DuckDB's SUM(BIGINT) accumulates into a 128-bit HUGEINT and only
+    fails at the final BIGINT cast — so the same data crashed one
+    engine and not the other (seed-314159 trial 11: Spark-only
+    ARITHMETIC_OVERFLOW against a clean oracle). Summing through
+    DECIMAL(38,0) reproduces the 128-bit semantics exactly: identical
+    totals when the result fits (integer-exact, order-independent),
+    and the final ``CAST AS BIGINT`` fails loudly on BOTH engines when
+    it doesn't (the law-46 mutual-rejection pattern). Intermediate
+    decimal overflow would need >10^19 near-max addends — unreachable.
+
+    Oracle twin is the form the oracles already use:
+    ``CAST(SUM(x) AS BIGINT)``. Use for sums of STORED integer
+    columns (n_chars, JSON-extracted ints); sums of derived bounded
+    counts (COUNT(*) rollups, token counts of real strings) cannot
+    overflow and stay native."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(col.cast("decimal(38,0)")).cast("bigint").alias(name)
+
+
 def client_ntz(df):
     """Cast every returned TIMESTAMP (instant) column to TIMESTAMP_NTZ
     at the query's CLIENT boundary — law 47 (r8 env sweep).

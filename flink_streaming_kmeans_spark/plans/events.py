@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import (
     client_ntz,
     dsum,
+    isum64,
     sql_dsum,
     sql_dsumw,
     sql_ts_valid,
@@ -101,7 +102,8 @@ def q_json_extract(spark, sf_dir):
     t = F.get_json_object("props", "$.k")
     k = F.when(t.try_cast("long").cast("string") == t, t.try_cast("long"))
     return ev.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"),
+        # law 48: JSON-extracted ints are raw-magnitude — 128-bit sum
+        isum64(k, "sum_k"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

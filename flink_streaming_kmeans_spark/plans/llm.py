@@ -25,7 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCK_ASCII_FOLD, DUCK_TRIM, spark_ascii_fold
-from ..functions.vector import davg, dot64, emb_finite, l2_norm, mround, sql_davg, sql_emb_finite, sql_mround
+from ..functions.vector import davg, dot64, emb_finite, isum64, l2_norm, mround, sql_davg, sql_emb_finite, sql_mround
 from ..sources.loader import fan_out, load_table
 from .registry import register
 
@@ -496,7 +496,8 @@ def q_text_stats(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
+        # law 48 (see functions.vector.isum64): 128-bit accumulator
+        isum64("n_chars", "total_chars"),
         davg(F.size(F.split("text", " ")), "avg_tokens"),
     )
 

@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import DUCK_H60, SPARK_H60
-from ..functions.vector import client_ntz, davg, dsum, dsumr, emb_finite, fin, mround, sql_davg, sql_dsum, sql_emb_finite, sql_fin, sql_mround, sql_ts_valid, ts_valid
+from ..functions.vector import client_ntz, davg, dsum, dsumr, emb_finite, fin, isum64, mround, sql_davg, sql_dsum, sql_emb_finite, sql_fin, sql_mround, sql_ts_valid, ts_valid
 from ..sources.loader import _tmp_out, fan_out, load_table, local_df
 from ..sources.replay import (
     batch_input_dir,
@@ -74,7 +74,9 @@ def q_shard_assign(spark, sf_dir):
     )
     return sharded.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        # law 48: raw-column bigint sum through decimal(38,0) so a
+        # corrupt extreme n_chars fails identically on both engines
+        isum64("n_chars", "total_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
 

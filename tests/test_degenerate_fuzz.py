@@ -318,6 +318,65 @@ def test_levenshtein_unit_law(spark):
     assert s2 == d2
 
 
+def test_bigint_sum_accumulator_law(spark, registry, tmp_path_factory):
+    """Law 48 pinned directly: Spark's native long SUM accumulates in
+    64 bits (ANSI overflow MID-AGGREGATION), DuckDB's in a 128-bit
+    HUGEINT (failing only at the final BIGINT cast) — so an extreme
+    addend whose group total still FITS crashed Spark against a clean
+    oracle (seed-314159 exploration, trial 11). The engine aligns by
+    summing raw integer columns through DECIMAL(38,0)
+    (functions.vector.isum64):
+
+    - in-range totals with an extreme addend AGREE exactly (the
+      pre-fix divergence class);
+    - out-of-range totals fail LOUDLY ON BOTH ENGINES (the law-46
+      mutual-rejection pattern).
+
+    doc_ids 9000000/9000017 share md5-shard 14, so both planted rows
+    aggregate into ONE group of q_shard_assign."""
+    I64MAX = 2**63 - 1
+    queries, oracles = registry
+
+    def fixture(tag, n1, n2):
+        sf = copy_sf_tables(SF_SMOKE, str(tmp_path_factory.mktemp(tag)))
+        con = duckdb.connect()
+        con.sql("SET TimeZone='UTC'")
+        src = f"{sf}/documents.parquet"
+        con.execute(
+            "CREATE TEMP TABLE fz AS SELECT * FROM read_parquet(?) LIMIT 0",
+            [src],
+        )
+        con.executemany(
+            "INSERT INTO fz (doc_id, text, lang, source, n_chars)"
+            " VALUES (?,?,?,?,?)",
+            [(9000000, "x", "en", "web", n1), (9000017, "y", "en", "web", n2)],
+        )
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{src}') UNION ALL BY NAME"
+            f" SELECT * FROM fz) TO '{sf}/_d.parquet' (FORMAT PARQUET)"
+        )
+        con.close()
+        os.replace(f"{sf}/_d.parquet", src)
+        return sf
+
+    # In-range total despite an extreme addend: exact agreement.
+    sf = fixture("law48a", I64MAX, -10_000_000)
+    con = make_duckdb(sf)
+    for q in ("q_shard_assign", "q_text_stats"):
+        r = check_parity(spark, con, q, queries[q], oracles[q], sf)
+        assert r.ok, f"{q}: {r.detail}"
+    con.close()
+
+    # Out-of-range shard total: mutual loud failure.
+    sf = fixture("law48b", I64MAX, I64MAX)
+    with pytest.raises(Exception):
+        queries["q_shard_assign"](spark, sf).collect()
+    con = make_duckdb(sf)
+    with pytest.raises(Exception):
+        con.execute(oracles["q_shard_assign"]).fetchall()
+    con.close()
+
+
 @given(rows=st.lists(_DOC_ROW, min_size=1, max_size=6))
 @_SETTINGS
 def test_fuzz_documents_parity(spark, registry, tmp_path_factory, rows):
