@@ -10,6 +10,12 @@ with the SAME logical content in a different physical shape —
   without ``Math.random``-style nondeterminism);
 - a different row-group geometry (ROW_GROUP_SIZE=4096 vs the source's
   writer default — many small groups instead of one large one);
+- a different compression story: the single-file variant is written
+  zstd with dictionary encoding OFF (the source is snappy+dict), and
+  the multi-file variant cycles codecs PER SHARD (snappy, zstd, gzip,
+  uncompressed) with dictionary encoding alternating — the
+  mixed-codec directory a staged compaction or a codec migration
+  leaves behind;
 - optionally a multi-file layout: ``{t}.parquet`` becomes a DIRECTORY
   of K part files (contiguous slices of the permuted table, so every
   shard is a uniform sample), the shape a 1000-executor writer or a
@@ -63,7 +69,13 @@ def build(src: str, dest: str, files: int = 1) -> None:
         tab = tab.take(pa.array(perm))
         out = os.path.join(dest, f"{t}.parquet")
         if files <= 1:
-            pq.write_table(tab, out, row_group_size=ROW_GROUP_SIZE)
+            pq.write_table(
+                tab,
+                out,
+                row_group_size=ROW_GROUP_SIZE,
+                compression="zstd",
+                use_dictionary=False,
+            )
             continue
         # Directory layout: contiguous slices AFTER the permutation,
         # so each part file is a uniform random sample of the table
@@ -71,6 +83,7 @@ def build(src: str, dest: str, files: int = 1) -> None:
         # file read look statistically plausible instead of failing
         # the hash loudly).
         os.makedirs(out, exist_ok=True)
+        codecs = ["snappy", "zstd", "gzip", "none"]
         bounds = np.linspace(0, n, files + 1).astype(int)
         for i in range(files):
             shard = tab.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
@@ -78,6 +91,8 @@ def build(src: str, dest: str, files: int = 1) -> None:
                 shard,
                 os.path.join(out, f"part-{i:03d}.parquet"),
                 row_group_size=ROW_GROUP_SIZE,
+                compression=codecs[i % len(codecs)],
+                use_dictionary=(i % 2 == 0),
             )
 
 
