@@ -54,6 +54,11 @@ from flink_streaming_kmeans_spark.session import get_spark  # noqa: E402
 REGIMES: dict[str, dict] = {
     "tz_newyork": {"tz": "America/New_York", "locale": None},
     "tz_tokyo": {"tz": "Asia/Tokyo", "locale": None},
+    # Fractional offsets: +5:30 and +12:45 — any code path assuming
+    # whole-hour zone offsets (window alignment, hour bucketing)
+    # survives the whole-hour regimes above but not these.
+    "tz_kolkata": {"tz": "Asia/Kolkata", "locale": None},
+    "tz_chatham": {"tz": "Pacific/Chatham", "locale": None},
     "locale_turkish": {"tz": None, "locale": ("tr", "TR")},
     "tz_locale_cross": {"tz": "America/New_York", "locale": ("tr", "TR")},
 }
