@@ -859,6 +859,97 @@ def test_complete_mode_agg_recovers_from_checkpoint(spark, tmp_path):
     assert sum(partial.values()) < sum(batch.values())
 
 
+def test_filesink_checkpoint_resume_equals_single_run(spark, tmp_path):
+    """Checkpoint-resume invariance for the PRODUCTION sink path:
+    append-mode watermarked window aggregate writing a parquet FILE
+    sink (whose exactly-once story is the _spark_metadata transaction
+    log, not an idempotent in-memory table — the surface
+    test_complete_mode_agg_recovers_from_checkpoint doesn't touch).
+
+    The same 3-batch event-time-ordered input is delivered (a) in one
+    availableNow run and (b) as batch 0 alone, query terminates, then
+    batches 1-2 appended and a SECOND availableNow run restarted from
+    the same checkpoint + sink. Both runs see the identical trigger
+    sequence (maxFilesPerTrigger=1, monotone mtimes), so the
+    watermark trajectory, the state-store recovery, and the sink log
+    must land on bitwise-equal sink contents — the nightly
+    incremental-restart contract every availableNow production job
+    relies on at 100 TB."""
+    import os
+
+    from flink_streaming_kmeans_spark.functions.vector import ts_valid
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+    from flink_streaming_kmeans_spark.sources.replay import (
+        batch_input_dir,
+        run_available_now,
+        time_batch_col,
+    )
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .where(ts_valid("ts"))
+        .select("event_id", "ts", "value")
+    )
+
+    def drive(tag, stages):
+        """stages: list of batch-count prefixes to deliver per run
+        (e.g. [3] = single shot; [1, 3] = deliver 1, run, top up to
+        3, run again on the same checkpoint)."""
+        d = str(tmp_path / tag)
+        os.makedirs(d)
+        full = batch_input_dir(
+            time_batch_col(ev, 3), d, range(3)
+        )  # batch-0000{0,1,2}.parquet, monotone mtimes
+        held = {}
+        for f in sorted(os.listdir(full)):
+            held[f] = os.path.join(full, f)
+        sink = os.path.join(d, "sink")
+        ckpt = os.path.join(d, "ckpt")
+        delivered = 0
+        for upto in stages:
+            # hide the not-yet-delivered files, preserving mtimes
+            for i, f in enumerate(sorted(held)):
+                p = held[f]
+                hidden = p + ".hold"
+                if i >= upto and os.path.exists(p):
+                    os.rename(p, hidden)
+                elif i < upto and os.path.exists(hidden):
+                    os.rename(hidden, p)
+            agg = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(full)
+                .withWatermark("ts", "2 hours")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(
+                    F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+                    "n_events",
+                )
+            )
+            run_available_now(
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt),
+                f"{tag}_upto{upto}",
+                spark,
+            )
+            delivered = upto
+        assert delivered == 3
+        return sorted(
+            (r.win_start, r.n_events)
+            for r in spark.read.parquet(sink).collect()
+        )
+
+    single = drive("single", [3])
+    resumed = drive("resumed", [1, 3])
+    assert resumed == single, (len(resumed), len(single))
+    # and the windows the single run emitted are genuinely non-empty
+    # (an all-withheld-by-watermark run would make the equality vacuous)
+    assert len(single) > 0
+
+
 def test_stream_cep_nfa_equals_replace_count_on_random_sequences(
     spark, registry, tmp_path
 ):
