@@ -113,6 +113,53 @@ def perm_dir(tmp_path_factory):
     shutil.rmtree(d, ignore_errors=True)
 
 
+# One pair per shared-session-state mechanism (temp views, streaming
+# sink/checkpoint dirs, lakehouse builds, Arrow UDF exchange) — the
+# full 163-query 4-thread sweep is the per-round CLI run
+# (tools/concurrency_sweep.py) recorded in SCALE.md.
+CONCURRENCY_PAIRS = [
+    ("q_sub_exists", "q_cte_reuse"),  # both register md5-tagged views
+    ("q_stream_tumble", "q_stream_tumble"),  # self-pair: drive infra
+    ("q_lake_compact", "q_merge_cow"),  # two lakehouse builds
+    ("q_udaf_pandas", "q_udf_pandas"),  # concurrent Arrow exchanges
+]
+
+
+@pytest.mark.parametrize("qa,qb", CONCURRENCY_PAIRS)
+def test_concurrent_execution_invariance(spark, registry, duck_smoke, qa, qb):
+    """Two queries submitted from two driver threads on the one
+    session must BOTH still hash-match their oracles — shared-session
+    state (view names, sink dirs, scoped confs) must not bleed
+    between concurrent callers (multi-tenant driver contract)."""
+    import threading
+
+    queries, oracles = registry
+    results = {}
+
+    def run(name, tag):
+        try:
+            sdf = queries[name](spark, SF_SMOKE)
+            results[tag] = _canon_rows(
+                list(sdf.columns), [tuple(r) for r in sdf.collect()]
+            )[:3]
+        except Exception as e:  # surface in the main thread's assert
+            results[tag] = ("ERROR", type(e).__name__, str(e)[:200])
+
+    ts = [
+        threading.Thread(target=run, args=(q, f"t{i}"))
+        for i, q in enumerate((qa, qb))
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    for tag, name in (("t0", qa), ("t1", qb)):
+        res = duck_smoke.execute(oracles[name])
+        cols = [d[0] for d in res.description]
+        want = _canon_rows(cols, res.fetchall())[:3]
+        assert results[tag] == want, (name, tag, results[tag][:2])
+
+
 @pytest.mark.parametrize("query", LAYOUT_CASES)
 def test_layout_invariance(spark, registry, perm_dir, query):
     queries, _ = registry
