@@ -59,6 +59,10 @@ CONFIG_CASES = [
     ("sort_agg", "q_agg_collect"),  # collect_list via SortAggregate
     ("sort_agg", "q_agg_string_agg"),
     ("sort_agg", "q_agg_mode"),
+    ("spill_paths", "q_win_running"),  # window buffer spill impl
+    ("spill_paths", "q_win_session"),  # session-window buffer spill
+    ("spill_paths", "q_agg_collect"),  # obj-hash agg sort fallback mid-stream
+    ("spill_paths", "q_win_range_frame"),  # bounded frames over spilled buffer
 ]
 
 

@@ -97,6 +97,21 @@ CONFIG_SETS: dict[str, dict[str, str]] = {
     "sort_agg": {
         "spark.sql.execution.useObjectHashAggregateExec": "false",
     },
+    # Memory-pressure code paths: tiny in-memory thresholds push
+    # window and session-window buffers into their spillable
+    # implementations, and a fallbackThreshold of 2 forces
+    # ObjectHashAggregate to switch to sort-based aggregation after 2
+    # keys MID-STREAM — the exact executor paths a loaded 100 TB
+    # cluster takes under pressure. (session.py deliberately RAISES
+    # the window spill threshold for throughput — this set proves the
+    # spill path is a PERF choice, not a correctness dependency.)
+    "spill_paths": {
+        "spark.sql.windowExec.buffer.in.memory.threshold": "4",
+        "spark.sql.windowExec.buffer.spill.threshold": "64",
+        "spark.sql.sessionWindow.buffer.in.memory.threshold": "4",
+        "spark.sql.sessionWindow.buffer.spill.threshold": "64",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold": "2",
+    },
 }
 
 
