@@ -209,3 +209,49 @@ def test_csv_null_vs_empty_law(spark):
     }
     assert back[1] is None and back[2] == "" and back[3] == "x"
     assert back[4] is None  # the collision: literal '\\N' became NULL
+
+
+def test_events_ts_physical_form_invariance(spark, registry, tmp_path):
+    """Regeneration resilience pinned: driver testdata has shipped
+    events.ts in THREE parquet physical forms across generations —
+    INT64 TIMESTAMP(NANOS) (Spark: bigint under nanosAsLong, loader
+    DIV-1000 fixup), timestamp[us] isAdjustedToUTC=true (Spark: ltz,
+    no fixup), and timestamp[us] isAdjustedToUTC=false (Spark: ntz,
+    loader casts to ltz). loader.load_table normalizes all three to
+    TIMESTAMP µs; a representative event-time query must produce
+    BITWISE-identical results on identical logical content in each
+    form, so the next regeneration cannot silently shift semantics
+    (the sweep genre's verify-skill gotcha, now a gate)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from oracle import _canon_rows, copy_sf_tables
+
+    queries, _ = registry
+    src_tab = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    i = src_tab.schema.get_field_index("ts")
+    base_type = src_tab.schema.field(i).type
+    variants = {
+        "ns": pa.timestamp("ns"),
+        "us_ltz": pa.timestamp("us", tz="UTC"),
+        "us_ntz": pa.timestamp("us"),
+    }
+    hashes = {}
+    for tag, ts_type in variants.items():
+        d = str(tmp_path / tag)
+        sf = copy_sf_tables(SF_SMOKE, d)
+        col = src_tab.column("ts")
+        cast = col.cast(ts_type) if ts_type != base_type else col
+        tab = src_tab.set_column(
+            i, pa.field("ts", ts_type), cast
+        )
+        pq.write_table(tab, os.path.join(sf, "events.parquet"))
+        sdf = queries["q_win_tumble"](spark, sf)
+        hashes[tag] = _canon_rows(
+            list(sdf.columns), [tuple(r) for r in sdf.collect()]
+        )[:3]
+        shutil.rmtree(d, ignore_errors=True)
+    assert hashes["ns"] == hashes["us_ltz"] == hashes["us_ntz"], hashes
+    assert hashes["ns"][0] > 0  # non-vacuous
