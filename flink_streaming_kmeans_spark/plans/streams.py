@@ -117,12 +117,28 @@ def q_stream_dedup(spark, sf_dir):
     d = _tmp_out("stream_dedup", sf_dir)
     in_dir = _write_time_batches(ev.unionAll(dups), d, cnt)
 
-    deduped = (
+    # Identity participation (law 49, r8 streaming fuzz arm): a row
+    # with NULL event_id has no identity and cannot participate in
+    # identity-keyed deduplication — dropDuplicates treats NULL keys
+    # as EQUAL, so two distinct unknown-identity events collapsed to
+    # one on Spark while the oracle (rightly) kept both. NULL-id rows
+    # bypass the dedup state and pass through with multiplicity
+    # preserved, the same participation shape as law 45's NULL
+    # histogram bins and the NULL-entity-id dedup contract. Non-NULL
+    # event_id remains the source PRIMARY KEY: the drive's injected
+    # duplicates are bit-exact copies, and an id-collision with
+    # DISTINCT payloads is upstream corruption whose surviving copy
+    # is arrival-order/watermark-dependent — outside the hash domain.
+    stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(in_dir)
         .withWatermark("ts", "2 hours")
+    )
+    deduped = (
+        stream.where(F.col("event_id").isNotNull())
         .dropDuplicatesWithinWatermark(["event_id"])
+        .unionByName(stream.where(F.col("event_id").isNull()))
     )
     # Engine-side sink (r5 verdict task 2): append-mode parquet file
     # sink — the driver holds nothing data-proportional. The file sink
@@ -538,11 +554,23 @@ def q_stream_session(spark, sf_dir):
         spark,
     )
 
-    # Exclude only the sentinel user (-1): `>= 0` alone also dropped
-    # NULL-user sessions, which session_window DOES emit and the
-    # oracle keeps (NULL-events sweep, r6).
-    res = spark.read.parquet(sink_dir).where(
-        F.col("user_id").isNull() | (F.col("user_id") >= 0)
+    # Exclude the SENTINEL'S SESSION structurally, by time, not by
+    # user value: every real session starts at a real event ts <= the
+    # source max, while the sentinel's (never-finalized, but belt-and-
+    # braces) session starts at top+3d. The old `user_id >= 0` filter
+    # excluded EVERY negative user, not just the -1 sentinel — a
+    # planted user_id of -2^63 lost its session against a clean
+    # oracle (r8 streaming fuzz arm, seed 7297), and a real user -1
+    # was an in-band collision by construction. The bound is an
+    # IN-PLAN broadcast of max(ts), not the collected `top` literal:
+    # a Python-datetime literal would round-trip through driver
+    # memory and shift on a non-UTC host (law 47).
+    m = ev.agg(F.max("ts").alias("m_ts"))
+    res = (
+        spark.read.parquet(sink_dir)
+        .crossJoin(F.broadcast(m))
+        .where(F.col("session_start") <= F.col("m_ts"))
+        .drop("m_ts")
     )
     # Append mode emits each finalized session exactly once; a
     # re-emission would surface as a duplicate (user, session_start)
@@ -917,13 +945,15 @@ def q_stream_join_left(spark, sf_dir):
         )
         .withWatermark("c_ts", "2 hours")
     )
+    # p_ts rides along to the sink solely so the sentinel exclusion
+    # below can be structural (by time) — it is dropped on read-back.
     joined = p.join(
         c,
         F.expr(
             "user_id = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
         ),
         "leftOuter",
-    ).select("user_id", "p_id", "c_id")
+    ).select("user_id", "p_id", "c_id", "p_ts")
 
     # Engine-side sink (r5 verdict task 2): append-mode parquet file
     # sink; the sentinel filter runs in Spark over the sink read-back,
@@ -938,12 +968,20 @@ def q_stream_join_left(spark, sf_dir):
         spark,
         partitions=2,
     )
-    # Exclude only the sentinel user (-1): `>= 0` alone also dropped
-    # NULL-user purchases, which the batch LEFT join keeps as unmatched
-    # left rows (r7 ADVICE find — same fix as q_stream_session's r6
-    # NULL-events sweep find).
-    return spark.read.parquet(sink_dir).where(
-        F.col("user_id").isNull() | (F.col("user_id") >= 0)
+    # Exclude the SENTINEL'S ROWS structurally, by time: real
+    # purchases have p_ts <= the source max; the sentinel purchase
+    # sits at top+3d. The old `user_id >= 0` filter excluded every
+    # negative user (not just the -1 sentinel) and collided with a
+    # real user -1 (r8 streaming fuzz arm — same class as the
+    # q_stream_session fix; the r6/r7 NULL-user lessons carry over
+    # unchanged, NULL-user purchases stay). In-plan broadcast bound,
+    # not the collected `top` literal (law 47).
+    m = ev.agg(F.max("ts").alias("m_ts"))
+    return (
+        spark.read.parquet(sink_dir)
+        .crossJoin(F.broadcast(m))
+        .where(F.col("p_ts") <= F.col("m_ts"))
+        .drop("p_ts", "m_ts")
     )
 
 

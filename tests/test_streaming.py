@@ -1099,3 +1099,70 @@ def test_streaming_kmeans_duplicate_across_partitions(spark):
     assert int(skm.n.sum()) == 4
     assert (skm.n >= 0).all()
     assert skm.n.tolist() == [1, 3]
+
+
+def test_stream_sentinel_and_identity_laws(spark, registry, tmp_path):
+    """r8 streaming-fuzz pins, two classes one fixture:
+
+    1. Sentinel exclusion is STRUCTURAL (by time), not by user value:
+       a real user at -2^63 and a real user -1 (the old in-band
+       sentinel value) both keep their sessions / join rows — the
+       `user_id >= 0` filter that swallowed every negative user is
+       gone from q_stream_session and q_stream_join_left.
+    2. Law 49 — identity participation: rows with NULL event_id have
+       no identity and BYPASS identity-keyed dedup (multiplicity
+       preserved), so two distinct unknown-identity events both
+       survive q_stream_dedup, matching the oracle.
+    """
+    import duckdb
+    from datetime import datetime
+
+    from oracle import check_parity, copy_sf_tables, make_duckdb
+
+    queries, oracles = registry
+    t0 = datetime(2024, 1, 15, 12, 0, 0)
+    rows = [
+        # negative-user session (old filter swallowed it)
+        (911001, t0, -(2**63), "view", 1.0, None),
+        # real user -1: a purchase with a click 10 min earlier -> one
+        # join_left row AND one session of 2 events
+        (911002, datetime(2024, 1, 15, 12, 5), -1, "click", 2.0, None),
+        (911003, datetime(2024, 1, 15, 12, 15), -1, "purchase", 3.0, None),
+        # two identity-less rows, distinct payloads (law 49)
+        (None, t0, 7, "view", 4.0, None),
+        (None, t0, 8, "view", 5.0, None),
+    ]
+    sf = copy_sf_tables(SF_SMOKE, str(tmp_path / "pin"))
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE TEMP TABLE fz AS SELECT * FROM read_parquet(?) LIMIT 0",
+        [f"{sf}/events.parquet"],
+    )
+    con.executemany(
+        "INSERT INTO fz (event_id, ts, user_id, event_type, value, props)"
+        " VALUES (?,?,?,?,?,?)",
+        rows,
+    )
+    con.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf}/events.parquet')"
+        f" UNION ALL BY NAME SELECT * FROM fz)"
+        f" TO '{sf}/_e.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    os.replace(f"{sf}/_e.parquet", f"{sf}/events.parquet")
+
+    oc = make_duckdb(sf)
+    for q in ("q_stream_session", "q_stream_join_left", "q_stream_dedup"):
+        r = check_parity(spark, oc, q, queries[q], oracles[q], sf)
+        assert r.ok, f"{q}: {r.detail}"
+    oc.close()
+
+    # non-vacuity: the planted rows actually reach the outputs
+    sess = queries["q_stream_session"](spark, sf)
+    users = {r.user_id for r in sess.select("user_id").distinct().collect()}
+    assert -(2**63) in users and -1 in users
+    jl = queries["q_stream_join_left"](spark, sf)
+    assert jl.where(F.col("user_id") == -1).count() >= 1
+    dd = queries["q_stream_dedup"](spark, sf)
+    assert dd.where(F.col("event_id").isNull()).count() == 2

@@ -63,6 +63,11 @@ DOCUMENTED = {
     ("q_join_cross", "CARTESIAN"): "5x5 dim cross join",
     ("q_join_cross", "BNLJ"): "5x5 dim cross join (broadcastable side)",
     ("q_dedup_embed", "BNLJ"): "declared brute-force baseline twin of the ANN paths",
+    # Structural sentinel exclusion (r8 streaming fuzz fix): the sink
+    # read-back attaches a broadcast 1-row max(ts) frame and keeps
+    # rows at or before it — bounded broadcast, not a data join.
+    ("q_stream_session", "BNLJ"): "broadcast 1-row max-ts sentinel bound",
+    ("q_stream_join_left", "BNLJ"): "broadcast 1-row max-ts sentinel bound",
     ("q_udf_python", "ROW_PYTHON"): "row-at-a-time Python UDF showcase (§2.11)",
     # bounded-broadcast scalar/probe attaches (linear)
     ("q_cte_reuse", "BNLJ"): "scalar aggregate attach (1-row broadcast)",
