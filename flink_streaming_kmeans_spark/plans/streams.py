@@ -99,6 +99,14 @@ def q_stream_dedup(spark, sf_dir):
     Scale: dedup state is one entry per event_id inside the watermark
     horizon; the watermark evicts state continuously — the standard
     exactly-once ingestion shape for at-least-once sources at 100 TB.
+    The law-49 NULL-identity branch is a second streaming scan of the
+    source (union of dedup(not-null) + passthrough(null)) — measured
+    +1.4 s on the sf0.1 drive. At 100 TB you would not pay a double
+    scan for a corrupt-row trickle: route the split INSIDE one
+    foreachBatch (batch_df persisted once, two branches) or drop
+    identity-less rows at ingest with a dead-letter sink; the
+    two-branch readStream form here keeps the drive declarative and
+    the semantics oracle-checkable.
     """
     # ts_valid: event-time domain gate (r6 extreme-timestamp sweep)
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
