@@ -124,6 +124,20 @@ def _stage_and_collect(
     Returns manifest file entries (with per-file footer stats for
     ``stats_cols``). The move is a same-filesystem rename (no copy);
     on an object store this step is a multipart-commit."""
+    # Law 50 (r8 grand fuzz arm): a Hive-layout partition PATH cannot
+    # carry the NULL-vs-''-distinction — Spark writes '' as
+    # __HIVE_DEFAULT_PARTITION__ and partition discovery reads it back
+    # NULL (probed; Hive and Delta share the layout and the
+    # collapse). The lake contract therefore normalizes empty-string
+    # partition keys to NULL AT THE WRITE BOUNDARY, explicitly, and
+    # the family's oracles state the same NULLIF — a declared mutual
+    # law (the partition-column twin of law 44's CSV carve-out)
+    # instead of one engine inheriting the collapse silently from the
+    # physical layout.
+    from pyspark.sql.types import StringType
+
+    if isinstance(df.schema[pcol].dataType, StringType):
+        df = df.withColumn(pcol, F.nullif(F.col(pcol), F.lit("")))
     stage = os.path.join(root, f"_stage-{uuid.uuid4().hex}")
     df.write.partitionBy(pcol).mode("overwrite").parquet(stage)
     entries: list[dict] = []

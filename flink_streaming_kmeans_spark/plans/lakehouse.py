@@ -167,7 +167,11 @@ _SQL_SRC = f"""
         FULL OUTER JOIN (SELECT *, TRUE AS in_s FROM src) s
           ON t.c_custkey = s.custkey
         UNION ALL
-        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE), c_mktsegment
+        -- law 50: the lake write boundary normalizes '' partition
+        -- keys to NULL (Hive-layout paths cannot carry the
+        -- distinction) — the oracle states the same NULLIF
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE),
+               NULLIF(c_mktsegment, '')
         FROM customer
         WHERE c_mktsegment NOT IN {_SEGMENTS!r} OR c_mktsegment IS NULL
     )
@@ -201,7 +205,8 @@ def q_merge_cow(spark, sf_dir):
     oracle=f"""
     WITH {_SQL_SRC},
     v0 AS (
-        SELECT c_mktsegment AS segment,
+        -- law 50 as in _SQL_SRC: v0 emulates a lake SNAPSHOT read
+        SELECT NULLIF(c_mktsegment, '') AS segment,
                CAST(COUNT(*) AS BIGINT) AS n_v0,
                {sql_mround(sql_dsumr('c_acctbal'))}
                    AS bal_v0
@@ -333,7 +338,8 @@ def _merge_fn_delete(target, src):
       ON t.c_custkey = s.custkey
     WHERE NOT COALESCE(t.in_t AND s.in_s AND s.spend < {_DELETE_BELOW}, FALSE)
     UNION ALL
-    SELECT c_custkey, c_name, {sql_mround('CAST(c_acctbal AS DOUBLE)')}, c_mktsegment
+    SELECT c_custkey, c_name, {sql_mround('CAST(c_acctbal AS DOUBLE)')},
+           NULLIF(c_mktsegment, '')
     FROM customer
     WHERE c_mktsegment NOT IN {_SEGMENTS!r} OR c_mktsegment IS NULL
     """,

@@ -289,7 +289,9 @@ def q_stream_join(spark, sf_dir):
         FULL OUTER JOIN (SELECT *, TRUE AS in_s FROM src) s
           ON t.c_custkey = s.custkey
         UNION ALL
-        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE), c_mktsegment
+        -- law 50: lake write boundary normalizes '' partition keys
+        SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE),
+               NULLIF(c_mktsegment, '')
         FROM customer
         WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE')
            OR c_mktsegment IS NULL

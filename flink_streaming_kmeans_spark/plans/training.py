@@ -365,7 +365,13 @@ def q_stream_tumble(spark, sf_dir):
 
     def sink(batch_df, _batch_id):
         for r in batch_df.collect():
-            state[r.win_start] = (r.n_events, float(r.sum_value))
+            # sum_value is NULL for a window whose every event carries
+            # a NULL value (SUM ignores NULLs, empty set -> NULL on
+            # both engines); float(None) crashed the foreachBatch
+            # Python fn Spark-side against a clean oracle (r8 grand
+            # fuzz arm) — NULL must survive the round trip.
+            s = r.sum_value
+            state[r.win_start] = (r.n_events, None if s is None else float(s))
 
     agg = (
         spark.readStream.schema(ev.schema)
@@ -398,7 +404,8 @@ def q_stream_tumble(spark, sf_dir):
     )
 
     rows = [
-        (w, int(n), float(s)) for w, (n, s) in sorted(state.items())
+        (w, int(n), None if s is None else float(s))
+        for w, (n, s) in sorted(state.items())
     ]
     out = local_df(
         spark, rows, "win_start timestamp_ntz, n_events bigint, sum_value double"

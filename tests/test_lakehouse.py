@@ -779,3 +779,111 @@ def test_merge_cow_null_partition(spark, tmp_path):
         3: (30.0, "Y"),
         4: (44.0, None),
     }, got
+
+
+def test_empty_string_partition_key_law(spark, registry, tmp_path):
+    """Law 50: a Hive-layout partition path cannot carry the
+    NULL-vs-'' distinction (Spark writes '' as
+    __HIVE_DEFAULT_PARTITION__ and reads it back NULL; Hive and Delta
+    share the layout and the collapse), so the lake write boundary
+    normalizes empty-string partition keys to NULL EXPLICITLY
+    (operators/lakehouse._stage_and_collect) and the family's oracles
+    state the same NULLIF — a declared mutual contract, the
+    partition-column twin of law 44's CSV carve-out. Pin: a customer
+    with c_mktsegment = '' stays hash-exact through the whole
+    lakehouse family, lands in the NULL-segment group, and its name
+    survives verbatim (only the PARTITION KEY is normalized — data
+    columns keep '')."""
+    import duckdb
+
+    from oracle import check_parity, copy_sf_tables, make_duckdb
+    from pyspark.sql import functions as F
+
+    queries, oracles = registry
+    sf = copy_sf_tables(SF_SMOKE, str(tmp_path / "law50"))
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE TEMP TABLE fc AS SELECT * FROM read_parquet(?) LIMIT 0",
+        [f"{sf}/customer.parquet"],
+    )
+    con.executemany(
+        "INSERT INTO fc (c_custkey, c_name, c_nationkey, c_acctbal,"
+        " c_mktsegment) VALUES (?,?,?,?,?)",
+        [
+            (1900001, "emptyseg", 1, 10.5, ""),
+            (1900002, "nullseg", 1, 11.5, None),
+        ],
+    )
+    con.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf}/customer.parquet')"
+        f" UNION ALL BY NAME SELECT * FROM fc)"
+        f" TO '{sf}/_c.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    os.replace(f"{sf}/_c.parquet", f"{sf}/customer.parquet")
+
+    oc = make_duckdb(sf)
+    for q in (
+        "q_merge_cow",
+        "q_lake_time_travel",
+        "q_lake_delete",
+        "q_lake_compact",
+        "q_stream_upsert",
+    ):
+        r = check_parity(spark, oc, q, queries[q], oracles[q], sf)
+        assert r.ok, f"{q}: {r.detail}"
+    oc.close()
+
+    # non-vacuity: the ''-segment customer is present, in the NULL
+    # group, with its non-partition columns verbatim
+    out = queries["q_merge_cow"](spark, sf)
+    row = out.where(F.col("custkey") == 1900001).collect()
+    assert len(row) == 1 and row[0].segment is None
+    assert row[0].name == "emptyseg"
+
+
+def test_stream_tumble_all_null_value_window(spark, registry, tmp_path):
+    """A window whose every event carries a NULL value has SUM NULL on
+    both engines; the q_stream_tumble foreachBatch sink must carry the
+    NULL through its Python round trip (float(None) crashed Spark-side
+    against a clean oracle — r8 grand fuzz arm)."""
+    import duckdb
+    from datetime import datetime
+
+    from oracle import check_parity, copy_sf_tables, make_duckdb
+    from pyspark.sql import functions as F
+
+    queries, oracles = registry
+    sf = copy_sf_tables(SF_SMOKE, str(tmp_path / "nullwin"))
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE TEMP TABLE fe AS SELECT * FROM read_parquet(?) LIMIT 0",
+        [f"{sf}/events.parquet"],
+    )
+    con.executemany(
+        "INSERT INTO fe (event_id, ts, user_id, event_type, value, props)"
+        " VALUES (?,?,?,?,?,?)",
+        [(1955001, datetime(2024, 3, 1, 3, 30), 7, "view", None, None)],
+    )
+    con.sql(
+        f"COPY (SELECT * FROM read_parquet('{sf}/events.parquet')"
+        f" UNION ALL BY NAME SELECT * FROM fe)"
+        f" TO '{sf}/_e.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    os.replace(f"{sf}/_e.parquet", f"{sf}/events.parquet")
+
+    r = check_parity(
+        spark,
+        make_duckdb(sf),
+        "q_stream_tumble",
+        queries["q_stream_tumble"],
+        oracles["q_stream_tumble"],
+        sf,
+    )
+    assert r.ok, r.detail
+    out = queries["q_stream_tumble"](spark, sf)
+    nulls = out.where(F.col("sum_value").isNull()).collect()
+    assert len(nulls) == 1 and nulls[0].n_events == 1
