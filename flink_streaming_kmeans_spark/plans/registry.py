@@ -58,20 +58,23 @@ def register(name: str, oracle: str | None = None):
 # explicitly ordered this rotation; this list is the CANONICAL rotation
 # plan — module docstrings defer here).
 #
-# Round-8 window (executes the round-7 verdict task 1 — the r8 plan
-# exactly as written there and in the r7 registry comment):
-#   llm(13, re-confirming the 8 that led the r7 window) + textops(16)
-#   + training(6) + quality(2) + scans(6) + filters(3)
-#   + joins(first 4: inner/broadcast/left/full) = 50 exactly.
-#   This gives the textops/training/quality/scans/filters modules —
-#   last driver-recorded in rounds 3-5, i.e. on PREVIOUS-generation
-#   testdata — their first driver rows on current-generation data.
+# Round-9 window (executes the round-8 verdict task 1 — the r9 plan
+# exactly as written there and in the r8 registry comment):
+#   joins(13, re-confirming the 4 — inner/broadcast/left/full — that
+#   closed the r8 window) + aggs(14) + approx_cd(1 — rejoins its aggs
+#   window-mates; the module stays separate, just ordered adjacent)
+#   + setops(4) + oldest re-confirms: sketches(4) + coverage(10)
+#   + corpus(first 4) = 50 exactly. This refreshes the r5-era driver
+#   rows (joins/aggs/setops) and the oldest r6 rows (sketches/
+#   coverage/corpus head) so after this window every query's newest
+#   driver row is r6+ and the ≤2-generation rotation law holds.
 #
-# Round-9 plan (verdict task 7, prepped now): joins(13, re-confirming
-#   the 4 that close the r8 window) + aggs(14) + approx_cd(1 — rejoins
-#   its aggs window-mates; the module stays separate, just ordered
-#   adjacent) + setops(4) + oldest re-confirms: sketches(4) +
-#   coverage(10) + corpus(first 4) = 50 exactly.
+# Round-10 plan (prepped now, oldest-first per the rotation law):
+#   corpus(15, re-confirming the 4 that close the r9 window) +
+#   streams(10) + events(9) + udf(4) + streaming_ext(1) +
+#   lakehouse(5) + windows(first 6) = 50 exactly — refreshing the
+#   r6-era corpus-tail/streams/events rows and the r7-era
+#   udf/streaming_ext/lakehouse/windows-head rows.
 #
 # ROTATION LAW (steady state from r9 on): every registered query gets
 #   a driver-recorded hash row at most TWO testdata generations old.
@@ -89,7 +92,12 @@ def register(name: str, oracle: str | None = None):
 #   lakehouse(5) + windows(9) + relational(9) + scalars(9) + ml(4) +
 #   approx_cd(1, fronted per r6 verdict) + llm(first 8), 48/48 hash
 #   in CORRECTNESS_r07.json — with which EVERY declared hash query
-#   has at least one driver-recorded green row (163/163 cumulative).
+#   has at least one driver-recorded green row (163/163 cumulative);
+#   r8 window = llm(13) + textops(16) + training(6) + quality(2) +
+#   scans(6) + filters(3) + joins(first 4), 50/50 hash with zero err
+#   in CORRECTNESS_r08.json. The rotation law above is pinned
+#   mechanically in tests/test_rotation_law.py against the committed
+#   CORRECTNESS_r0*.json set.
 #
 # NEVER add queries to modules inside the current window prefix
 # mid-round (it would shift the window and orphan tail queries); new
@@ -98,15 +106,9 @@ def register(name: str, oracle: str | None = None):
 # semantics depend on it (verified by the full preflight sweep each
 # round).
 _MODULES = [
-    "llm",
-    "textops",
-    "training",
-    "quality",
-    "scans",
-    "filters",
     "joins",
     "aggs",
-    "approx_cd",  # ordered with aggs again per the r9 plan above.
+    "approx_cd",  # ordered with aggs per the r9 window above.
     "setops",
     "sketches",
     "coverage",
@@ -120,6 +122,12 @@ _MODULES = [
     "relational",
     "scalars",
     "ml",
+    "llm",
+    "textops",
+    "training",
+    "quality",
+    "scans",
+    "filters",
 ]
 
 

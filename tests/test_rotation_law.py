@@ -1,0 +1,153 @@
+"""The rotation law, asserted mechanically (round-8 verdict task 3).
+
+plans/registry.py states the law in prose: every registered hash
+query gets a driver-recorded hash-green row at most two testdata
+generations old, maintained by fronting the oldest-evidence modules
+into each round's 50-query driver window. Prose laws drift; this
+test parses the committed CORRECTNESS_r0*.json set and the live
+registration order and fails when a future window would let any
+query's evidence age out:
+
+1. CUMULATIVE — every hash query is hash-green in at least one
+   committed driver record (163/163, first reached at r7-close).
+2. FRESHNESS — every hash query's NEWEST green row sits within the
+   last ``WINDOW_SPAN`` non-empty driver records. Four 50-query
+   windows with re-confirm overlap is one full sweep of the 163-query
+   hash registry, i.e. two testdata generations (the driver
+   regenerates testdata roughly every other round).
+3. IMMINENT REFRESH — every query whose newest green row is in the
+   OLDEST of those ``WINDOW_SPAN`` records appears in the CURRENT
+   front-50 registration window, so the very next driver run renews
+   it. This is the check that goes red the moment a round's module
+   reordering drifts from oldest-first.
+4. NEW-QUERY FRONTING — a hash query with NO driver evidence at all
+   must be inside the current front-50 (rotation law clause (a)).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+
+REPO = "/root/repo"
+WINDOW_SIZE = 50  # the driver records the first 50 registration-ordered queries
+WINDOW_SPAN = 4  # windows per full rotation sweep ≈ two testdata generations
+
+
+def _canonical_order():
+    """Registration order as a FRESH process (the driver) sees it.
+
+    Inside pytest the global QUERIES dict's insertion order is polluted
+    by whichever test module imported a plans module first, so the
+    driver-visible order is recomputed here from first principles:
+    _MODULES order, then in-file definition order (co_firstlineno).
+    """
+    import importlib
+
+    from flink_streaming_kmeans_spark.plans import registry as reg
+
+    reg.collect()
+    mod_rank = {
+        f"{reg.__package__}.{m}": i for i, m in enumerate(reg._MODULES)
+    }
+    names = sorted(
+        reg.QUERIES,
+        key=lambda n: (
+            mod_rank[reg.QUERIES[n].__module__],
+            reg.QUERIES[n].__code__.co_firstlineno,
+        ),
+    )
+    counts = {}
+    for n in names:
+        m = reg.QUERIES[n].__module__.rsplit(".", 1)[-1]
+        counts[m] = counts.get(m, 0) + 1
+    return names, counts
+
+
+def _driver_records() -> list[tuple[str, dict]]:
+    """Committed CORRECTNESS files, oldest→newest, empty rounds dropped."""
+    out = []
+    for path in sorted(glob.glob(f"{REPO}/CORRECTNESS_r*.json")):
+        data = json.load(open(path))
+        if data:
+            out.append((path.rsplit("/", 1)[-1], data))
+    return out
+
+
+def _newest_green_round(records, name):
+    """Index into ``records`` of the newest hash-green row, or None."""
+    for i in range(len(records) - 1, -1, -1):
+        if records[i][1].get(name, {}).get("hash_match") is True:
+            return i
+    return None
+
+
+def test_rotation_law_cumulative_and_fresh(registry):
+    queries, oracles = registry
+    records = _driver_records()
+    assert len(records) >= WINDOW_SPAN, (
+        "rotation law needs a full sweep of committed driver records"
+    )
+    order, _ = _canonical_order()
+    assert set(order) == set(queries)
+    front = set(order[:WINDOW_SIZE])
+    oldest_allowed = len(records) - WINDOW_SPAN
+
+    never_recorded = []
+    stale = []
+    aging_out = []
+    for name in oracles:  # hash-tier queries only; rows-tier has no hash row
+        newest = _newest_green_round(records, name)
+        if newest is None:
+            never_recorded.append(name)
+        elif newest < oldest_allowed:
+            stale.append((name, records[newest][0]))
+        elif newest == oldest_allowed and name not in front:
+            aging_out.append((name, records[newest][0]))
+
+    # Clause (a): zero-evidence queries must front the imminent window.
+    unfronted_new = sorted(set(never_recorded) - front)
+    assert not unfronted_new, (
+        f"hash queries with no driver evidence not in the front-{WINDOW_SIZE} "
+        f"window: {unfronted_new}"
+    )
+    assert not stale, (
+        f"driver evidence older than the last {WINDOW_SPAN} windows "
+        f"(rotation law broken): {stale}"
+    )
+    assert not aging_out, (
+        "queries whose evidence ages out after the next driver run are "
+        f"missing from the current front-{WINDOW_SIZE} window: {aging_out}"
+    )
+
+
+def test_rotation_window_is_exactly_the_committed_plan(registry):
+    """The registry comment and the executable order must agree.
+
+    The front-50 is read from the live registration order; the plan is
+    read from the module list itself (first modules summing to 50).
+    A mid-round query addition inside the window prefix would shift
+    the window and orphan tail queries — this pins window size 50 as
+    an exact module-boundary sum, which is what makes the driver's
+    'first 50' reproducible round over round.
+    """
+    order, counts = _canonical_order()
+    queries, _ = registry
+    assert set(order) == set(queries)
+    front = order[:WINDOW_SIZE]
+    assert len(front) == WINDOW_SIZE
+
+    # Module boundaries over the registration order: every module is
+    # either wholly inside the window, wholly outside, or the SINGLE
+    # "first k of <module>" segment that completes it (corpus-first-4
+    # in the r9 plan). Two straddling modules would mean the window
+    # drifted off the committed module arithmetic.
+    boundaries = []
+    total = 0
+    for mod, n in counts.items():
+        boundaries.append((mod, total, total + n))
+        total += n
+    inside = [m for m, lo, hi in boundaries if lo < WINDOW_SIZE and hi <= WINDOW_SIZE]
+    straddle = [m for m, lo, hi in boundaries if lo < WINDOW_SIZE < hi]
+    assert len(straddle) <= 1, f"window may straddle at most one module: {straddle}"
+    assert inside, "window must cover at least one whole module"
