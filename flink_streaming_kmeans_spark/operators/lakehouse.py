@@ -434,10 +434,23 @@ def merge_cow(
     # touched set to that marker so (a) the touched-partition read
     # actually selects the table's existing NULL-partition files and
     # (b) the stray-partition check doesn't spuriously reject the
-    # staged NULL partition as 'None' ∉ want (review r6).
-    touched = [
-        "__HIVE_DEFAULT_PARTITION__" if t is None else t for t in touched
-    ]
+    # staged NULL partition as 'None' ∉ want (review r6). Empty-string
+    # keys normalize the same way: _stage_and_collect rewrites '' to
+    # NULL at the write boundary (law 50 — Hive path syntax cannot
+    # distinguish '' from NULL), so a ''-carrying source would stage
+    # under the marker while want held '' and the stray check would
+    # fail loudly on a legitimate merge (r8 ADVICE).
+    # dict.fromkeys dedupe (order-preserving, no cross-type sort — int
+    # partition values coexist with the str marker): a source carrying
+    # BOTH NULL and '' rows collapses to ONE marker entry, else the
+    # touched-partition read would list the NULL-partition files twice
+    # and duplicate their rows.
+    touched = list(
+        dict.fromkeys(
+            "__HIVE_DEFAULT_PARTITION__" if t is None or t == "" else t
+            for t in touched
+        )
+    )
     target_touched = read_table(
         spark, root, version=prev["version"], partitions=touched
     )

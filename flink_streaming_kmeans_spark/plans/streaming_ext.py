@@ -93,8 +93,10 @@ def q_stream_slide(spark, sf_dir):
     ).collect()[0]
     top = stats.m
     if top is None:
+        # timestamp_ntz matches the client_ntz non-empty path (law 47
+        # + r8 ADVICE: empty and non-empty schemas must agree).
         return spark.createDataFrame(
-            [], "win_start timestamp, n_events bigint, sum_value double"
+            [], "win_start timestamp_ntz, n_events bigint, sum_value double"
         )
     t3 = top + timedelta(days=3)
     sent = local_df(spark, [(-1, t3, 0.0)], ev.schema)
@@ -127,9 +129,18 @@ def q_stream_slide(spark, sf_dir):
         "q_stream_slide",
         spark,
     )
-    # Drop any sentinel-era window (win_start > top); the sentinel's
-    # count-1 windows never emit under the final watermark, but the
-    # filter makes the exclusion structural, not timing-dependent.
+    # Drop any sentinel-era window (win_start > max real ts); the
+    # sentinel's count-1 windows never emit under the final watermark,
+    # but the filter makes the exclusion structural, not
+    # timing-dependent. The bound is an IN-PLAN broadcast of max(ts),
+    # not the collected `top` literal — a Python-datetime literal
+    # round-trips through driver memory and a DST-fold-ambiguous
+    # local datetime can shift on a non-UTC host (law 47; same idiom
+    # as q_stream_session / q_stream_join_left).
+    m = ev.agg(F.max("ts").alias("m_ts"))
     return client_ntz(
-        spark.read.parquet(sink_dir).where(F.col("win_start") <= top)
+        spark.read.parquet(sink_dir)
+        .crossJoin(F.broadcast(m))
+        .where(F.col("win_start") <= F.col("m_ts"))
+        .drop("m_ts")
     )

@@ -99,14 +99,20 @@ def q_stream_dedup(spark, sf_dir):
     Scale: dedup state is one entry per event_id inside the watermark
     horizon; the watermark evicts state continuously — the standard
     exactly-once ingestion shape for at-least-once sources at 100 TB.
-    The law-49 NULL-identity branch is a second streaming scan of the
-    source (union of dedup(not-null) + passthrough(null)) — measured
-    +1.4 s on the sf0.1 drive. At 100 TB you would not pay a double
-    scan for a corrupt-row trickle: route the split INSIDE one
-    foreachBatch (batch_df persisted once, two branches) or drop
-    identity-less rows at ingest with a dead-letter sink; the
-    two-branch readStream form here keeps the drive declarative and
-    the semantics oracle-checkable.
+    The law-49 NULL-identity handling is a SURROGATE KEY inside the
+    single stateful operator (r8 verdict task 4 — this replaced the
+    two-branch readStream union that paid a second streaming scan,
+    +1.4 s at sf0.1): non-NULL ids dedupe on the id itself; a NULL-id
+    row gets a per-row ``uuid()`` key, so it flows through the same
+    dedup state untouched and multiplicity is preserved — two
+    bit-identical unknown-identity events both survive, matching the
+    oracle. The uuid is non-deterministic but OUTPUT-INVISIBLE: it is
+    unique per row by construction (never matches any state entry,
+    including under task retry — the parquet sink commits files
+    atomically per batch, so a retried batch replaces, not appends),
+    and it is dropped before the sink. One scan, one state store;
+    NULL-trickle state entries evict at the same watermark horizon as
+    real ids.
     """
     # ts_valid: event-time domain gate (r6 extreme-timestamp sweep)
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
@@ -118,8 +124,10 @@ def q_stream_dedup(spark, sf_dir):
     # with no partition dir — both abort the replay prep loudly.
     cnt = _probe_batches(ev)
     if cnt == 0:
+        # timestamp_ntz, matching the client_ntz non-empty path (law 47
+        # + r8 ADVICE: the empty and non-empty paths must agree).
         return spark.createDataFrame(
-            [], "event_id bigint, ts_s timestamp, value double"
+            [], "event_id bigint, ts_s timestamp_ntz, value double"
         )
     dups = ev.where(F.col("event_id") % 7 == 0)
     d = _tmp_out("stream_dedup", sf_dir)
@@ -130,13 +138,14 @@ def q_stream_dedup(spark, sf_dir):
     # identity-keyed deduplication — dropDuplicates treats NULL keys
     # as EQUAL, so two distinct unknown-identity events collapsed to
     # one on Spark while the oracle (rightly) kept both. NULL-id rows
-    # bypass the dedup state and pass through with multiplicity
-    # preserved, the same participation shape as law 45's NULL
-    # histogram bins and the NULL-entity-id dedup contract. Non-NULL
-    # event_id remains the source PRIMARY KEY: the drive's injected
-    # duplicates are bit-exact copies, and an id-collision with
-    # DISTINCT payloads is upstream corruption whose surviving copy
-    # is arrival-order/watermark-dependent — outside the hash domain.
+    # pass through the shared dedup state under a unique surrogate key
+    # with multiplicity preserved (docstring above), the same
+    # participation shape as law 45's NULL histogram bins and the
+    # NULL-entity-id dedup contract. Non-NULL event_id remains the
+    # source PRIMARY KEY: the drive's injected duplicates are
+    # bit-exact copies, and an id-collision with DISTINCT payloads is
+    # upstream corruption whose surviving copy is arrival-order/
+    # watermark-dependent — outside the hash domain.
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -144,9 +153,14 @@ def q_stream_dedup(spark, sf_dir):
         .withWatermark("ts", "2 hours")
     )
     deduped = (
-        stream.where(F.col("event_id").isNotNull())
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .unionByName(stream.where(F.col("event_id").isNull()))
+        stream.withColumn(
+            "dedup_key",
+            F.when(F.col("event_id").isNull(), F.expr("uuid()")).otherwise(
+                F.col("event_id").cast("string")
+            ),
+        )
+        .dropDuplicatesWithinWatermark(["dedup_key"])
+        .drop("dedup_key")
     )
     # Engine-side sink (r5 verdict task 2): append-mode parquet file
     # sink — the driver holds nothing data-proportional. The file sink
@@ -526,8 +540,10 @@ def q_stream_session(spark, sf_dir):
     if top is None:
         # Empty events: zero sessions (the oracle's answer); the
         # sentinel arithmetic and replay prep would both choke.
+        # timestamp_ntz matches the client_ntz non-empty path (law 47
+        # + r8 ADVICE: empty and non-empty schemas must agree).
         return spark.createDataFrame(
-            [], "user_id bigint, session_start timestamp, n_events bigint"
+            [], "user_id bigint, session_start timestamp_ntz, n_events bigint"
         )
     # Python timedelta == SQL INTERVAL here: both are fixed 72h
     # offsets on a UTC timestamp. local_df keeps the 1-row sentinel

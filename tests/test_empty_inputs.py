@@ -148,3 +148,27 @@ def test_ragged_embeddings_parity(spark, registry, tmp_path):
         assert r.ok, f"{name}: rows={r.rows_match} schema={r.schema_match} hash={r.hash_match}\n{r.detail}"
         # and the full-width vectors survived the guard
         assert r.spark_rows > 0, name
+
+
+# Streaming drives with manual empty-source early returns: the empty
+# path's declared schema must match the non-empty path's client_ntz
+# output EXACTLY (law 47 + r8 ADVICE — q_stream_tumble was fixed in r8
+# but dedup/session/slide still said instant 'timestamp', so the same
+# query returned different time types depending on data).
+NTZ_EMPTY_PATHS = [
+    ("q_stream_dedup", "ts_s"),
+    ("q_stream_session", "session_start"),
+    ("q_stream_slide", "win_start"),
+    ("q_stream_tumble", "win_start"),
+]
+
+
+@pytest.mark.parametrize("name,col", NTZ_EMPTY_PATHS)
+def test_empty_path_time_columns_are_ntz(spark, registry, empty_sf, name, col):
+    queries, _ = registry
+    df = queries[name](spark, empty_sf)
+    dtype = dict(df.dtypes)[col]
+    assert dtype == "timestamp_ntz", (
+        f"{name} empty path declares {col} as {dtype}; the non-empty "
+        f"path returns timestamp_ntz (client_ntz, law 47)"
+    )

@@ -781,6 +781,53 @@ def test_merge_cow_null_partition(spark, tmp_path):
     }, got
 
 
+def test_merge_cow_empty_string_partition(spark, tmp_path):
+    """r8 ADVICE + law 50 at the MERGE boundary: a source carrying ''
+    partition values stages under __HIVE_DEFAULT_PARTITION__ (the
+    write boundary rewrites '' to NULL), so the touched set must
+    normalize '' the same way or the stray-partition check rejects a
+    legitimate merge. A source carrying BOTH '' and NULL rows must
+    also collapse to ONE touched marker (a doubled entry would read
+    the NULL-partition files twice and duplicate their rows)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "emptyseg")
+    seed = spark.createDataFrame(
+        [(1, 10.0, "X"), (2, 20.0, None)],
+        "custkey bigint, acctbal double, segment string",
+    )
+    create_table(seed, root, "segment")
+
+    # '' AND NULL segment rows in one source: same on-disk partition.
+    src = spark.createDataFrame(
+        [(2, 99.0, ""), (4, 44.0, None)],
+        "custkey bigint, spend double, segment string",
+    )
+
+    def fn(target, s):
+        t, sa = target.alias("t"), s.alias("s")
+        j = t.join(sa, F.col("t.custkey") == F.col("s.custkey"), "full_outer")
+        return j.select(
+            F.coalesce("t.custkey", "s.custkey").alias("custkey"),
+            F.when(F.col("s.custkey").isNull(), F.col("t.acctbal"))
+            .otherwise(F.col("s.spend"))
+            .alias("acctbal"),
+            F.coalesce("t.segment", F.nullif("s.segment", F.lit("")))
+            .alias("segment"),
+        )
+
+    v = merge_cow(spark, root, src, fn)
+    got = {
+        r.custkey: (r.acctbal, r.segment)
+        for r in read_table(spark, root, version=v).collect()
+    }
+    assert got == {
+        1: (10.0, "X"),  # untouched partition carried forward
+        2: (99.0, None),  # ''-keyed source row updated the NULL row
+        4: (44.0, None),  # NULL-keyed insert, no duplicate from ''
+    }, got
+
+
 def test_empty_string_partition_key_law(spark, registry, tmp_path):
     """Law 50: a Hive-layout partition path cannot carry the
     NULL-vs-'' distinction (Spark writes '' as

@@ -1166,3 +1166,30 @@ def test_stream_sentinel_and_identity_laws(spark, registry, tmp_path):
     assert jl.where(F.col("user_id") == -1).count() >= 1
     dd = queries["q_stream_dedup"](spark, sf)
     assert dd.where(F.col("event_id").isNull()).count() == 2
+
+
+def test_stream_dedup_single_streaming_scan(spark, monkeypatch):
+    """r8 verdict task 4: the law-49 NULL-identity handling must not
+    pay a second streaming scan. The old shape unioned two branches of
+    the readStream (dedup(not-null) + passthrough(null)) — two
+    FileStreamSources, +1.4 s at sf0.1; the surrogate-key shape routes
+    both classes through ONE source and ONE dedup state store. Pinned
+    by counting StreamingRelation nodes in the started query's logical
+    plan (the executed shape, not the source text)."""
+    from flink_streaming_kmeans_spark.plans import streams as S
+
+    seen = {}
+    real = S._run_available_now
+
+    def spy(writer, name, spark=None, **kw):
+        plan = writer._df._jdf.queryExecution().logical().toString()
+        seen[name] = plan.count("StreamingRelation")
+        return real(writer, name, spark, **kw)
+
+    monkeypatch.setattr(S, "_run_available_now", spy)
+    df = S.q_stream_dedup(spark, SF_SMOKE)
+    assert df.count() > 0
+    assert seen.get("q_stream_dedup") == 1, (
+        f"q_stream_dedup scans its stream {seen.get('q_stream_dedup')} "
+        f"times; the single-scan surrogate-key shape scans once"
+    )

@@ -68,6 +68,7 @@ DOCUMENTED = {
     # rows at or before it — bounded broadcast, not a data join.
     ("q_stream_session", "BNLJ"): "broadcast 1-row max-ts sentinel bound",
     ("q_stream_join_left", "BNLJ"): "broadcast 1-row max-ts sentinel bound",
+    ("q_stream_slide", "BNLJ"): "broadcast 1-row max-ts sentinel bound",
     ("q_udf_python", "ROW_PYTHON"): "row-at-a-time Python UDF showcase (§2.11)",
     # bounded-broadcast scalar/probe attaches (linear)
     ("q_cte_reuse", "BNLJ"): "scalar aggregate attach (1-row broadcast)",
