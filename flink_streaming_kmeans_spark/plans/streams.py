@@ -207,7 +207,15 @@ def q_stream_join(spark, sf_dir):
     Scale: join state is each side's rows inside watermark+interval;
     eviction is continuous. The equivalent batch plan at 100 TB is the
     binned range join (q_join_range_binned); this is its streaming
-    face."""
+    face. Hot-entity caveat (r9 skew rung): OUTPUT grows quadratically
+    in a single key's per-interval event density — one bot user with
+    30% of a 1M-event stream emits millions of pairs, and that is the
+    CORRECT answer (the batch oracle explodes identically), not an
+    engine defect: state stays watermark-bounded and throughput per
+    output row is flat (tools/skew_probe.py normalizes by output
+    volume). The production mitigation is semantic, upstream — per-key
+    rate capping or pre-aggregation before the join — not an engine
+    knob."""
     # ts_valid: event-time domain gate (r6 extreme-timestamp sweep)
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
         "event_id", "user_id", "event_type", "ts"

@@ -117,6 +117,12 @@ def run_available_now(
     """Start an availableNow streaming query and fail loudly on
     timeout instead of returning partial state.
 
+    SPARK_GRAFT_STREAM_TIMEOUT overrides the cap for fixtures whose
+    OUTPUT is legitimately huge (the adversarial-skew rung's hot-user
+    interval join emits quadratically many pairs in per-key density —
+    correct semantics, more wall time); the default stays 300 s so
+    drive hangs still fail loudly everywhere else.
+
     When ``spark`` is given, the query starts (creating its
     state-store layout) under a scoped shuffle-partition count sized
     for these bounded drives — see session.scoped_shuffle_partitions
@@ -128,6 +134,9 @@ def run_available_now(
         if spark is not None
         else contextlib.nullcontext()
     )
+    t_env = os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT")
+    if t_env:
+        timeout = max(1, int(t_env))
     with scope:
         q = writer.trigger(availableNow=True).start()
         if not q.awaitTermination(timeout):

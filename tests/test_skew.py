@@ -1,0 +1,97 @@
+"""Adversarial-skew gates (slow lane; r8 verdict task 5).
+
+The x10/x100 scale rungs grow volume uniformly; real 100 TB pain is
+key skew. tools/make_skewed_dir.py plants one head key owning ~30% of
+events/orders/lineitem rows (hot user, hot customer, hot order key);
+these gates pin two properties on that fixture at pytest scale:
+
+1. CORRECTNESS UNDER SKEW — the shuffle-heavy queries stay hash-exact
+   against DuckDB on the skewed dir. Skew must cost (bounded) time,
+   never answers: a salting bug, a hot-session state bug, or a
+   skew-triggered AQE re-plan that changes semantics all land here.
+2. AQE SKEW-SPLIT FIRES — OptimizeSkewedJoin actually splits the hot
+   orders⋈lineitem partition on this fixture when the byte thresholds
+   AND the map-side split geometry are scoped to local sizes
+   (skew_probe.aqe_skew_split_fires documents why maxPartitionBytes
+   is part of that scoping: split granularity = mapper count).
+
+The perf half of the story (skewed vs uniform wall time at equal
+volume, plan-flag equality) is tools/skew_probe.py, run at the x10
+rung and logged in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pytest
+from oracle import check_parity, make_duckdb
+
+from conftest import SF_SMOKE
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+pytestmark = pytest.mark.slow  # slow lane — see pytest.ini
+
+SKEW_CHECKED = [
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_win_time_range",
+    "q_dedup_lsh",
+    "q_join_salted",
+    "q_evt_funnel",
+    "q_stream_session",
+]
+
+
+@pytest.fixture(scope="module")
+def skewed_sf():
+    from make_skewed_dir import skew
+
+    d = tempfile.mkdtemp(prefix="fsk_skew_gate_")
+    skew(SF_SMOKE, d, 3)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def skewed_duck(skewed_sf):
+    con = make_duckdb(skewed_sf)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SKEW_CHECKED)
+def test_parity_under_skew(spark, registry, skewed_sf, skewed_duck, name):
+    queries, oracles = registry
+    r = check_parity(
+        spark, skewed_duck, name, queries[name], oracles[name], skewed_sf
+    )
+    assert r.ok, (
+        f"{name} diverges on the skewed fixture: rows={r.rows_match} "
+        f"schema={r.schema_match} hash={r.hash_match}\n{r.detail}"
+    )
+    assert r.spark_rows > 0, f"{name}: skew gate is vacuous (0 rows)"
+
+
+def test_head_key_owns_a_third(spark, skewed_sf):
+    # non-vacuity for the whole module: the fixture really is skewed.
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(os.path.join(skewed_sf, "events.parquet"))
+    top = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    )
+    assert top["count"] / ev.count() > 0.25, top
+
+
+def test_aqe_skew_split_fires_on_skewed_fixture(spark, skewed_sf):
+    from skew_probe import aqe_skew_split_fires
+
+    assert aqe_skew_split_fires(spark, skewed_sf), (
+        "OptimizeSkewedJoin never split the planted hot join partition"
+    )

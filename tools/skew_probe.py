@@ -1,0 +1,297 @@
+"""Adversarial-skew probe (r8 verdict task 5): same data VOLUME, one
+hot key — what does skew alone cost?
+
+    python tools/make_scaled_dir.py /root/testdata/sf0.1 /tmp/fsk_u10 10
+    python tools/make_skewed_dir.py /root/testdata/sf0.1 /tmp/fsk_k10 10
+    python tools/skew_probe.py /tmp/fsk_u10 /tmp/fsk_k10
+
+Both dirs hold the SAME K-fold row counts; the skewed one reassigns
+~30% of events/orders/lineitem rows to a single head key
+(make_skewed_dir). For each shuffle-heavy query the probe reports
+skewed/uniform wall-time (min of 2, bench methodology) and asserts
+the plan-audit flag set is identical (a broadcast→shuffle flip or a
+new quadratic join under skewed statistics fails the probe). A ratio
+near 1 means the plan's cost is volume-bound, not key-bound — the
+property that survives a 1000-executor cluster where one straggler
+partition would otherwise gate the stage.
+
+Second check: AQE's OptimizeSkewedJoin actually FIRES on the skewed
+dir's orders⋈lineitem equi-join once the broadcast path is demoted
+and the split thresholds are scoped to local data sizes (the
+defaults are sized for 256 MB cluster partitions) — executed-plan
+`skew=true`, the same evidence class as
+tests/test_plans.py::test_aqe_splits_skewed_join_partitions but on
+the REAL skewed fixture rather than a synthetic frame.
+
+Exit 1 on any plan-shape change or if the skew join never splits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_streaming_kmeans_spark.plans.registry import collect  # noqa: E402
+from flink_streaming_kmeans_spark.session import get_spark  # noqa: E402
+from flink_streaming_kmeans_spark.sources.loader import load_table  # noqa: E402
+import plan_audit  # noqa: E402
+
+# The shuffle-heavy shapes the r8 verdict names: sessionization (one
+# giant-session user), the time-range window frame, the TPC-H
+# customer/order join trees (hot customer + hot order key), the dedup
+# banding joins (content-hash buckets — included to show content
+# shuffles are INSENSITIVE to entity skew), the salting showcase, and
+# the BINNED range join — the batch twin of the stream-stream
+# interval join, included precisely because the streaming twin is the
+# probe's headline FINDING rather than a row in this table:
+#
+# STREAM-STREAM INTERVAL JOINS ARE EXCLUDED, MEASURED, NOT FORGOTTEN.
+# Structured Streaming's symmetric stateful join probes EVERY state
+# row of the matching key per input row, single-threaded per key. On
+# this fixture's head user (30% of 1M events: ~9e4 purchases x ~1.5e5
+# clicks in one key) that is ~1.3e10 in-key pair checks on one core —
+# the drive exceeded a 300 s kill and was still in its first stage at
+# 15 minutes, while DuckDB's parallel binned range join emits the
+# SAME 5.03M pairs in 1.8 s. The 100 TB lesson is recorded in
+# SCALE.md and q_stream_join's docstring: per-key stream-join work is
+# quadratic in hot-key density and un-parallelizable (AQE is disabled
+# in stateful workloads); mitigate SEMANTICALLY (per-key rate caps /
+# pre-aggregation upstream) or run reconciliations through the binned
+# batch twin below, which splits the hot key across time buckets.
+PROBES = [
+    "q_stream_session",
+    "q_win_time_range",
+    "q_tpch_q10",
+    "q_tpch_q18",
+    "q_dedup_lsh",
+    "q_dedup_near",
+    "q_join_salted",
+    "q_join_range_binned",
+]
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed_min2(queries, spark, name: str, sf_dir: str):
+    ts, df = [], None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        run_noop(df)
+        ts.append(time.perf_counter() - t0)
+    return min(ts), df
+
+
+def binned_interval_join(spark, sf_dir: str):
+    """The 100 TB formulation of q_stream_join's semantics as a BATCH
+    plan: purchase x click per user within the preceding hour,
+    expressed as an EQUI-join on (user_id, hour_bin) with the click
+    side exploded into the <=2 bins a 1-hour lookback can reach, exact
+    interval post-filtered — q_join_range_binned's rewrite applied to
+    a PER-KEY interval join. The hot user's pairs spread across its
+    time bins, so per-task work is (purchases-per-bin x
+    clicks-per-adjacent-bin), linear in emitted pairs — this is the
+    plan that replaces the per-key-quadratic streaming join for
+    backfills/reconciliation over hot entities."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.functions.vector import ts_valid
+
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.date_trunc("hour", "ts").alias("bin"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        # a click reaches purchases in its own hour and the next one
+        F.explode(
+            F.array(
+                F.date_trunc("hour", "ts"),
+                F.date_trunc("hour", "ts") + F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bin"),
+    )
+    return (
+        p.join(c, (p.user_id == c.c_user) & (p.bin == c.bin))
+        .where(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+        )
+        .select("user_id", "p_id", "c_id")
+    )
+
+
+def aqe_skew_split_fires(spark, skewed_dir: str) -> bool:
+    """orders⋈lineitem on the planted hot l_orderkey: demote broadcast
+    and scope the split thresholds to local sizes, then look for
+    skew=true in the FINAL adaptive plan.
+
+    maxPartitionBytes is scoped down too, and that one is a finding,
+    not a convenience: OptimizeSkewedJoin splits a skewed reduce
+    partition along MAP-TASK boundaries, so its granularity equals the
+    mapper count — a single-file local scan yields 1-2 map tasks and
+    the hot partition is UNSPLITTABLE no matter the thresholds
+    (measured: the same join fires skew=true from a 32-file source
+    and never from a 1-file source). On a 1000-executor 100 TB scan
+    there are thousands of mappers and the split always has
+    granularity; locally we scope the split geometry to match. The
+    deployment rule this encodes: compaction must not produce files
+    so large that maxPartitionBytes yields fewer map tasks than the
+    skew split needs."""
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.files.maxPartitionBytes": "262144",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        o = load_table(spark, skewed_dir, "orders")
+        li = load_table(spark, skewed_dir, "lineitem")
+        # The aggregate reads real payload columns on purpose: a
+        # count()-only rollup lets column pruning strip the fact side
+        # to the bare join key, and a partition of one repeated bigint
+        # compresses to almost nothing — under ANY byte threshold, the
+        # hot partition then looks small to AQE (shuffle sizes are
+        # compressed sizes). Payload columns make the hot partition's
+        # bytes proportional to its rows, which is what a real revenue
+        # rollup shuffles.
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.sum("l_quantity"),
+                F.avg("l_tax"),
+                F.count(F.lit(1)),
+            )
+        )
+        j.collect()  # materialize → final adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def main() -> int:
+    uniform = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fsk_u10"
+    skewed = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fsk_k10"
+    queries, _ = collect()
+    unknown = [q for q in PROBES if q not in queries]
+    if unknown:
+        print(f"unknown probe queries: {unknown}", file=sys.stderr)
+        return 1
+    spark = get_spark("skew_probe")
+    run_noop(queries["q_scan_parquet"](spark, uniform))  # warmup
+
+    # Hot-key interval joins emit quadratically many pairs in per-key
+    # density — CORRECT semantics (the oracle's answer explodes
+    # identically), so their extra wall time is genuine output volume,
+    # not engine skew-sensitivity. Each row therefore records output
+    # rows on both dirs and a volume-NORMALIZED ratio
+    # (time-ratio / output-ratio): that is the number that must stay
+    # ~1 under skew. The raw ratio is printed alongside so the
+    # explosion itself is visible, not hidden.
+    os.environ.setdefault("SPARK_GRAFT_STREAM_TIMEOUT", "1800")
+
+    rows, flags_changed = [], []
+    for name in PROBES:
+        t_u, df_u = timed_min2(queries, spark, name, uniform)
+        n_u = df_u.count()
+        t_s, df_s = timed_min2(queries, spark, name, skewed)
+        n_s = df_s.count()
+        f_u = plan_audit.audit_one(name, df_u)
+        f_s = plan_audit.audit_one(name, df_s)
+        same = set(f_u["flags"]) == set(f_s["flags"])
+        if not same:
+            flags_changed.append((name, f_u["flags"], f_s["flags"]))
+        raw = t_s / max(t_u, 1e-9)
+        vol = max(n_s, 1) / max(n_u, 1)
+        r = {
+            "query": name,
+            "uniform_s": round(t_u, 2),
+            "skewed_s": round(t_s, 2),
+            "rows_uniform": n_u,
+            "rows_skewed": n_s,
+            "ratio": round(raw, 2),
+            "ratio_per_output_row": round(raw / vol, 2),
+            "plan_flags_same": same,
+        }
+        rows.append(r)
+        print(
+            f"{name:24s} uniform {r['uniform_s']:7.2f}s -> skewed "
+            f"{r['skewed_s']:7.2f}s  x{r['ratio']:<6} "
+            f"out x{round(vol, 2):<8} norm x{r['ratio_per_output_row']:<5} "
+            f"flags_same={same}",
+            flush=True,
+        )
+
+    # Headline finding demo: the per-user interval join that the
+    # STREAMING engine cannot finish on the hot key (quadratic in-key,
+    # single-threaded) runs in seconds as the time-binned batch plan —
+    # linear in emitted pairs. Measured on both dirs.
+    t0 = time.perf_counter()
+    n_pairs_u = binned_interval_join(spark, uniform).count()
+    t_ij_u = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_pairs_s = binned_interval_join(spark, skewed).count()
+    t_ij_s = time.perf_counter() - t0
+    interval = {
+        "uniform_s": round(t_ij_u, 2),
+        "skewed_s": round(t_ij_s, 2),
+        "pairs_uniform": n_pairs_u,
+        "pairs_skewed": n_pairs_s,
+        "s_per_mpair_uniform": round(t_ij_u / max(n_pairs_u / 1e6, 1e-9), 2),
+        "s_per_mpair_skewed": round(t_ij_s / max(n_pairs_s / 1e6, 1e-9), 2),
+    }
+    print(
+        f"binned_interval_join     uniform {t_ij_u:7.2f}s "
+        f"({n_pairs_u} pairs) -> skewed {t_ij_s:7.2f}s ({n_pairs_s} pairs)"
+    )
+
+    fires = aqe_skew_split_fires(spark, skewed)
+    print(f"aqe_skew_split_fires={fires}")
+    print(json.dumps({
+        "rows": rows,
+        "binned_interval_join": interval,
+        "aqe_skew_split_fires": fires,
+    }))
+    if flags_changed:
+        print(f"PLAN SHAPE CHANGED UNDER SKEW: {flags_changed}", file=sys.stderr)
+        return 1
+    if not fires:
+        print("AQE skew split never fired on the skewed join", file=sys.stderr)
+        return 1
+    worst = max(r["ratio_per_output_row"] for r in rows)
+    print(
+        f"worst volume-normalized skew ratio: x{worst} (same input volume)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
