@@ -95,3 +95,20 @@ def test_aqe_skew_split_fires_on_skewed_fixture(spark, skewed_sf):
     assert aqe_skew_split_fires(spark, skewed_sf), (
         "OptimizeSkewedJoin never split the planted hot join partition"
     )
+
+
+def test_bucketed_time_range_rewrite_is_identical(spark, registry, skewed_sf):
+    """Finding-2 mitigation, pinned: the two-phase (user, 10-min bin)
+    rewrite of the RANGE window — each row duplicated once as next-bin
+    context, window within (user, bin), own rows kept — is
+    row-for-row IDENTICAL to the single-window registry form on the
+    skewed fixture (exceptAll both ways), while spreading the hot
+    user across time bins (measured ~7x at the x10 rung, SCALE.md)."""
+    from skew_probe import bucketed_time_range
+
+    queries, _ = registry
+    a = queries["q_win_time_range"](spark, skewed_sf)
+    b = bucketed_time_range(spark, skewed_sf)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() > 0

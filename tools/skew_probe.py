@@ -135,6 +135,60 @@ def binned_interval_join(spark, sf_dir: str):
     )
 
 
+def bucketed_time_range(spark, sf_dir: str):
+    """The two-phase rewrite of q_win_time_range for hot-key regimes
+    (SCALE.md round-9 finding 2): a window PARTITION is a semantic
+    unit no optimizer may split, so one bot user = one core owning 30%
+    of the table. A time-BOUNDED frame doesn't need the whole user in
+    one partition: a trailing 10-minute frame at time t only sees rows
+    in t's own 10-minute bin and the previous one, so each row is
+    duplicated once as next-bin CONTEXT, the window runs within
+    (user_id, bin) — the hot user now spreads across its time bins —
+    and only own-bin rows are kept. <=2x row work, fully parallel,
+    result-identical (asserted in main() on both dirs and pinned in
+    tests/test_skew.py). This is the documented mitigation, measured,
+    not just described; the registry keeps the standard single-window
+    form as the correct default below bot-grade skew."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.functions.vector import dsumw, ts_valid
+
+    from pyspark.sql.window import Window
+
+    from flink_streaming_kmeans_spark.functions.vector import client_ntz
+
+    ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # Exact integer microseconds for binning AND the frame's ordering
+    # key — a float epoch-seconds key can round a row exactly on the
+    # 10-minute boundary to the wrong side of the INTERVAL arithmetic.
+    us = F.unix_micros(F.col("ts"))
+    binned = ev.withColumn("bin", F.floor(us / F.lit(600_000_000)))
+    own = binned.withColumn("is_own", F.lit(True))
+    ctx = binned.withColumn("bin", F.col("bin") + 1).withColumn(
+        "is_own", F.lit(False)
+    )
+    w = (
+        Window.partitionBy("user_id", "bin")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    u = own.unionByName(ctx)
+    return client_ntz(
+        u.withColumn("n_prev_10m", F.count(F.lit(1)).over(w))
+        .withColumn("sum_value_10m", dsumw("value", w))
+        .where(F.col("is_own"))
+        .select(
+            "event_id",
+            "user_id",
+            F.date_trunc("second", "ts").alias("ts_s"),
+            F.col("n_prev_10m").cast("bigint").alias("n_prev_10m"),
+            "sum_value_10m",
+        )
+    )
+
+
 def aqe_skew_split_fires(spark, skewed_dir: str) -> bool:
     """orders⋈lineitem on the planted hot l_orderkey: demote broadcast
     and scope the split thresholds to local sizes, then look for
@@ -272,11 +326,38 @@ def main() -> int:
         f"({n_pairs_u} pairs) -> skewed {t_ij_s:7.2f}s ({n_pairs_s} pairs)"
     )
 
+    # Finding-2 demo: the two-phase bucketed rewrite of the RANGE
+    # window (result-identical — asserted here on the skewed dir with
+    # a both-ways exceptAll — and parallel across the hot user's time
+    # bins where the single-window form serializes on one core).
+    base_q = queries["q_win_time_range"]
+    a, b = base_q(spark, skewed), bucketed_time_range(spark, skewed)
+    mismatch = a.exceptAll(b).count() + b.exceptAll(a).count()
+    if mismatch:
+        print(f"bucketed_time_range NOT identical: {mismatch} rows",
+              file=sys.stderr)
+        return 1
+    t_w = {}
+    for tag, d in (("uniform", uniform), ("skewed", skewed)):
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_noop(bucketed_time_range(spark, d))
+            ts.append(time.perf_counter() - t0)
+        t_w[tag] = round(min(ts), 2)
+    base_row = next(r for r in rows if r["query"] == "q_win_time_range")
+    print(
+        f"bucketed_time_range      uniform {t_w['uniform']:7.2f}s -> skewed "
+        f"{t_w['skewed']:7.2f}s (single-window skewed: "
+        f"{base_row['skewed_s']}s) — identical output"
+    )
+
     fires = aqe_skew_split_fires(spark, skewed)
     print(f"aqe_skew_split_fires={fires}")
     print(json.dumps({
         "rows": rows,
         "binned_interval_join": interval,
+        "bucketed_time_range": t_w,
         "aqe_skew_split_fires": fires,
     }))
     if flags_changed:
