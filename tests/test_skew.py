@@ -97,6 +97,55 @@ def test_aqe_skew_split_fires_on_skewed_fixture(spark, skewed_sf):
     )
 
 
+@pytest.fixture(scope="module")
+def nullhead_sf():
+    """The mass-NULL-key regime: the head 30% of events.user_id /
+    orders.o_custkey / lineitem.l_orderkey are NULL (a logging bug at
+    volume). NULL is simultaneously a GROUP (window partitions and
+    group-bys collect all NULLs into one 30%-of-the-table unit) and a
+    NON-KEY (equi-joins drop it, identity-keyed dedup bypasses it) —
+    the gate checks the two roles stay exact at volume. The full
+    167-query preflight on this fixture was clean at x3 sf0.01
+    (SCALE.md round-9); this pins the NULL-sensitive shapes at pytest
+    scale."""
+    from make_skewed_dir import skew
+
+    d = tempfile.mkdtemp(prefix="fsk_nullhead_gate_")
+    skew(SF_SMOKE, d, 3, null_head=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+NULLHEAD_CHECKED = [
+    "q_win_time_range",  # 30% NULL window partition (NULL-as-group)
+    "q_evt_retention",   # NULL user cohort arithmetic
+    "q_join_left",       # NULL FK side preserved, not matched
+    "q_tpch_q10",        # NULL o_custkey dropped by the inner join
+    "q_stream_session",  # NULL-user sessions + the sentinel bound
+    "q_evt_funnel",      # per-user sequence over a NULL mega-user
+]
+
+
+@pytest.mark.parametrize("name", NULLHEAD_CHECKED)
+def test_parity_under_mass_null_keys(
+    spark, registry, nullhead_sf, name
+):
+    queries, oracles = registry
+    con = make_duckdb(nullhead_sf)
+    try:
+        r = check_parity(
+            spark, con, name, queries[name], oracles[name], nullhead_sf
+        )
+    finally:
+        con.close()
+    assert r.ok, (
+        f"{name} diverges on the mass-NULL-key fixture: "
+        f"rows={r.rows_match} schema={r.schema_match} "
+        f"hash={r.hash_match}\n{r.detail}"
+    )
+    assert r.spark_rows > 0, f"{name}: NULL-head gate is vacuous"
+
+
 def test_bucketed_time_range_rewrite_is_identical(spark, registry, skewed_sf):
     """Finding-2 mitigation, pinned: the two-phase (user, 10-min bin)
     rewrite of the RANGE window — each row duplicated once as next-bin

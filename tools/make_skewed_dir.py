@@ -48,13 +48,23 @@ from make_scaled_dir import build as build_uniform  # noqa: E402
 SKEW_FRACTION_PCT = 30  # head key owns ~30% of fact rows
 
 
-def skew(src: str, dest: str, k: int) -> None:
-    """Uniform K-fold build into ``dest``, then plant the head keys."""
+def skew(src: str, dest: str, k: int, null_head: bool = False) -> None:
+    """Uniform K-fold build into ``dest``, then plant the head keys.
+
+    ``null_head=True`` plants NULL as the head key instead of a real
+    one — the mass-NULL-key regime (a logging bug NULLs 30% of
+    user_ids / FKs): one more adversarial axis, because NULL is
+    simultaneously a GROUP (window partitions, group-bys collect all
+    NULLs together — a 30%-of-the-table partition) and a NON-KEY
+    (equi-joins drop it, dedup identity bypasses it), and the two
+    roles must not blur at volume."""
     build_uniform(src, dest, k)
     con = duckdb.connect()
     con.sql("SET TimeZone='UTC'")
 
-    def head(table: str, col: str) -> int:
+    def head(table: str, col: str):
+        if null_head:
+            return "NULL"
         # copy-0 min key: exists in every scaled dim/fact by
         # construction (copy 0 is byte-identical to the source).
         return con.sql(
@@ -108,10 +118,12 @@ def skew(src: str, dest: str, k: int) -> None:
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dest = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fsk_skewed_dir"
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    skew(src, dest, k)
+    args = [a for a in sys.argv[1:] if a != "--null-head"]
+    null_head = "--null-head" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    dest = args[1] if len(args) > 1 else "/tmp/fsk_skewed_dir"
+    k = int(args[2]) if len(args) > 2 else 10
+    skew(src, dest, k, null_head=null_head)
 
     import pyarrow.parquet as pq
 
