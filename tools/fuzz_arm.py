@@ -137,10 +137,17 @@ def doctor_all(rng: random.Random, sf: str) -> dict:
     plant("events",
           ["event_id", "ts", "user_id", "event_type", "value", "props"],
           lambda i: "(%s, %s, %s, %s, %s, %s)" % (
-              # ids: fresh, duplicate-of-each-other (÷7 redelivery
-              # class), or NULL identity
-              rng.choice([str(66200 + i), str(66200), "NULL::BIGINT",
-                          str(7 * 9457)]),
+              # ids: UNIQUE fresh, UNIQUE ≡0-mod-7 (the dedup drive's
+              # redelivery class), or NULL identity. Never a repeated
+              # non-NULL id: the source declares event_id a PRIMARY
+              # KEY, and an id-collision with distinct payloads is the
+              # DECLARED out-of-domain corruption class (law 49 — the
+              # surviving copy is arrival-order-dependent, so the
+              # dedup drive legitimately diverges from the plain-table
+              # oracle on such input; arm seed 271828 trial 6
+              # re-confirmed exactly that, as designed).
+              rng.choice([str(66300 + 11 * i), "NULL::BIGINT",
+                          str(7 * 9457 + 7 * i)]),
               _ts_lit(rng.choice(TS)), _lit(rng.choice(USERS)),
               _lit(rng.choice(ETYPES)), _lit(rng.choice(VALUES)),
               _lit(rng.choice(PROPS))))
