@@ -74,18 +74,28 @@ FLAGS = [None, "N", "R", "A", ""]
 BATCH_POOL = {
     "events": ["q_win_tumble", "q_win_lag", "q_evt_funnel", "q_json_extract",
                "q_evt_retention", "q_rollup_time", "q_ts_gapfill",
-               "q_evt_histogram", "q_win_session", "q_evt_cep"],
+               "q_evt_histogram", "q_win_session", "q_evt_cep",
+               "q_win_running", "q_win_time_range", "q_evt_markov",
+               "q_evt_anomaly", "q_scd2_intervals", "q_sketch_cms",
+               "q_sketch_hll", "q_evt_basket", "q_win_slide"],
     "documents": ["q_dedup_exact", "q_text_quality", "q_sample_stratified",
                   "q_text_langid", "q_text_stats", "q_dedup_lsh",
-                  "q_text_chunk", "q_text_fingerprint"],
+                  "q_text_chunk", "q_text_fingerprint", "q_text_tfidf",
+                  "q_text_surprisal", "q_text_heavy_hitters",
+                  "q_dedup_simhash", "q_text_redact", "q_text_ngram_freq",
+                  "q_dedup_near", "q_text_concat_pack"],
     "tpch": ["q_tpch_q3", "q_tpch_q10", "q_agg_q1", "q_win_rank",
              "q_merge_cow", "q_lake_delete", "q_join_left", "q_sub_in",
-             "q_join_not_in", "q_agg_corr", "q_merge_upsert", "q_pivot"],
+             "q_join_not_in", "q_agg_corr", "q_merge_upsert", "q_pivot",
+             "q_sub_exists", "q_cte_reuse", "q_win_dist", "q_agg_stats",
+             "q_topk_group", "q_sketch_quantile", "q_lake_compact",
+             "q_win_ntile", "q_agg_multi_distinct", "q_cdc_diff"],
     "part_supp": ["q_str_funcs", "q_str_regexp", "q_str_levenshtein",
                   "q_unpivot", "q_source_csv", "q_set_intersect",
-                  "q_tpch_q5"],
+                  "q_tpch_q5", "q_set_except", "q_vocab_typo"],
     "embeddings": ["q_emb_normalize", "q_sim_knn", "q_emb_quantize",
-                   "q_ml_score", "q_multimodal_join"],
+                   "q_ml_score", "q_multimodal_join", "q_sim_ivf",
+                   "q_sim_ann", "q_dedup_embed", "q_emb_gram"],
 }
 STREAM_POOL = ["q_stream_dedup", "q_stream_session", "q_stream_tumble",
                "q_stream_join_left", "q_stream_slide", "q_stream_upsert"]
