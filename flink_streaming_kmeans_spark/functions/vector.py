@@ -288,8 +288,26 @@ def dbl2dec(col, prec: int = 30) -> Column:
 
 
 def sql_dbl2dec(expr: str, prec: int = 30) -> str:
-    """DuckDB SQL twin of :func:`dbl2dec` (keep in lockstep)."""
-    return f"CAST(CAST(({expr}) AS STRING) AS DECIMAL({prec},6))"
+    """DuckDB SQL twin of :func:`dbl2dec` (keep in lockstep) — plus a
+    sub-half-quantum clamp the Spark side does not need (law 51, r9
+    micro-ts/long-text fuzz arm, seed 141421 trial 6 via q_agg_corr's
+    syy moment on a planted 1e-07 price):
+
+    DuckDB 1.0.0's VARCHAR→DECIMAL cast mis-rounds magnitudes BELOW
+    half a quantum when the mantissa's leading digit is >=5 — '9e-15',
+    '8e-08', '5.1e-15' all round AWAY to ±0.000001 where true
+    HALF_UP (and Spark's string→decimal, which is correct here)
+    gives 0.000000; leading digits <5 ('2e-14', '4.9e-08') round to 0
+    correctly, and everything at or above 5e-07 rounds correctly on
+    both engines (probed across the boundary). The clamp zeroes
+    |x| < 5e-7 BEFORE the cast, which is exactly the value the
+    correct rounding assigns, so it is a no-op on a correct engine
+    and unreachable territory for the defect. NULL/NaN/±inf take the
+    ELSE branch unchanged (abs(NULL)<k is NULL; NaN/inf compare
+    false). Pinned against the live DuckDB in
+    tests/test_degenerate_naninf.py."""
+    clamp = f"CASE WHEN abs(({expr})) < 5e-7 THEN 0.0 ELSE ({expr}) END"
+    return f"CAST(CAST(({clamp}) AS STRING) AS DECIMAL({prec},6))"
 
 
 def _nf_mask(col: Column) -> Column:

@@ -460,8 +460,13 @@ def q_graph_pagerank(spark, sf_dir):
     oracle="""
     WITH seq AS (
         SELECT user_id, event_type,
+               -- event_id NULLS LAST: law 40 on the tie-break key
+               -- (law 49 made NULL event_id in-domain; a NULL-id row
+               -- tying a real id on ts forked Spark NULLS FIRST vs
+               -- DuckDB NULLS LAST — r9 fuzz arm, seed 141421)
                LAG(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts NULLS LAST, event_id) AS prev
+                                     ORDER BY ts NULLS LAST,
+                                              event_id NULLS LAST) AS prev
         FROM events
     ), trans AS (
         SELECT prev, event_type AS next, COUNT(*) AS n
@@ -495,7 +500,10 @@ def q_evt_markov(spark, sf_dir):
     q_win_lag and the funnel. NULL ts pinned LAST on both engines
     (NULL-events adversarial sweep, r6)."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
+    # event_id NULLS LAST too (law 40 on the tie-break, see oracle)
+    w = W.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     seq = ev.select(
         "user_id",
         "event_type",

@@ -434,12 +434,16 @@ def q_rollup_time(spark, sf_dir):
     oracle=f"""
     SELECT user_id, event_type AS state,
            date_trunc('second', ts) AS valid_from,
+           -- event_id NULLS LAST: law 40 on the tie-break key (same
+           -- fork q_evt_markov hit — r9 fuzz arm, seed 141421)
            date_trunc('second',
                       LEAD(ts) OVER (PARTITION BY user_id
-                                     ORDER BY ts NULLS LAST, event_id))
+                                     ORDER BY ts NULLS LAST,
+                                              event_id NULLS LAST))
                AS valid_to,
            (LEAD(ts) OVER (PARTITION BY user_id
-                           ORDER BY ts NULLS LAST, event_id) IS NULL)
+                           ORDER BY ts NULLS LAST,
+                                    event_id NULLS LAST) IS NULL)
                AS is_current
     FROM events
     WHERE ts IS NULL OR {sql_ts_valid('ts')}
@@ -466,7 +470,10 @@ def q_scd2_intervals(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(
         F.col("ts").isNull() | ts_valid("ts")
     )
-    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
+    # event_id NULLS LAST too (law 40 on the tie-break, see oracle)
+    w = W.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     nxt = F.lead("ts").over(w)
     return client_ntz(ev.select(
         "user_id",

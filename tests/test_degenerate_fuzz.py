@@ -403,3 +403,41 @@ def test_fuzz_documents_parity(spark, registry, tmp_path_factory, rows):
             )
     finally:
         con.close()
+
+
+def test_lag_lead_tiebreak_null_id_law(spark, registry, tmp_path_factory):
+    """Law 40 on the sequence tie-break key, pinned (r9 fuzz arm, seed
+    141421 trial 15): with NULL event_id in-domain (law 49), a NULL-id
+    row TYING a real id on ts forked the per-user sequence order —
+    Spark bare-ASC sorts NULLS FIRST, DuckDB NULLS LAST — shifting
+    every lag/lead transition behind the tie. q_evt_markov and
+    q_scd2_intervals now pin event_id NULLS LAST on both engines.
+    The fixture plants the exact arm composition: two same-user rows
+    at the same microsecond, one with NULL id, plus a NULL-id row one
+    microsecond earlier."""
+    from datetime import datetime
+
+    queries, oracles = registry
+    u = -(2**63)
+    rows = [
+        (66311, datetime(2024, 1, 15, 10, 0, 0, 1), u, "", 1.0, None),
+        (None, datetime(2024, 1, 15, 10, 0, 0, 1), u, "purchase", 2.0, None),
+        (None, datetime(2024, 1, 15, 9, 59, 59, 999999), u, "view", 3.0, None),
+    ]
+    sf = _doctored_sf(
+        tmp_path_factory.mktemp("fuzz_tie"),
+        "events",
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+        rows,
+    )
+    con = make_duckdb(sf)
+    try:
+        for name in ("q_evt_markov", "q_scd2_intervals"):
+            r = check_parity(spark, con, name, queries[name], oracles[name], sf)
+            assert r.ok, (
+                f"{name} diverges on the NULL-id tie fixture: "
+                f"rows={r.rows_match} schema={r.schema_match} "
+                f"hash={r.hash_match}\n{r.detail}"
+            )
+    finally:
+        con.close()

@@ -306,3 +306,50 @@ def test_decimal_sum_magnitude_domain(spark):
     ).fetchone()[0]
     con.close()
     assert s_val == d_val, (s_val, d_val)
+
+
+def test_subquantum_string_decimal_cast_law(spark):
+    """Law 51 pinned: DuckDB 1.0.0's VARCHAR→DECIMAL cast rounds
+    sub-half-quantum magnitudes with leading mantissa digit >=5 AWAY
+    to ±1e-6 ('9e-15' → 0.000001) where true HALF_UP — and Spark's
+    string→decimal, which is correct here — give 0. sql_dbl2dec
+    therefore clamps |x| < 5e-7 to 0 before the cast (a no-op under
+    correct rounding), keeping the decimal-sum contract mutual.
+    Found by the r9 micro-ts/long-text fuzz arm (seed 141421 trial 6:
+    a planted 1e-07 l_extendedprice made q_agg_corr's syy moment 0.0
+    on Spark vs 1e-06 on DuckDB, flipping the corr gate NULL vs NaN).
+    This pin (a) records the raw defect against the LIVE DuckDB so a
+    fixed future DuckDB shows up as an xpass-style signal, and (b)
+    proves the clamped path agrees with Spark across the defect
+    region and the boundary."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.functions.vector import (
+        dbl2dec,
+        sql_dbl2dec,
+    )
+
+    con = duckdb.connect()
+    # (a) the raw defect, as shipped in DuckDB 1.0.0
+    raw = con.execute(
+        "SELECT CAST(CAST(9e-15::DOUBLE AS VARCHAR) AS DECIMAL(38,6))"
+    ).fetchone()[0]
+    assert float(raw) == 1e-06, (
+        f"DuckDB raw cast now yields {raw}: the law-51 defect appears "
+        f"fixed upstream — re-evaluate the sql_dbl2dec clamp"
+    )
+
+    # (b) clamped oracle path == Spark path across defect + boundary
+    cases = [9e-15, -9e-15, 8e-08, 1e-14, 4.9e-08, 4.999999e-07,
+             5e-07, 6e-07, 1e-06, 1.5e-06, 0.25, -7.25]
+    one = spark.range(1)
+    for v in cases:
+        s_val = one.select(
+            dbl2dec(F.lit(v), 38).cast("string").alias("v")
+        ).collect()[0].v
+        d_val = con.execute(
+            f"SELECT CAST({sql_dbl2dec(f'{v!r}::DOUBLE', 38)} AS VARCHAR)"
+        ).fetchone()[0]
+        assert s_val == d_val, (v, s_val, d_val)
+    con.close()

@@ -53,14 +53,22 @@ VALUES = [None, NAN, PINF, NINF, 0.0, -0.0, 1.5, -7.25,
 TS = [None,
       "2024-01-15 10:00:00", "2024-01-15 10:00:01", "2024-01-16 23:59:59",
       "1970-01-02 00:00:00", "1970-01-01 23:59:59",
-      "2199-12-31 23:59:59", "2200-01-01 00:00:00"]
+      "2199-12-31 23:59:59", "2200-01-01 00:00:00",
+      # sub-second window-boundary straddlers (the pinned
+      # test_degenerate_timestamps axis, randomized into compositions)
+      "2024-01-15 10:00:00.000001", "2024-01-15 09:59:59.999999",
+      "2024-01-15 10:09:59.999999"]
 USERS = [None, 77001, 77002, 77003, -1, -(2**63)]
 ETYPES = [None, "click", "purchase", "view", "", "vïew", "ß"]
 PROPS = [None, '{"k": 7}', '{"k": 3,}', '{"k": "7"}', '{"k": 1.7}',
          '{"s": "ß,}💥"}', '{"s": "a\\"b,}"}', "not json at all", ""]
 TEXTS = [None, "", " ", "the the the the the", "ß💥ïç",
          "a" * 400, "word " * 50, "Tab\there\nand newline",
-         "ASCII only simple text with words and more words here"]
+         "ASCII only simple text with words and more words here",
+         # length extremes: a ~200 KB doc (chunking/fingerprinting/
+         # tfidf/BPE walk the whole string; Arrow batches carry it)
+         ("lorem ipsum dolor sit amet " * 8000),
+         ("z" * 100_000)]
 LANGS = [None, "en", "de", "", "zz"]
 SOURCES = [None, "web", "book", "", "ẅeb"]
 SEGMENTS = [None, "BUILDING", "AUTOMOBILE", "", "COMPßẞ"]
