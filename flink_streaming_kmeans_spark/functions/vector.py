@@ -305,7 +305,13 @@ def sql_dbl2dec(expr: str, prec: int = 30) -> str:
     and unreachable territory for the defect. NULL/NaN/±inf take the
     ELSE branch unchanged (abs(NULL)<k is NULL; NaN/inf compare
     false). Pinned against the live DuckDB in
-    tests/test_degenerate_naninf.py."""
+    tests/test_degenerate_naninf.py.
+
+    CONSTRAINT: ``expr`` must be deterministic — it is interpolated
+    TWICE into the generated SQL (the CASE guard and the ELSE branch),
+    so a non-deterministic or side-effecting expression would evaluate
+    independently in each and silently fork. Every current caller
+    passes pure column arithmetic."""
     clamp = f"CASE WHEN abs(({expr})) < 5e-7 THEN 0.0 ELSE ({expr}) END"
     return f"CAST(CAST(({clamp}) AS STRING) AS DECIMAL({prec},6))"
 

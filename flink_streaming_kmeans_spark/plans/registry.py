@@ -58,23 +58,22 @@ def register(name: str, oracle: str | None = None):
 # explicitly ordered this rotation; this list is the CANONICAL rotation
 # plan — module docstrings defer here).
 #
-# Round-9 window (executes the round-8 verdict task 1 — the r9 plan
-# exactly as written there and in the r8 registry comment):
-#   joins(13, re-confirming the 4 — inner/broadcast/left/full — that
-#   closed the r8 window) + aggs(14) + approx_cd(1 — rejoins its aggs
-#   window-mates; the module stays separate, just ordered adjacent)
-#   + setops(4) + oldest re-confirms: sketches(4) + coverage(10)
-#   + corpus(first 4) = 50 exactly. This refreshes the r5-era driver
-#   rows (joins/aggs/setops) and the oldest r6 rows (sketches/
-#   coverage/corpus head) so after this window every query's newest
-#   driver row is r6+ and the ≤2-generation rotation law holds.
-#
-# Round-10 plan (prepped now, oldest-first per the rotation law):
-#   corpus(15, re-confirming the 4 that close the r9 window) +
+# Round-10 window (executes the round-9 verdict task 1 — the r10 plan
+# exactly as prepped in the r9 registry comment):
+#   corpus(15, re-confirming the 4 that closed the r9 window) +
 #   streams(10) + events(9) + udf(4) + streaming_ext(1) +
 #   lakehouse(5) + windows(first 6) = 50 exactly — refreshing the
-#   r6-era corpus-tail/streams/events rows and the r7-era
-#   udf/streaming_ext/lakehouse/windows-head rows.
+#   r6-era corpus-tail/streams/events rows (the 29 queries the
+#   rotation-law freshness clause flags once CORRECTNESS_r09.json is
+#   committed) and the r7-era udf/streaming_ext/lakehouse/windows-head
+#   rows.
+#
+# Round-11 plan (prepped now, oldest-first per the rotation law):
+#   windows(9, re-confirming the 6 that close the r10 window) +
+#   relational(9) + scalars(9) + ml(4) + llm(13) + textops(first 6)
+#   = 50 exactly — refreshing the r7-era windows-tail/relational/
+#   scalars/ml rows and the r8-era llm rows, with textops(head)
+#   starting the r8 re-sweep.
 #
 # ROTATION LAW (steady state from r9 on): every registered query gets
 #   a driver-recorded hash row at most TWO testdata generations old.
@@ -95,7 +94,10 @@ def register(name: str, oracle: str | None = None):
 #   has at least one driver-recorded green row (163/163 cumulative);
 #   r8 window = llm(13) + textops(16) + training(6) + quality(2) +
 #   scans(6) + filters(3) + joins(first 4), 50/50 hash with zero err
-#   in CORRECTNESS_r08.json. The rotation law above is pinned
+#   in CORRECTNESS_r08.json; r9 window = joins(13) + aggs(14) +
+#   approx_cd(1) + setops(4) + sketches(4) + coverage(10) +
+#   corpus(first 4), 49/49 hash + q_emb_pca rows-tier clean in
+#   CORRECTNESS_r09.json. The rotation law above is pinned
 #   mechanically in tests/test_rotation_law.py against the committed
 #   CORRECTNESS_r0*.json set.
 #
@@ -106,19 +108,13 @@ def register(name: str, oracle: str | None = None):
 # semantics depend on it (verified by the full preflight sweep each
 # round).
 _MODULES = [
-    "joins",
-    "aggs",
-    "approx_cd",  # ordered with aggs per the r9 window above.
-    "setops",
-    "sketches",
-    "coverage",
     "corpus",
     "streams",
     "events",
     "udf",
     "streaming_ext",
     "lakehouse",
-    "windows",
+    "windows",  # first 6 complete the r10 window; tail 3 lead r11.
     "relational",
     "scalars",
     "ml",
@@ -128,6 +124,12 @@ _MODULES = [
     "quality",
     "scans",
     "filters",
+    "joins",
+    "aggs",
+    "approx_cd",  # stays ordered with aggs (r9 window pairing).
+    "setops",
+    "sketches",
+    "coverage",
 ]
 
 

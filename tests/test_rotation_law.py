@@ -28,8 +28,9 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 
-REPO = "/root/repo"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW_SIZE = 50  # the driver records the first 50 registration-ordered queries
 WINDOW_SPAN = 4  # windows per full rotation sweep ≈ two testdata generations
 
