@@ -126,7 +126,13 @@ def run_available_now(
     When ``spark`` is given, the query starts (creating its
     state-store layout) under a scoped shuffle-partition count sized
     for these bounded drives — see session.scoped_shuffle_partitions
-    for the measurement and the production-sizing note."""
+    for the measurement and the production-sizing note.
+
+    Returns the TERMINATED StreamingQuery so callers (the single-scan
+    plan pin in tests/test_streaming.py, r9 verdict task 4) can read
+    executed-run evidence — ``recentProgress[*].sources`` is one entry
+    per physical streaming source the run actually scanned, which is
+    stronger than any pre-start plan inspection."""
     import contextlib
 
     scope = (
@@ -144,6 +150,7 @@ def run_available_now(
             raise RuntimeError(
                 f"{name}: streaming query exceeded {timeout} s"
             )
+        return q
 
 
 def append_batch(df: DataFrame, in_dir: str, k: int) -> str:

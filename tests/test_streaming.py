@@ -1169,13 +1169,18 @@ def test_stream_sentinel_and_identity_laws(spark, registry, tmp_path):
 
 
 def test_stream_dedup_single_streaming_scan(spark, monkeypatch):
-    """r8 verdict task 4: the law-49 NULL-identity handling must not
+    """r8/r9 verdict task 4: the law-49 NULL-identity handling must not
     pay a second streaming scan. The old shape unioned two branches of
     the readStream (dedup(not-null) + passthrough(null)) — two
     FileStreamSources, +1.4 s at sf0.1; the surrogate-key shape routes
     both classes through ONE source and ONE dedup state store. Pinned
-    by counting StreamingRelation nodes in the started query's logical
-    plan (the executed shape, not the source text)."""
+    at BOTH layers: StreamingRelation count in the started query's
+    logical plan (the shape about to execute) AND the terminated
+    query's own progress events (the shape that DID execute — every
+    progress row lists one ``sources`` entry per physical streaming
+    source scanned that trigger, and their summed numInputRows must
+    equal the replayed input including the injected duplicates, so the
+    metric cannot be a vacuous empty-run artifact)."""
     from flink_streaming_kmeans_spark.plans import streams as S
 
     seen = {}
@@ -1183,13 +1188,37 @@ def test_stream_dedup_single_streaming_scan(spark, monkeypatch):
 
     def spy(writer, name, spark=None, **kw):
         plan = writer._df._jdf.queryExecution().logical().toString()
-        seen[name] = plan.count("StreamingRelation")
-        return real(writer, name, spark, **kw)
+        q = real(writer, name, spark, **kw)
+        seen[name] = {
+            "logical_sources": plan.count("StreamingRelation"),
+            "executed_sources": {
+                len(p["sources"]) for p in q.recentProgress
+            },
+            "input_rows": sum(
+                src["numInputRows"]
+                for p in q.recentProgress
+                for src in p["sources"]
+            ),
+        }
+        return q
 
     monkeypatch.setattr(S, "_run_available_now", spy)
     df = S.q_stream_dedup(spark, SF_SMOKE)
-    assert df.count() > 0
-    assert seen.get("q_stream_dedup") == 1, (
-        f"q_stream_dedup scans its stream {seen.get('q_stream_dedup')} "
-        f"times; the single-scan surrogate-key shape scans once"
+    out_rows = df.count()
+    assert out_rows > 0
+    got = seen.get("q_stream_dedup")
+    assert got and got["logical_sources"] == 1, (
+        f"q_stream_dedup plans {got} streaming scans; the single-scan "
+        f"surrogate-key shape scans once"
+    )
+    # Executed evidence: every trigger that ran read from exactly ONE
+    # streaming source (a second readStream branch would list two
+    # sources per progress event), and the run consumed more rows than
+    # it emitted (the injected event_id%7 duplicates were real input).
+    assert got["executed_sources"] == {1}, (
+        f"executed progress shows source counts {got['executed_sources']}"
+    )
+    assert got["input_rows"] > out_rows, (
+        f"run consumed {got['input_rows']} rows vs {out_rows} emitted — "
+        f"the duplicate-injection drive should consume strictly more"
     )
