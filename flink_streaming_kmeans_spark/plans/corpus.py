@@ -1146,7 +1146,19 @@ def q_tpch_q18(spark, sf_dir):
     — at 100 TB the semi side is the tiny qualifying tail, so AQE
     turns it into a broadcast semi join and the fact is scanned
     exactly twice (once to find big orders, once to report them);
-    quantities sum through the exact-decimal dsum on both passes."""
+    quantities sum through the exact-decimal dsum on both passes.
+
+    Hot-orderkey skew (SCALE.md r10, measured at the x100 rung): this
+    CHAINED shape — the o⋈li SMJ consuming the semi join's output on
+    the same key — is structurally outside OptimizeSkewedJoin's
+    pattern (both join inputs must be fresh shuffle stages), so a
+    planted 30%-hot orderkey cannot be split while the semi stays SMJ.
+    The broadcast semi (AQE's own plan at real scale) restores
+    splittability: skew=true fires and the per-join-output-row ratio
+    caps at x1.31. The residual is small either way because the
+    groupBy's map-side combine collapses the hot order's joined rows
+    before the final shuffle. Regression gate:
+    tools/skew_probe.py --q18 (q18_skew_curve)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")

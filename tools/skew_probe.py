@@ -250,10 +250,155 @@ def aqe_skew_split_fires(spark, skewed_dir: str) -> bool:
                 spark.conf.set(k, v)
 
 
+def q18_skew_curve(spark, uniform: str, skewed: str) -> dict:
+    """r9 verdict task 3: the q18 hot-orderkey threshold/benefit curve.
+
+    Three measured configurations of the SAME q18 semantics on the
+    x100 rung, executed via the DataFrame's OWN queryExecution
+    (toRdd().count() — a noop write would execute a separate plan and
+    read `isFinalPlan=false`, the trap this comment exists for):
+
+    1. `default`   — the registered query, stock config.
+    2. `scoped`    — the registered query + locally-scoped skew/advisory
+       thresholds. FINDING (structural, not a threshold problem):
+       OptimizeSkewedJoin can NEVER fire on the registered shape at any
+       threshold, because it pattern-matches SMJ(shuffle-stage,
+       shuffle-stage) and q18 CHAINS same-key joins — the hot o⋈li
+       SMJ's left input is the semi join's output (Catalyst reuses the
+       o_orderkey partitioning; normally a free-shuffle win). The
+       scoped ADVISORY size still caps the ratio: the 70% non-hot
+       volume coalesces into many more reduce partitions that overlap
+       the hot key's single task.
+    3. `bcast_semi` — the semi side broadcast (the plan AQE's runtime
+       stats produce at real scale, where the qualifying tail is tiny
+       relative to memory; locally AQE sees the semi build's
+       PRE-aggregation map output and keeps it SMJ). Breaking the
+       chain makes both SMJ inputs fresh shuffle stages and
+       OptimizeSkewedJoin FIRES (`skew=true` asserted) — the direct
+       evidence for the registered docstring's 100 TB claim.
+
+    The residual skewed/uniform wall ratio is normalized by JOIN
+    OUTPUT volume (the hot order QUALIFIES, so the skewed dir pushes
+    genuinely more rows through the join+partial-agg — that part is
+    work, not straggle). Pass criteria: bcast_semi fires skew=true on
+    the skewed dir, and the best config's volume-normalized ratio is
+    <= ~2."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.functions.vector import dsum, dsumr
+    from flink_streaming_kmeans_spark.plans.registry import QUERIES
+
+    def q18_bcast_semi(spark, sf_dir):
+        c = load_table(spark, sf_dir, "customer")
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(dsumr("l_quantity").alias("q"))
+            .where(F.col("q") > 180)
+            .select(F.col("l_orderkey").alias("o_orderkey"))
+        )
+        j = (
+            o.join(F.broadcast(big), "o_orderkey", "semi")
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        )
+        return j.groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+        ).agg(dsum(F.col("l_quantity"), "total_qty"))
+
+    def join_volume(d):
+        o = load_table(spark, d, "orders")
+        li = load_table(spark, d, "lineitem")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(dsumr("l_quantity").alias("q"))
+            .where(F.col("q") > 180)
+            .select(F.col("l_orderkey").alias("o_orderkey"))
+        )
+        return (
+            o.join(big, "o_orderkey", "semi")
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .count()
+        )
+
+    def timed(fn, d, reps=2):
+        best, plan = float("inf"), ""
+        for _ in range(reps):
+            t0 = _t.perf_counter()
+            df = fn(spark, d)
+            df._jdf.queryExecution().toRdd().count()
+            dt = _t.perf_counter() - t0
+            if dt < best:
+                best = dt
+                plan = df._jdf.queryExecution().executedPlan().toString()
+        return best, plan.count("skew=true")
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    reg = QUERIES["q_tpch_q18"]
+    out = {"join_rows": {}, "configs": {}}
+    for tag, d in (("uniform", uniform), ("skewed", skewed)):
+        out["join_rows"][tag] = join_volume(d)
+    vol = out["join_rows"]["skewed"] / max(out["join_rows"]["uniform"], 1)
+    try:
+        for cfg, fn in (("default", reg), ("scoped", reg),
+                        ("bcast_semi", q18_bcast_semi)):
+            if cfg != "default":
+                for k, v in tuned.items():
+                    spark.conf.set(k, v)
+            t_u, _ = timed(fn, uniform)
+            t_s, skew_nodes = timed(fn, skewed)
+            raw = t_s / max(t_u, 1e-9)
+            out["configs"][cfg] = {
+                "uniform_s": round(t_u, 1),
+                "skewed_s": round(t_s, 1),
+                "ratio": round(raw, 2),
+                "ratio_per_join_row": round(raw / vol, 2),
+                "skew_split_fired": skew_nodes > 0,
+            }
+            print(
+                f"q18[{cfg:10s}] uniform {t_u:6.1f}s -> skewed {t_s:6.1f}s "
+                f"x{raw:.2f} (per-join-row x{raw / vol:.2f}) "
+                f"skew_split={skew_nodes > 0}",
+                flush=True,
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    out["volume_ratio"] = round(vol, 2)
+    out["ok"] = (
+        out["configs"]["bcast_semi"]["skew_split_fired"]
+        and min(c["ratio_per_join_row"] for c in out["configs"].values()) <= 2.0
+    )
+    return out
+
+
 def main() -> int:
-    uniform = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fsk_u10"
-    skewed = sys.argv[2] if len(sys.argv) > 2 else "/tmp/fsk_k10"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    uniform = args[0] if args else "/tmp/fsk_u10"
+    skewed = args[1] if len(args) > 1 else "/tmp/fsk_k10"
     queries, _ = collect()
+    if "--q18" in sys.argv:
+        # Just the q18 threshold/benefit curve (r9 verdict task 3) —
+        # meant for the x100 dirs, where the chained-vs-broadcast-semi
+        # split behavior is visible.
+        spark = get_spark("skew_probe_q18")
+        curve = q18_skew_curve(spark, uniform, skewed)
+        print(json.dumps({"q18_skew_curve": curve}))
+        return 0 if curve["ok"] else 1
     unknown = [q for q in PROBES if q not in queries]
     if unknown:
         print(f"unknown probe queries: {unknown}", file=sys.stderr)
