@@ -49,7 +49,17 @@ NAN, PINF, NINF = float("nan"), float("inf"), float("-inf")
 # Degenerate alphabets (the test_degenerate_fuzz classes, plain-Python
 # so random.Random drives the draw instead of hypothesis).
 VALUES = [None, NAN, PINF, NINF, 0.0, -0.0, 1.5, -7.25,
-          1e10, 2.5e12, 9.5e15, 1e-7, 1e30]
+          1e10, 2.5e12, 9.5e15, 1e-7, 1e30,
+          # r10 axis: representation boundaries. 2^53±2 straddle the
+          # double exact-integer ceiling; 1e18-scale values stress the
+          # DECIMAL(30,6) integer digits without crossing the law-46
+          # mutual-rejection line at 1e24; ±5e-7 / 4.9e-7 sit exactly
+          # on the law-51 half-quantum rounding boundary the r9 arm
+          # found (the clamp must be a no-op for values at the
+          # boundary and exact for values below it).
+          9007199254740992.0, 9007199254740994.0,
+          999999999999999999.999999, -999999999999999999.999999,
+          5e-7, -5e-7, 4.9e-7]
 TS = [None,
       "2024-01-15 10:00:00", "2024-01-15 10:00:01", "2024-01-16 23:59:59",
       "1970-01-02 00:00:00", "1970-01-01 23:59:59",
@@ -59,20 +69,40 @@ TS = [None,
       "2024-01-15 10:00:00.000001", "2024-01-15 09:59:59.999999",
       "2024-01-15 10:09:59.999999"]
 USERS = [None, 77001, 77002, 77003, -1, -(2**63)]
-ETYPES = [None, "click", "purchase", "view", "", "vïew", "ß"]
+ETYPES = [None, "click", "purchase", "view", "", "vïew", "ß",
+          # r10 astral axis: every char below is OUTSIDE the BMP
+          # (UTF-16 surrogate pairs on the JVM, 4-byte UTF-8 in
+          # DuckDB/Arrow) or a combining-mark normalization trap —
+          # grouping, upper/lower, length, and regex must agree on
+          # code POINTS, not code units or grapheme clusters.
+          "𝔠𝔩𝔦𝔠𝔨", "👩‍👩‍👧‍👧", "évent", "évent"]
 PROPS = [None, '{"k": 7}', '{"k": 3,}', '{"k": "7"}', '{"k": 1.7}',
-         '{"s": "ß,}💥"}', '{"s": "a\\"b,}"}', "not json at all", ""]
+         '{"s": "ß,}💥"}', '{"s": "a\\"b,}"}', "not json at all", "",
+         # r10 astral axis: astral values AND an astral KEY (JSON path
+         # extraction must treat both as opaque code points)
+         '{"k": "👩‍👩‍👧‍👧"}', '{"𝑘": 1}']
 TEXTS = [None, "", " ", "the the the the the", "ß💥ïç",
          "a" * 400, "word " * 50, "Tab\there\nand newline",
          "ASCII only simple text with words and more words here",
          # length extremes: a ~200 KB doc (chunking/fingerprinting/
          # tfidf/BPE walk the whole string; Arrow batches carry it)
          ("lorem ipsum dolor sit amet " * 8000),
-         ("z" * 100_000)]
+         ("z" * 100_000),
+         # r10 astral axis: shingling/chunking/tokenizing walk these
+         # by code point; a UTF-16-code-unit slicer would split a
+         # surrogate pair and fork every downstream hash. The
+         # decomposed/composed pair ("e" + U+0301 vs U+00E9) must NOT
+         # collapse (neither engine normalizes); the ZWJ family is one
+         # grapheme but FIVE code points wide.
+         "𐍈𝕊𝕡𝕒𝕣𝕜 𝔡𝔬𝔠 " * 40,
+         "👩‍👩‍👧‍👧 family 👨‍👩‍👧 emoji 🏳️‍🌈 flags",
+         "café café café café",
+         ("𝕒" * 300) + " " + ("😀" * 200)]
 LANGS = [None, "en", "de", "", "zz"]
-SOURCES = [None, "web", "book", "", "ẅeb"]
-SEGMENTS = [None, "BUILDING", "AUTOMOBILE", "", "COMPßẞ"]
-NAMES = [None, "", "dup-name", "ünïcode-name", "x" * 120]
+SOURCES = [None, "web", "book", "", "ẅeb", "𝚠𝚎𝚋"]
+SEGMENTS = [None, "BUILDING", "AUTOMOBILE", "", "COMPßẞ", "𝔅𝔘𝔦𝔩𝔡"]
+NAMES = [None, "", "dup-name", "ünïcode-name", "x" * 120,
+         "𝒹𝓊𝓅-𝓃𝒶𝓂𝑒", "👨‍👩‍👧 name", "namé"]
 DATES = [None, "1996-01-01", "0001-01-01", "9999-12-31", "1996-03-02"]
 FLAGS = [None, "N", "R", "A", ""]
 
