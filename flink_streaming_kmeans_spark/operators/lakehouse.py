@@ -50,6 +50,12 @@ from pyspark.sql import functions as F
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
+# Hive's on-disk name for the NULL partition. Spark does NOT escape
+# this marker when a real string value equals it — such a row lands in
+# the NULL directory and reads back NULL (r10 partition-value probe,
+# SCALE.md). The lake therefore RESERVES the literal: writes reject it
+# loudly instead of corrupting silently.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _LATEST = "_latest"
 
 
@@ -138,6 +144,21 @@ def _stage_and_collect(
 
     if isinstance(df.schema[pcol].dataType, StringType):
         df = df.withColumn(pcol, F.nullif(F.col(pcol), F.lit("")))
+        # Reserved marker (r10 probe): a DATA value equal to Hive's
+        # NULL-directory name is unrepresentable in the layout — Spark
+        # writes it unescaped into the same directory NULL uses and
+        # discovery reads it back NULL. '' has a declared NULL
+        # equivalence (law 50); the marker literal does NOT — it is a
+        # real string silently becoming NULL, a corruption class, so
+        # the write fails loudly instead (limit-1 probe, pushed to the
+        # scan, negligible next to the write itself).
+        if not df.where(F.col(pcol) == _HIVE_NULL).isEmpty():
+            raise ValueError(
+                f"partition column {pcol!r} carries the reserved Hive "
+                f"NULL marker {_HIVE_NULL!r} as a data value; the "
+                f"Hive layout cannot represent it (it would read back "
+                f"as NULL)"
+            )
     stage = os.path.join(root, f"_stage-{uuid.uuid4().hex}")
     df.write.partitionBy(pcol).mode("overwrite").parquet(stage)
     entries: list[dict] = []
@@ -447,8 +468,7 @@ def merge_cow(
     # and duplicate their rows.
     touched = list(
         dict.fromkeys(
-            "__HIVE_DEFAULT_PARTITION__" if t is None or t == "" else t
-            for t in touched
+            _HIVE_NULL if t is None or t == "" else t for t in touched
         )
     )
     target_touched = read_table(

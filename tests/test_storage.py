@@ -130,3 +130,89 @@ def test_zorder_layout_tightens_both_column_spans(spark, registry):
         assert x["y"] > z["y"], (x, z)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_partition_value_laws(spark):
+    """r10 partition-value probe (SCALE.md): what survives a Hive-layout
+    partitionBy round trip, pinned in four clauses so an upstream
+    escaping change in Spark fails loudly here instead of silently
+    shifting the lake contract.
+
+    1. EXACT round-trip for the hostile-but-representable classes:
+       astral/surrogate-pair, ZWJ sequences, NFC vs NFD (distinct code
+       points stay distinct — no engine-side normalization), path
+       metachars (/ \\ .. . = % # space tab newline), CJK/RTL — Spark
+       percent-escapes them into the directory name and unescapes on
+       discovery.
+    2. '' collapses to NULL (law 50 — the layout cannot carry the
+       distinction; the lake normalizes at the write boundary).
+    3. The literal string __HIVE_DEFAULT_PARTITION__ ALSO collapses to
+       NULL at the raw layer (Spark does not escape its own marker) —
+       and clause 4 is the reason that cannot be a silent lake law.
+    4. The lakehouse writer REJECTS the marker literal loudly
+       (reserved value) instead of corrupting it to NULL.
+    """
+    import os
+    import tempfile
+
+    from flink_streaming_kmeans_spark.operators.lakehouse import (
+        _HIVE_NULL,
+        create_table,
+    )
+
+    exact = [
+        "\U0001d504stral",                     # astral fraktur
+        "\U0001f469‍\U0001f469‍\U0001f467",  # ZWJ family
+        "caf\u00e9", "cafe\u0301",   # NFC vs NFD — distinct
+        "a/b", "a\\b", "..", ".", "a b", "a\tb", "a\nb",
+        "a=b", "a%2Fb", "%", "#", "中文", "مر",
+    ]
+    rows = [(i, v, 1.0) for i, v in enumerate(exact)]
+    rows.append((900, "", 1.0))
+    rows.append((901, _HIVE_NULL, 1.0))
+    df = spark.createDataFrame(rows, "id bigint, pval string, qty double")
+    d = tempfile.mkdtemp(prefix="fsk_pvlaw_")
+    try:
+        df.write.partitionBy("pval").mode("overwrite").parquet(d)
+        back = spark.read.schema("id bigint, qty double, pval string").parquet(d)
+        got = {r.id: r.pval for r in back.collect()}
+        assert len(got) == len(rows)
+        for i, v in enumerate(exact):
+            assert got[i] == v, (i, v, got[i])
+        assert got[900] is None           # law 50
+        assert got[901] is None           # the unescaped marker
+        # distinctness on disk: NFC and NFD wrote separate directories
+        dirs = {n for n in os.listdir(d) if n.startswith("pval=")}
+        assert len(dirs) >= len(exact)    # +1 shared NULL dir for 900/901
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    # clause 4: the lake's write boundary reserves the marker
+    bad = spark.createDataFrame(
+        [(1, _HIVE_NULL, 1.0)], "id bigint, pval string, qty double"
+    )
+    root = tempfile.mkdtemp(prefix="fsk_pvlaw_lake_")
+    try:
+        with pytest.raises(ValueError, match="reserved Hive"):
+            create_table(bad, root, "pval")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def test_partition_value_length_limit_fails_loudly(spark):
+    """A partition value longer than the filesystem's 255-byte name
+    budget must fail the WRITE loudly (it does — ext4 rejects the
+    directory name), never truncate: at 100 TB the deployment rule is
+    to bound partition-key cardinality AND width up front. UTF-8
+    counts bytes, not chars — 300 astral chars is 1200 bytes."""
+    import tempfile
+
+    df = spark.createDataFrame(
+        [(1, "x" * 300, 1.0)], "id bigint, pval string, qty double"
+    )
+    d = tempfile.mkdtemp(prefix="fsk_pvlen_")
+    try:
+        with pytest.raises(Exception):
+            df.write.partitionBy("pval").mode("overwrite").parquet(d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
