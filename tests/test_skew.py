@@ -161,3 +161,78 @@ def test_bucketed_time_range_rewrite_is_identical(spark, registry, skewed_sf):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_chained_same_key_join_blocks_skew_split(spark):
+    """The q18 structural finding (SCALE.md r10), pinned at pytest
+    scale: OptimizeSkewedJoin pattern-matches
+    SMJ(sort(shuffle-stage), sort(shuffle-stage)), so a join whose
+    input is ANOTHER join's output on the same key (Catalyst's
+    partitioning reuse — one fewer shuffle) is skew-UNSPLITTABLE at
+    any threshold; breaking the chain by broadcasting the first join
+    restores the pattern and the split fires. Both arms run the same
+    data and thresholds — the plan shape is the only variable."""
+    from pyspark.sql import functions as F
+
+    from test_plans import plan_of
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+
+    def fact_and_dims():
+        # hot key 7 owns 200k of 300k fact rows (the synthetic twin of
+        # the skewed fixture's 30% head key, scaled for pytest)
+        fact = spark.range(300_000).select(
+            F.when(F.col("id") < 200_000, F.lit(7))
+            .otherwise((F.col("id") % 999) + 10)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(2_000).select(
+            (F.col("id") % 1100).alias("k"), F.col("id").alias("w")
+        )
+        # tiny same-key filter table (q18's `big` analog)
+        keep = spark.range(1_200).select(F.col("id").alias("k"))
+        return fact, dim, keep
+
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+
+        # Arm 1 — CHAINED: dim ⋈semi keep on k, then ⋈ fact on k. The
+        # inner join's left side reuses the semi join's partitioning →
+        # not a fresh shuffle stage → no split, despite the identical
+        # hot key and thresholds.
+        # NB: .count() would execute a SEPARATE queryExecution and
+        # leave these plans un-finalized (isFinalPlan=false, vacuously
+        # skew-free) — execute the df's OWN plan via toRdd().
+        fact, dim, keep = fact_and_dims()
+        chained = dim.join(keep, "k", "semi").join(fact, "k")
+        n1 = chained._jdf.queryExecution().toRdd().count()
+        p1 = plan_of(chained)
+        assert "isFinalPlan=false" not in p1
+        assert "skew=true" not in p1, (
+            "chained same-key join unexpectedly split — if Spark "
+            "gained this ability, the q18 SCALE.md story needs updating"
+        )
+
+        # Arm 2 — UNCHAINED: broadcast the semi, so the fact join's
+        # sides are both fresh exchanges → the split fires.
+        fact, dim, keep = fact_and_dims()
+        unchained = dim.join(F.broadcast(keep), "k", "semi").join(fact, "k")
+        n2 = unchained._jdf.queryExecution().toRdd().count()
+        p2 = plan_of(unchained)
+        assert "isFinalPlan=false" not in p2
+        assert "skew=true" in p2, p2
+        assert n1 == n2 and n1 > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
