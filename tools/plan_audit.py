@@ -95,6 +95,14 @@ DOCUMENTED = {
 
 
 def audit_one(name, df):
+    # NB: df may be UN-executed here — for an AdaptiveSparkPlan this
+    # string is then the initial plan (isFinalPlan=false). That is
+    # fine for every flag below (BNLJ/CARTESIAN/ROW_PYTHON/ReadSchema
+    # are static-plan properties), but DO NOT add checks for runtime
+    # AQE markers (skew=true, coalesced, demoted joins) without first
+    # executing the df's own queryExecution (toRdd().count(); a noop
+    # write or .count() finalizes a DIFFERENT queryExecution — see
+    # skew_probe.q18_skew_curve and the r10 SCALE.md trap note).
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_exchange = len(re.findall(r"\bExchange\b", plan))
     n_bcast = len(re.findall(r"BroadcastExchange", plan))
