@@ -150,15 +150,26 @@ def _stage_and_collect(
         # discovery reads it back NULL. '' has a declared NULL
         # equivalence (law 50); the marker literal does NOT — it is a
         # real string silently becoming NULL, a corruption class, so
-        # the write fails loudly instead (limit-1 probe, pushed to the
-        # scan, negligible next to the write itself).
-        if not df.where(F.col(pcol) == _HIVE_NULL).isEmpty():
-            raise ValueError(
-                f"partition column {pcol!r} carries the reserved Hive "
-                f"NULL marker {_HIVE_NULL!r} as a data value; the "
-                f"Hive layout cannot represent it (it would read back "
-                f"as NULL)"
-            )
+        # the write fails loudly. The guard rides INSIDE the write's
+        # own job as an always-true filter over assert_true (NULL-safe
+        # via the isNull disjunct) — zero extra passes; the first
+        # draft's pre-write limit-1 probe re-ran the staged plan's
+        # whole lineage, which at 100 TB doubles the merge compute
+        # (and cost a visible +0.25 s on q_lake_delete/compact at
+        # sf0.1). assert_true returns NULL when it passes, so the
+        # .isNull() filter keeps every row and the optimizer cannot
+        # prune the check expression away.
+        df = df.where(
+            F.assert_true(
+                F.col(pcol).isNull() | (F.col(pcol) != F.lit(_HIVE_NULL)),
+                F.lit(
+                    f"partition column {pcol!r} carries the reserved "
+                    f"Hive NULL marker {_HIVE_NULL!r} as a data value; "
+                    f"the Hive layout cannot represent it (it would "
+                    f"read back as NULL)"
+                ),
+            ).isNull()
+        )
     stage = os.path.join(root, f"_stage-{uuid.uuid4().hex}")
     df.write.partitionBy(pcol).mode("overwrite").parquet(stage)
     entries: list[dict] = []

@@ -187,16 +187,38 @@ def test_partition_value_laws(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
-    # clause 4: the lake's write boundary reserves the marker
+    # clause 4: the lake's write boundary reserves the marker — the
+    # in-write assert_true guard surfaces as a Spark job failure
+    # carrying the reserved-marker message (not a driver-side
+    # ValueError: the guard deliberately rides inside the write job,
+    # zero extra passes).
     bad = spark.createDataFrame(
         [(1, _HIVE_NULL, 1.0)], "id bigint, pval string, qty double"
     )
     root = tempfile.mkdtemp(prefix="fsk_pvlaw_lake_")
     try:
-        with pytest.raises(ValueError, match="reserved Hive"):
+        with pytest.raises(Exception, match="reserved Hive"):
             create_table(bad, root, "pval")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+    # and the guard must NOT fire on legitimate NULL / '' / normal rows
+    ok = spark.createDataFrame(
+        [(1, None, 1.0), (2, "", 1.0), (3, "A", 1.0)],
+        "id bigint, pval string, qty double",
+    )
+    root2 = tempfile.mkdtemp(prefix="fsk_pvlaw_lake2_")
+    try:
+        create_table(ok, root2, "pval")
+        from flink_streaming_kmeans_spark.operators.lakehouse import read_table
+
+        back = read_table(spark, root2)
+        vals = sorted(
+            (r.pval if r.pval is not None else "<N>") for r in back.collect()
+        )
+        assert vals == ["<N>", "<N>", "A"]  # ''→NULL (law 50) + A
+    finally:
+        shutil.rmtree(root2, ignore_errors=True)
 
 
 def test_partition_value_length_limit_fails_loudly(spark):
