@@ -255,3 +255,45 @@ def test_events_ts_physical_form_invariance(spark, registry, tmp_path):
         shutil.rmtree(d, ignore_errors=True)
     assert hashes["ns"] == hashes["us_ltz"] == hashes["us_ntz"], hashes
     assert hashes["ns"][0] > 0  # non-vacuous
+
+
+def test_encoding_variant_parity(spark, registry):
+    """Per-commit gate for the storage-encoding axis (SCALE.md r10):
+    the full 3x167 sweep is the CLI run (tools/make_encoded_dir.py +
+    preflight); this pins a fast representative slice — the two most
+    decode-divergent variants (no-dictionary plain encoding and
+    1000-row row groups) against consumers spanning the physical
+    forms that matter: events (the ns/us timestamp variance), text
+    aggregation, lineitem decimals-through-doubles, and embeddings
+    (list<float> columns)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from make_encoded_dir import build
+
+    from oracle import check_parity, make_duckdb
+
+    queries, oracles = registry
+    probes = ["q_win_tumble", "q_text_stats", "q_agg_q1", "q_emb_normalize"]
+    for variant in ("gzip_nodict", "tiny_groups"):
+        d = tempfile.mkdtemp(prefix=f"fsk_enc_{variant}_")
+        try:
+            build(SF_SMOKE, d, variant)
+            con = make_duckdb(d)
+            try:
+                for name in probes:
+                    r = check_parity(
+                        spark, con, name, queries[name], oracles[name], d
+                    )
+                    assert r.ok, f"{variant}/{name}: {r.detail}"
+            finally:
+                con.close()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
