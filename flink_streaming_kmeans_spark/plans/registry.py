@@ -58,22 +58,21 @@ def register(name: str, oracle: str | None = None):
 # explicitly ordered this rotation; this list is the CANONICAL rotation
 # plan — module docstrings defer here).
 #
-# Round-10 window (executes the round-9 verdict task 1 — the r10 plan
-# exactly as prepped in the r9 registry comment):
-#   corpus(15, re-confirming the 4 that closed the r9 window) +
-#   streams(10) + events(9) + udf(4) + streaming_ext(1) +
-#   lakehouse(5) + windows(first 6) = 50 exactly — refreshing the
-#   r6-era corpus-tail/streams/events rows (the 29 queries the
-#   rotation-law freshness clause flags once CORRECTNESS_r09.json is
-#   committed) and the r7-era udf/streaming_ext/lakehouse/windows-head
-#   rows.
-#
-# Round-11 plan (prepped now, oldest-first per the rotation law):
-#   windows(9, re-confirming the 6 that close the r10 window) +
+# Round-11 window (executes the round-10 verdict task 1 — the r11 plan
+# exactly as prepped in the r10 registry comment):
+#   windows(9, re-confirming the 6 that closed the r10 window) +
 #   relational(9) + scalars(9) + ml(4) + llm(13) + textops(first 6)
 #   = 50 exactly — refreshing the r7-era windows-tail/relational/
-#   scalars/ml rows and the r8-era llm rows, with textops(head)
-#   starting the r8 re-sweep.
+#   scalars/ml rows (the 23 queries the rotation-law freshness clause
+#   flags once CORRECTNESS_r10.json is committed) and the r8-era llm
+#   rows, with textops(head) starting the r8 re-sweep.
+#
+# Round-12 plan (prepped now, oldest-first per the rotation law):
+#   textops(16, re-confirming the 6 that close the r11 window) +
+#   training(6) + quality(2) + scans(6) + filters(3) + joins(13) +
+#   aggs(first 4) = 50 exactly — refreshing the r8-era textops-tail/
+#   training/quality/scans/filters rows and the r9-era joins rows,
+#   with aggs(head) starting the r9 re-sweep.
 #
 # ROTATION LAW (steady state from r9 on): every registered query gets
 #   a driver-recorded hash row at most TWO testdata generations old.
@@ -97,7 +96,10 @@ def register(name: str, oracle: str | None = None):
 #   in CORRECTNESS_r08.json; r9 window = joins(13) + aggs(14) +
 #   approx_cd(1) + setops(4) + sketches(4) + coverage(10) +
 #   corpus(first 4), 49/49 hash + q_emb_pca rows-tier clean in
-#   CORRECTNESS_r09.json. The rotation law above is pinned
+#   CORRECTNESS_r09.json; r10 window = corpus(15) + streams(10) +
+#   events(9) + udf(4) + streaming_ext(1) + lakehouse(5) +
+#   windows(first 6), 49/49 hash + q_kmeans_stream_reassign rows-tier
+#   clean in CORRECTNESS_r10.json. The rotation law above is pinned
 #   mechanically in tests/test_rotation_law.py against the committed
 #   CORRECTNESS_r0*.json set.
 #
@@ -108,18 +110,12 @@ def register(name: str, oracle: str | None = None):
 # semantics depend on it (verified by the full preflight sweep each
 # round).
 _MODULES = [
-    "corpus",
-    "streams",
-    "events",
-    "udf",
-    "streaming_ext",
-    "lakehouse",
-    "windows",  # first 6 complete the r10 window; tail 3 lead r11.
+    "windows",
     "relational",
     "scalars",
     "ml",
     "llm",
-    "textops",
+    "textops",  # first 6 complete the r11 window; tail 10 lead r12.
     "training",
     "quality",
     "scans",
@@ -130,6 +126,12 @@ _MODULES = [
     "setops",
     "sketches",
     "coverage",
+    "corpus",
+    "streams",
+    "events",
+    "udf",
+    "streaming_ext",
+    "lakehouse",
 ]
 
 

@@ -257,32 +257,35 @@ def test_events_ts_physical_form_invariance(spark, registry, tmp_path):
     assert hashes["ns"][0] > 0  # non-vacuous
 
 
-def test_encoding_variant_parity(spark, registry):
+def test_encoding_variant_parity(spark, registry, monkeypatch):
     """Per-commit gate for the storage-encoding axis (SCALE.md r10):
     the full 3x167 sweep is the CLI run (tools/make_encoded_dir.py +
-    preflight); this pins a fast representative slice — the two most
-    decode-divergent variants (no-dictionary plain encoding and
-    1000-row row groups) against consumers spanning the physical
-    forms that matter: events (the ns/us timestamp variance), text
-    aggregation, lineitem decimals-through-doubles, and embeddings
-    (list<float> columns)."""
+    preflight); this pins a fast representative slice — ALL THREE
+    writer regimes (zstd+pagev2, no-dictionary plain encoding,
+    1000-row row groups; r10 verdict task 5 closed the zstd gap)
+    against consumers spanning the physical forms that matter: events
+    (the ns/us timestamp variance), text aggregation, lineitem
+    decimals-through-doubles, and embeddings (list<float> columns)."""
     import os
-    import sys
 
-    sys.path.insert(
-        0,
+    # syspath_prepend auto-reverts at teardown — a bare sys.path.insert
+    # here would let tools/ modules shadow later tests' imports.
+    monkeypatch.syspath_prepend(
         os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "tools",
-        ),
+        )
     )
-    from make_encoded_dir import build
+    from make_encoded_dir import VARIANTS, build
 
     from oracle import check_parity, make_duckdb
 
     queries, oracles = registry
     probes = ["q_win_tumble", "q_text_stats", "q_agg_q1", "q_emb_normalize"]
-    for variant in ("gzip_nodict", "tiny_groups"):
+    assert set(VARIANTS) == {"zstd_v2", "gzip_nodict", "tiny_groups"}, (
+        "a new writer regime must be added to this per-commit gate too"
+    )
+    for variant in sorted(VARIANTS):
         d = tempfile.mkdtemp(prefix=f"fsk_enc_{variant}_")
         try:
             build(SF_SMOKE, d, variant)

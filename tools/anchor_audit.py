@@ -1,0 +1,102 @@
+"""SURVEY §5.8 anchor-drift audit (r10 verdict task 6).
+
+§5.8 maps every test-tier behavior (the semantics no row-hash oracle
+can see) to its pytest anchor. A renamed or deleted test silently
+un-anchors a behavior — the table keeps claiming coverage that no
+longer collects. This script re-derives the truth each round:
+
+    python tools/anchor_audit.py          # exit 0 = every anchor resolves
+
+It extracts every ``test_file.py`` / ``test_file.py::test_name`` token
+from the §5.8 table, runs ``pytest --collect-only -q`` (collection
+only — no Spark session, a few seconds), and fails listing:
+
+- ``::``-qualified anchors that no collected test id matches
+  (parametrized variants of the anchor count as a match), and
+- file-only anchors whose file collects zero tests.
+
+Run it in the standing per-round runbook right after the pytest lane.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def survey_anchors() -> list[str]:
+    """All pytest anchors named in the §5.8 table, in table order."""
+    text = open(os.path.join(REPO, "SURVEY.md")).read()
+    m = re.search(r"^### 5\.8 .*?(?=^### |^## )", text, re.M | re.S)
+    if not m:
+        raise SystemExit("SURVEY.md has no §5.8 section")
+    anchors: list[str] = []
+    for row in m.group(0).splitlines():
+        if not row.startswith("|") or "pytest anchor" in row:
+            continue
+        # one table cell may carry several anchors joined by " / " —
+        # "::name" shorthand continues the preceding file's anchor.
+        current_file = None
+        for tok in re.findall(r"(test_\w+\.py)?(::\w+)?", row):
+            f, t = tok
+            if f:
+                current_file = f
+                anchors.append(f + t if t else f)
+            elif t and current_file:
+                anchors.append(current_file + t)
+    return anchors
+
+
+def collected_ids() -> set[str]:
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests/"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    )
+    ids = {
+        line.strip()
+        for line in out.stdout.splitlines()
+        if "::" in line and not line.startswith(("=", "<"))
+    }
+    if not ids:
+        raise SystemExit(f"pytest collection produced no ids:\n{out.stdout[-2000:]}")
+    return ids
+
+
+def main() -> int:
+    anchors = survey_anchors()
+    ids = collected_ids()
+    files_with_tests = {i.split("::", 1)[0].rsplit("/", 1)[-1] for i in ids}
+    bare = {i.split("[", 1)[0] for i in ids}  # strip parametrize suffixes
+
+    unresolved = []
+    for a in anchors:
+        if "::" in a:
+            f, name = a.split("::", 1)
+            if f"tests/{f}::{name}" not in bare:
+                unresolved.append(a)
+        elif a not in files_with_tests:
+            unresolved.append(a)
+
+    qualified = sum("::" in a for a in anchors)
+    print(
+        f"§5.8 anchors: {len(anchors)} total "
+        f"({qualified} test-qualified, {len(anchors) - qualified} file-level); "
+        f"collected ids: {len(ids)}"
+    )
+    if unresolved:
+        print("UNRESOLVED anchors (renamed/deleted tests — fix §5.8 or the test):")
+        for a in unresolved:
+            print(f"  {a}")
+        return 1
+    print("all anchors resolve")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -57,8 +57,14 @@ VALUES = [None, NAN, PINF, NINF, 0.0, -0.0, 1.5, -7.25,
           # on the law-51 half-quantum rounding boundary the r9 arm
           # found (the clamp must be a no-op for values at the
           # boundary and exact for values below it).
+          # 1e18-scale: the double ulp here is 128, so NO value at
+          # this magnitude can carry a fraction — a ".999999" literal
+          # would silently round to the clean power of ten (r10 close
+          # ADVICE). 1e18 ± 2**10 are exactly representable (1024 is
+          # 8 ulps) and stress DECIMAL(30,6)'s integer digits with a
+          # non-round mantissa, which is what the axis really tests.
           9007199254740992.0, 9007199254740994.0,
-          999999999999999999.999999, -999999999999999999.999999,
+          1e18 + 2**10, -(1e18 + 2**10),
           5e-7, -5e-7, 4.9e-7]
 TS = [None,
       "2024-01-15 10:00:00", "2024-01-15 10:00:01", "2024-01-16 23:59:59",
