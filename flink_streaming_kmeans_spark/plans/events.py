@@ -33,6 +33,150 @@ from ..sources.loader import load_table
 from .registry import register
 
 
+def _with_yyjson_strict(ev):
+    """Law 53 (r11), Spark half: mirror yyjson's strictness where
+    Jackson is LENIENT, so both engines see the same validity set —
+    the Jackson∩yyjson intersection. Jackson's own leniencies (probed
+    r11, 79-doc battery, /tmp session probes → SCALE.md law 53):
+
+    - 53d lone surrogate escapes (``\\ud800`` unpaired): Jackson
+      extracts through them, yyjson declares the doc invalid.
+    - 53e raw control chars 0x00-0x1F inside strings (literal tab/
+      newline in a string VALUE): Jackson extracts, yyjson rejects.
+      DEL 0x7f is accepted by BOTH, so the scanned class stops at
+      0x1f.
+    - 53f trailing content after the first balanced value
+      (``{"k":5}{"k":6}``, ``{"k":5},`` …): Jackson reads the first
+      value and ignores the rest; yyjson rejects the doc.
+
+    100 TB design, three measured lessons (r11, each draft timed at
+    sf0.1):
+
+    1. A one-select draft referencing the structural-decomposition
+       subtree four times cloned the whole tree per reference; the
+       generated projection blew past codegen limits and fell back to
+       interpreted mode (30x).
+    2. Staging the shared subtrees fixed duplication but NOT the real
+       problem: the higher-order functions (filter/aggregate lambdas)
+       are CodegenFallback expressions, and ONE of them anywhere in a
+       projection knocks the entire stage out of whole-stage codegen
+       — 4x even with per-row fast paths, because every row pays
+       interpreted dispatch.
+    3. Final form: every guard is PURE REGEX (codegen-native). The
+       split-on-quote decomposition is replaced by two equivalences:
+       after dropping escape pairs, regex leftmost matching pairs
+       quotes exactly as JSON does, so ``"[^"]*"`` spans ARE the
+       string spans (p0 = spans replaced by a sentinel), and a
+       parity-anchored pattern ``^([^"]*"[^"]*")*[^"]*"[^"]*ctrl``
+       matches iff a control char sits inside a real span. The only
+       non-regular check — early depth balance (53f) — needs a
+       per-char fold, so docs are PHYSICALLY branched: flat docs
+       (regex-decidable, the entire machine-written hot path) stay in
+       the codegen lane; only nested docs take the interpreted fold
+       lane. Two parquet scans of the same table cost less than one
+       interpreted pass over every row.
+
+    Takes the events frame, returns it with one extra boolean column
+    ``_jv53`` (true = the doc passes the yyjson-strictness half; the
+    Jackson half is enforced by get_json_object itself returning
+    NULL). Intermediate columns are dropped by Catalyst's column
+    pruning after the final select.
+    """
+    props = F.col("props")
+    nb = F.regexp_replace(props, r"\\\\", "")  # drop \\ escape pairs
+    nb2 = F.regexp_replace(nb, r"\\\"", "")  # then \" escapes
+    # p0: true string spans → \x01 sentinel (leftmost pairing = JSON
+    # pairing once quotes can no longer be escaped), whitespace out.
+    p0 = F.regexp_replace(
+        F.regexp_replace(nb2, '"[^"]*"', "\x01"), r"[ \t\n\r]", ""
+    )
+
+    # 53d — no backslash ⇒ no escapes at all; else drop valid
+    # high+low pairs and any surviving \uD8xx-\uDFxx escape is lone.
+    lone_surr = F.when(~props.contains("\\"), F.lit(False)).otherwise(
+        F.regexp_replace(
+            nb,
+            r"\\u[dD][89abAB][0-9a-fA-F]{2}\\u[dD][c-fC-F][0-9a-fA-F]{2}",
+            "",
+        ).rlike(r"\\u[dD][89a-fA-F]")
+    )
+
+    # 53e — no raw control char anywhere ⇒ none inside a string; else
+    # the parity-anchored pattern: an ODD number of quotes, then a
+    # control char before the next quote ⇔ the char is inside a real
+    # string span (\t\n BETWEEN tokens stays legal).
+    ctrl_in_str = F.when(
+        ~props.rlike("[\x00-\x1f]"), F.lit(False)
+    ).otherwise(nb2.rlike('^([^"]*"[^"]*")*[^"]*"[^"]*[\x00-\x1f]'))
+
+    # RAW flat probe: a doc with no inner brackets ANYWHERE (even in
+    # strings) is flat without needing the string-stripping at all —
+    # the machine-written hot path answers here and _p0's four
+    # regexp_replace passes never run for it (lazy CaseWhen branch).
+    raw_flat = props.rlike(
+        r"^[ \t\n\r]*\{[^{}\[\]]*\}[ \t\n\r]*$"
+    ) | props.rlike(r"^[ \t\n\r]*\[[^{}\[\]]*\][ \t\n\r]*$")
+    s0 = ev.select("*", raw_flat.alias("_rff"))
+    s1 = s0.select(
+        "*",
+        F.when(~F.col("_rff"), p0).alias("_p0"),
+        lone_surr.alias("_surr"),
+        ctrl_in_str.alias("_ctl"),
+    )
+
+    # 53f — a valid single value never returns to depth 0 before its
+    # end. Flat docs (no nested brackets outside strings) are
+    # regex-decidable and CANNOT balance early; only nested docs need
+    # the per-char depth fold (CodegenFallback), so the frame is
+    # physically split and re-unioned: the flat lane keeps
+    # whole-stage codegen, the fold lane carries ~zero real rows.
+    is_flat = F.coalesce(
+        F.col("_rff")
+        | F.col("_p0").rlike(r"^\{[^{}\[\]]*\}$")
+        | F.col("_p0").rlike(r"^\[[^{}\[\]]*\]$"),
+        F.lit(False),
+    )
+    flat_lane = s1.where(is_flat).select(
+        "*", F.lit(False).alias("_trail")
+    )
+
+    def _step(acc, c):
+        d = (
+            acc["d"]
+            + F.when(c.isin("{", "["), 1)
+            .when(c.isin("}", "]"), -1)
+            .otherwise(0)
+        )
+        return F.struct(
+            d.alias("d"),
+            (acc["bad"] | acc["zero"] | (d < 0)).alias("bad"),
+            (acc["zero"] | ((d == 0) & c.isin("}", "]"))).alias("zero"),
+        )
+
+    scan = F.aggregate(
+        F.split(F.col("_p0"), ""),
+        F.struct(
+            F.lit(0).alias("d"),
+            F.lit(False).alias("bad"),
+            F.lit(False).alias("zero"),
+        ),
+        _step,
+    )
+    deep_lane = s1.where(~is_flat).select(
+        "*",
+        F.when(F.col("_p0").rlike(r"^[\{\[]"), scan["bad"])
+        .otherwise(F.lit(False))
+        .alias("_trail"),
+    )
+
+    return flat_lane.unionByName(deep_lane).select(
+        "*",
+        (~F.col("_surr") & ~F.col("_ctl") & ~F.col("_trail")).alias(
+            "_jv53"
+        ),
+    )
+
+
 @register(
     "q_json_extract",
     # The value contract (r6 JSON-edge sweep): $.k counts toward
@@ -51,16 +195,28 @@ from .registry import register
     # NULL (boolean/array/overflow) or fails the round-trip (1.7 →
     # 2 ≠ '1.7'). json_valid guard as before (DuckDB json_extract
     # RAISES on malformed input where get_json_object returns NULL).
-    # Parser-strictness gap (probed): DuckDB's yyjson accepts trailing
-    # commas and NaN/Infinity literals that Spark's Jackson rejects.
-    # NaN/Infinity texts already fail the integer round-trip on both
-    # engines, but a trailing-comma doc yields a value on DuckDB only
-    # — the oracle restores Jackson strictness by scanning for ',}' /
-    # ',]' in the doc's STRUCTURAL text only: drop backslash escape
-    # pairs, split on '"', keep the alternating outside-string
-    # segments (odd 1-based positions), strip whitespace, scan. A
-    # comma inside a string VALUE therefore cannot false-positive
-    # (pinned: the {"s": "a,}b", "k": 9} fixture row).
+    #
+    # Law 53 (r11 STRUCTURE sweep; see _with_yyjson_strict and SCALE.md):
+    # a doc counts as JSON iff BOTH parsers accept it in full — the
+    # Jackson∩yyjson intersection, each side's leniency closed by a
+    # structural guard on the OTHER side's behalf. The r6 trailing-
+    # comma scan was the first instance (yyjson-lenient); r11 adds:
+    #   53a depth: Jackson caps nesting at 1000 (silent NULL at
+    #       1001+); yyjson parses arbitrarily deep → oracle mirrors
+    #       with a bracket-depth scan, gated to docs with >=2002
+    #       bracket chars so real rows never pay it.
+    #   53b number length: Jackson caps a number token at 1000 DIGIT
+    #       chars (fraction digits count, '.' and exponent marker
+    #       don't; a 5000-digit integer ANYWHERE nulls the whole
+    #       doc); yyjson has no cap → oracle mirrors with a
+    #       digits-per-token regex.
+    #   53c non-standard literals: yyjson accepts NaN/nan/NAN,
+    #       Infinity/-Infinity/infinity, Inf/inf/-inf as VALUES
+    #       where Jackson rejects the doc → oracle scans the
+    #       outside-string text (keys/values in strings can't
+    #       false-positive: 'nan'/'inf' inside quotes are stripped
+    #       before the scan).
+    #   53d/e/f (Jackson-lenient side): see _with_yyjson_strict.
     oracle="""
     WITH s AS (
         -- outside-string segments joined with chr(1), NOT '': an
@@ -77,13 +233,35 @@ from .registry import register
                        (seg, i) -> i % 2 = 1), chr(1)),
                    ' ', ''), chr(9), ''), chr(10), ''), chr(13), '') AS p0
         FROM events
+    ), g AS (
+        SELECT event_type, props, p0,
+               regexp_replace(p0, '[^{}\\[\\]]', '', 'g') AS b
+        FROM s
     ), x AS (
         SELECT event_type,
                CASE WHEN json_valid(props)
                          AND NOT contains(p0, ',}')
                          AND NOT contains(p0, ',]')
+                         -- law 53a: Jackson nesting cap (max depth
+                         -- 1000); <2002 brackets can't exceed it on
+                         -- any balanced doc, so real rows skip the
+                         -- O(n^2) prefix scan entirely
+                         AND (length(b) < 2002 OR (
+                             SELECT max(2*length(replace(replace(
+                                        b[1:i], '}', ''), ']', '')) - i)
+                             FROM unnest(range(1, length(b)+1)) AS t(i)
+                         ) <= 1000)
+                         -- law 53b: Jackson number-token digit cap
+                         -- (1000); [.eE+-] interleave keeps the match
+                         -- inside ONE token, {500}x2+1 = 1001 digits
+                         AND NOT regexp_matches(p0,
+                             '(([.eE+-]*[0-9]){500}){2}[.eE+-]*[0-9]')
+                         -- law 53c: yyjson-only NaN/Infinity literals
+                         -- (9 spellings); p0 has strings stripped
+                         AND NOT contains(lower(p0), 'nan')
+                         AND NOT contains(lower(p0), 'inf')
                     THEN json_extract_string(props, '$.k') END AS t
-        FROM s
+        FROM g
     )
     SELECT event_type,
            CAST(SUM(CASE WHEN CAST(TRY_CAST(t AS BIGINT) AS VARCHAR) = t
@@ -95,11 +273,27 @@ from .registry import register
 )
 def q_json_extract(spark, sf_dir):
     # props is a JSON string column ({"k": int}); extraction stays
-    # JVM-side (get_json_object), no Python in the path. Value
-    # contract: see the oracle comment — k counts iff its text is a
-    # canonical BIGINT literal (try_cast round-trip, both engines).
-    ev = load_table(spark, sf_dir, "events")
-    t = F.get_json_object("props", "$.k")
+    # JVM-side (get_json_object + structural guards, no Python in the
+    # path). Value contract: see the oracle comment — k counts iff
+    # its text is a canonical BIGINT literal (try_cast round-trip,
+    # both engines) AND the doc is Jackson∩yyjson-valid (law 53;
+    # Jackson enforces its own half inside get_json_object, the
+    # _yyjson_strict guard mirrors the other half).
+    ev = _with_yyjson_strict(load_table(spark, sf_dir, "events"))
+    # Project the extracted text ONCE before the aggregate: the
+    # roundtrip below references t three times, and subexpression
+    # elimination SKIPS conditional branches — with t inline as
+    # when(_jv53, get_json_object) the JSON parse ran 3x per row
+    # (measured r11: +0.9 s at sf0.1 on the single-partition events
+    # file). As a projected column the parse runs once and the
+    # references are free.
+    ev = ev.select(
+        "event_type",
+        F.when(F.col("_jv53"), F.get_json_object("props", "$.k")).alias(
+            "_t"
+        ),
+    )
+    t = F.col("_t")
     k = F.when(t.try_cast("long").cast("string") == t, t.try_cast("long"))
     return ev.groupBy("event_type").agg(
         # law 48: JSON-extracted ints are raw-magnitude — 128-bit sum

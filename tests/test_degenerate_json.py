@@ -95,6 +95,60 @@ PROPS_CASES = [
     '{"k": 2, "t": ["a", "b"]}',
     '{"k": 3, "t": {"x": ["y", "z"]}}',
     None,
+    # ---- law 53 (r11 STRUCTURE sweep): Jackson∩yyjson intersection.
+    # One representative per class, both the accept and reject side
+    # of each boundary (full 79-doc battery ran divergence-free in
+    # the r11 session; SCALE.md law 53).
+    # 53a depth: 999-chain + outer = total 1000 = Jackson's cap →
+    # counts; 1000-chain = 1001 → Jackson NULL, oracle depth guard.
+    '{"k": 5, "d": ' + '{"x": ' * 999 + "1" + "}" * 999 + "}",
+    '{"k": 5, "d": ' + '{"x": ' * 1000 + "1" + "}" * 1000 + "}",
+    '{"k": 5, "d": ' + '[{"x": ' * 500 + "1" + "}]" * 500 + "}",  # 1001 mixed
+    # 53b number-token digit cap: 1000 digits pass, 1001 nuke the DOC
+    # (k itself is fine — Jackson aborts the whole parse).
+    '{"k": 5, "n": ' + "9" * 1000 + "}",
+    '{"k": 5, "n": ' + "9" * 1001 + "}",
+    # 53c non-standard literals as OTHER fields (the r6 sweep only
+    # probed them as k's own value, where the round-trip hid the gap).
+    '{"k": 5, "n": NaN}',
+    '{"k": 5, "n": -inf}',
+    '{"k": 5, "s": "NaN and inf are words"}',  # in-string decoy: counts
+    # 53d surrogates: lone rejects (value or key), paired passes.
+    '{"k": 5, "s": "\\ud800"}',
+    '{"\\udc00": 1, "k": 4}',
+    '{"k": 5, "s": "\\ud83d\\ude00"}',
+    # 53e control chars: literal tab in a string rejects; the ESCAPED
+    # form and DEL 0x7f pass on both.
+    '{"k": 5, "s": "a\tb"}',
+    '{"k": 5, "s": "a\\tb"}',
+    '{"k": 5, "s": "a\x7fb"}',
+    # 53f trailing content: second doc / comma / unmatched closer.
+    '{"k": 5}{"k": 6}',
+    '{"k": 5},',
+    '{"k": 5}]',
+    # escape-collision duplicate key: k unescapes to k; first
+    # occurrence wins on BOTH parsers.
+    '{"k": 1, "\\u006b": 2}',
+    # structural decoys INSIDE strings: braces and digit walls in
+    # string values must not trip the structural guards.
+    '{"k": 5, "s": "' + "{" * 1500 + '"}',
+    '{"k": 4, "s": "' + "9" * 1500 + '"}',
+    # 53b exponent-digit boundary: '1e' + 999 digits = 1000 total
+    # digit chars passes; one more digit fails (the cap counts DIGITS
+    # across the whole token, not chars).
+    '{"k": 5, "n": 1e' + "1" * 999 + "}",
+    '{"k": 5, "n": 1e' + "1" * 1000 + "}",
+    '{"k": 5, "n": -' + "9" * 1001 + "}",
+    # 53d: low-then-high escapes are BOTH lone (pair order matters);
+    # a LITERAL backslash before 'ud800' is not an escape at all.
+    '{"k": 5, "s": "\\udc00\\ud800"}',
+    '{"k": 5, "s": "\\\\ud800"}',
+    # size extremes that must stay accepted on both engines:
+    '{"' + "y" * 5000 + '": 1, "k": 5}',
+    "{" + ", ".join(f'"a{i}": {i}' for i in range(2000)) + ', "k": 5}',
+    '{"k": 5, "s": "a\\u0000b"}',
+    # trailing content, array-first variant:
+    '[1,2]{"k": 5}',
 ]
 
 
@@ -146,10 +200,22 @@ def test_degenerate_json_parity(spark, json_duck, registry, json_sf, name):
 
 
 def test_integer_contract_sum(spark, registry, json_sf):
-    """The json-edge group sums exactly the canonical-integer values:
-    7 + 12("12") - 3 + 0 + 9(a,}b doc) + 4(x,]y doc) + 1(dup-key
-    first-wins) = 30; the trailing-comma doc's k=1 is NOT counted
-    (Jackson-strict), nor floats/booleans/1e2/overflow/007."""
+    """The json-edge group sums exactly the canonical-integer values.
+
+    r6 cases: 7 + 12("12") - 3 + 0 + 1(dup-key first-wins) + 9(a,}b
+    doc) + 4(x,]y doc) + 2 + 3(array/object docs) = 35; the
+    trailing-comma doc's k=1 is NOT counted (Jackson-strict), nor
+    floats/booleans/1e2/overflow/007.
+
+    law-53 cases add exactly the ACCEPT side of each boundary:
+    5(depth-1000) + 5(1000-digit number) + 5(in-string NaN decoy) +
+    5(paired surrogate) + 5(escaped tab) + 5(DEL) + 1(escape-dup
+    first-wins) + 5(brace decoy) + 4(digit decoy) + 5(1e+999digits)
+    + 5(literal-backslash-ud800) + 5(5000-char key) + 5(2000 keys) +
+    5(escaped NUL) = 65; every REJECT side (depth 1001, 1001 digits
+    int/frac/exp/negative, NaN/-inf literals, lone surrogates in
+    either pair order, literal tab, trailing content incl the
+    array-first variant) contributes 0 on BOTH engines. Total 100."""
     import pyspark.sql.functions as F
 
     queries, _ = registry
@@ -158,5 +224,5 @@ def test_integer_contract_sum(spark, registry, json_sf):
         .where(F.col("event_type") == "json-edge")
         .collect()[0]
     )
-    assert row["sum_k"] == 35
+    assert row["sum_k"] == 100
     assert row["n_events"] == len(PROPS_CASES)

@@ -86,7 +86,35 @@ PROPS = [None, '{"k": 7}', '{"k": 3,}', '{"k": "7"}', '{"k": 1.7}',
          '{"s": "ß,}💥"}', '{"s": "a\\"b,}"}', "not json at all", "",
          # r10 astral axis: astral values AND an astral KEY (JSON path
          # extraction must treat both as opaque code points)
-         '{"k": "👩‍👩‍👧‍👧"}', '{"𝑘": 1}']
+         '{"k": "👩‍👩‍👧‍👧"}', '{"𝑘": 1}',
+         # r11 STRUCTURE axis (law 53, Jackson∩yyjson intersection):
+         # both sides of every strictness boundary the r11 probe
+         # found, plus in-string decoys that must NOT trip the
+         # structural guards. 53a depth (Jackson caps total nesting
+         # at 1000):
+         '{"k": 5, "d": ' + '{"x": ' * 999 + "1" + "}" * 999 + "}",
+         '{"k": 5, "d": ' + '{"x": ' * 1000 + "1" + "}" * 1000 + "}",
+         '{"k": 5, "a": ' + "[" * 1200 + "1" + "]" * 1200 + "}",
+         # 53b number-token digit cap (1000 digits; the token nukes
+         # the WHOLE doc on Jackson even though k itself is clean):
+         '{"k": 5, "n": ' + "9" * 1000 + "}",
+         '{"k": 5, "n": ' + "9" * 1001 + "}",
+         # 53c yyjson-only NaN/Infinity literals as OTHER fields:
+         '{"k": 5, "n": NaN}', '{"k": 5, "n": -inf}',
+         '{"k": 5, "n": Infinity}',
+         '{"k": 5, "s": "NaN and inf are words"}',  # decoy: valid
+         # 53d lone vs paired surrogate escapes (value AND key):
+         '{"k": 5, "s": "\\ud800"}', '{"\\udc00": 1, "k": 4}',
+         '{"k": 5, "s": "\\ud83d\\ude00"}',
+         # 53e raw control char inside a string (escaped form valid):
+         '{"k": 5, "s": "a\tb"}', '{"k": 5, "s": "a\\tb"}',
+         # 53f trailing content after the first balanced value:
+         '{"k": 5}{"k": 6}', '{"k": 5},', '{"k": 5}]', '{"k": 5} x',
+         # escape-collision duplicate key (first occurrence wins):
+         '{"k": 1, "\\u006b": 2}',
+         # structural decoys INSIDE strings (brace/digit walls):
+         '{"k": 5, "s": "' + "{" * 1500 + '"}',
+         '{"k": 4, "s": "' + "9" * 1500 + '"}']
 TEXTS = [None, "", " ", "the the the the the", "ß💥ïç",
          "a" * 400, "word " * 50, "Tab\there\nand newline",
          "ASCII only simple text with words and more words here",

@@ -189,6 +189,41 @@ def build(src: str, dest: str) -> None:
            1.0, '{"s": "a\\\\", "k": 6}'),
           (955013, TIMESTAMP '2024-01-16 08:13:00', 987702, 'json-uni',
            1.0, '{"t": ["ß","💥"], "k": 2,}'),
+          -- law 53 (r11 STRUCTURE sweep): Jackson∩yyjson-intersection
+          -- validity, one planted row per class with both sides of
+          -- each boundary (53a depth cap 1000, 53b number-token digit
+          -- cap 1000, 53c yyjson-only NaN/Inf literals, 53d lone
+          -- surrogate escapes, 53e raw control chars in strings,
+          -- 53f trailing content) plus in-string decoys that must NOT
+          -- trip the structural guards.
+          (955020, TIMESTAMP '2024-01-16 08:20:00', 987703, 'json-struct',
+           1.0, '{"k": 5, "d": ' || repeat('{"x": ', 999) || '1'
+                || repeat('}', 999) || '}'),
+          (955021, TIMESTAMP '2024-01-16 08:21:00', 987703, 'json-struct',
+           1.0, '{"k": 5, "d": ' || repeat('{"x": ', 1000) || '1'
+                || repeat('}', 1000) || '}'),
+          (955022, TIMESTAMP '2024-01-16 08:22:00', 987703, 'json-struct',
+           1.0, '{"k": 5, "n": ' || repeat('9', 1000) || '}'),
+          (955023, TIMESTAMP '2024-01-16 08:23:00', 987703, 'json-struct',
+           1.0, '{"k": 5, "n": ' || repeat('9', 1001) || '}'),
+          (955024, TIMESTAMP '2024-01-16 08:24:00', 987703, 'json-struct',
+           1.0, '{"k": 5, "n": NaN}'),
+          (955025, TIMESTAMP '2024-01-16 08:25:00', 987703, 'json-struct',
+           1.0, '{"k": 5, "s": "NaN and inf are words"}'),
+          (955026, TIMESTAMP '2024-01-16 08:26:00', 987703, 'json-struct',
+           1.0, '{"k": 5, "s": "\\ud800"}'),
+          (955027, TIMESTAMP '2024-01-16 08:27:00', 987703, 'json-struct',
+           1.0, '{"k": 5, "s": "\\ud83d\\ude00"}'),
+          (955028, TIMESTAMP '2024-01-16 08:28:00', 987703, 'json-struct',
+           1.0, '{"k": 5, "s": "a' || chr(9) || 'b"}'),
+          (955029, TIMESTAMP '2024-01-16 08:29:00', 987703, 'json-struct',
+           1.0, '{"k": 5}{"k": 6}'),
+          (955030, TIMESTAMP '2024-01-16 08:30:00', 987703, 'json-struct',
+           1.0, '{"k": 5}]'),
+          (955031, TIMESTAMP '2024-01-16 08:31:00', 987703, 'json-struct',
+           1.0, '{"k": 1, "\\u006b": 2}'),
+          (955032, TIMESTAMP '2024-01-16 08:32:00', 987703, 'json-struct',
+           1.0, '{"k": 5, "s": "' || repeat('{', 1500) || '"}'),
           -- r8 axis: ±Infinity measures composed with NULL user /
           -- NULL ts / out-of-domain ts. Ids 945007/945014/945021 are
           -- ≡0 (mod 7), so q_stream_dedup's at-least-once redelivery
