@@ -142,6 +142,102 @@ def test_watermark_drops_late_data(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_watermark_boundary_semantics(spark):
+    """Law 54 (r11 structure sweep, watermark-boundary axis): the two
+    exact boundaries every replay-scaffolding decision leans on,
+    measured and pinned so a Spark upgrade that flips an inequality
+    fails here, not in a silently-short flush.
+
+    1. EMISSION (append mode): a window is emitted exactly when
+       window.end <= watermark — EQUALITY EMITS. One second short
+       and the window stays in state; the drive sentinels that flush
+       terminal windows only need to push the watermark TO the end,
+       not past it (they push well past anyway).
+    2. ADMISSION is WINDOW-granular, not row-granular: a row whose
+       event time lies far BELOW the committed watermark is still
+       accepted while its window's end > watermark (open window);
+       rows addressed to a window with end <= watermark are dropped.
+       'Late data' in Spark windowed aggregation means late WINDOW,
+       not late ROW — so a tie exactly at the late-data cutoff
+       across batch splits can never fork a window total (the r10
+       verdict's suggested watermark-tie axis, answered
+       structurally).
+
+    Scaffold: two availableNow runs over a shared checkpoint (the
+    test_watermark_drops_late_data pattern); run 1 commits watermark
+    2024-01-02 11:50:09 (max 12:00:09 - 10 min)."""
+    import datetime as dt
+
+    def run_case(mode, batch2, want_hours):
+        d = tempfile.mkdtemp(prefix="fsk_wmlaw_")
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "id bigint, ts timestamp"
+            ).parquet(d + "/in/*")
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            got: list = []
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda bdf, bid: got.extend(bdf.collect())
+                )
+                .outputMode(mode)
+                .option("checkpointLocation", d + "/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return got
+
+        try:
+            data = [
+                (i, dt.datetime(2024, 1, 2, 12, 0, i)) for i in range(10)
+            ]
+            spark.createDataFrame(
+                data, "id bigint, ts timestamp"
+            ).coalesce(1).write.parquet(d + "/in/f1")
+            run_once()
+            spark.createDataFrame(
+                batch2, "id bigint, ts timestamp"
+            ).coalesce(1).write.parquet(d + "/in/f2")
+            rows = run_once()
+            return sorted(
+                (r.w.start.hour, r.n) for r in rows
+                if r.w.start.hour in want_hours
+            )
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    # 1a: sentinel pushes wm to EXACTLY 13:00 (= window-12 end): emits.
+    assert run_case(
+        "append", [(999, dt.datetime(2024, 1, 2, 13, 10, 0))], {12}
+    ) == [(12, 10)]
+    # 1b: one second short (wm 12:59:59): stays in state, nothing out.
+    assert run_case(
+        "append", [(999, dt.datetime(2024, 1, 2, 13, 9, 59))], {12}
+    ) == []
+    # 2a: rows below/at/above the committed wm (11:50:09) all land in
+    # the OPEN window [11:00,12:00) — all three accepted.
+    assert run_case(
+        "update",
+        [
+            (100, dt.datetime(2024, 1, 2, 11, 50, 8)),
+            (101, dt.datetime(2024, 1, 2, 11, 50, 9)),
+            (102, dt.datetime(2024, 1, 2, 11, 0, 0)),
+        ],
+        {11},
+    ) == [(11, 3)]
+    # 2b: a row for the CLOSED window [10:00,11:00) (end 11:00 <= wm)
+    # is dropped.
+    assert run_case(
+        "update", [(200, dt.datetime(2024, 1, 2, 10, 59, 59))], {10}
+    ) == []
+
+
 def test_drop_duplicates_within_watermark(spark):
     """Stateful streaming dedup: duplicate event_ids delivered within
     the watermark window are emitted exactly once."""
