@@ -136,7 +136,17 @@ LANGS = [None, "en", "de", "", "zz"]
 SOURCES = [None, "web", "book", "", "ẅeb", "𝚠𝚎𝚋"]
 SEGMENTS = [None, "BUILDING", "AUTOMOBILE", "", "COMPßẞ", "𝔅𝔘𝔦𝔩𝔡"]
 NAMES = [None, "", "dup-name", "ünïcode-name", "x" * 120,
-         "𝒹𝓊𝓅-𝓃𝒶𝓂𝑒", "👨‍👩‍👧 name", "namé"]
+         "𝒹𝓊𝓅-𝓃𝒶𝓂𝑒", "👨‍👩‍👧 name", "namé",
+         # r11 structure axis: CSV-hostile shapes through the
+         # q_source_csv round-trip (law 44's probed classes, promoted
+         # into the standing randomized alphabets): embedded
+         # delimiter, embedded quotes, embedded LF / CRLF (multiLine
+         # reader), and the literal MySQL NULL sentinel (default
+         # options keep it as plain text -- the collision only exists
+         # under nullValue backslash-N, which the engine does not
+         # set).
+         "comma, inside", 'has "quotes" inside', "line1\nline2",
+         "cr\r\nlf mixed", "\\N"]
 DATES = [None, "1996-01-01", "0001-01-01", "9999-12-31", "1996-03-02"]
 FLAGS = [None, "N", "R", "A", ""]
 
