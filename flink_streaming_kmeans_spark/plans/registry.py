@@ -134,6 +134,39 @@ _MODULES = [
     "lakehouse",
 ]
 
+# The NEXT round's plan in executable form (r11 on): the prose
+# "Round-12 plan" above, as the module order the next session will
+# rotate to. tests/test_rotation_law.py SIMULATES the next round
+# against this list — it synthesizes the upcoming driver record from
+# the current front-50 and asserts the prepped order still satisfies
+# every law clause, so a bad prep fails the round BEFORE it bites
+# instead of during the next session's task 1. Rotating a round =
+# _MODULES ← _NEXT_MODULES, then prep the new _NEXT_MODULES.
+_NEXT_MODULES = [
+    "textops",
+    "training",
+    "quality",
+    "scans",
+    "filters",
+    "joins",
+    "aggs",  # first 4 complete the r12 window; tail 10 lead r13.
+    "approx_cd",
+    "setops",
+    "sketches",
+    "coverage",
+    "corpus",
+    "streams",
+    "events",
+    "udf",
+    "streaming_ext",
+    "lakehouse",
+    "windows",
+    "relational",
+    "scalars",
+    "ml",
+    "llm",
+]
+
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import all query modules (idempotent) and return the registry.

@@ -122,6 +122,72 @@ def test_rotation_law_cumulative_and_fresh(registry):
     )
 
 
+def test_prepped_next_window_satisfies_law(registry):
+    """r11: the NEXT round's plan is executable (_NEXT_MODULES) and
+    simulated here — synthesize the upcoming driver record (current
+    front-50, hash-green), reorder to the prepped plan, and re-run
+    every law clause. A mis-prepped plan fails the round BEFORE the
+    next session starts from it, not during that session's task 1."""
+    import importlib
+
+    from flink_streaming_kmeans_spark.plans import registry as reg
+
+    queries, oracles = registry
+    order_now, _ = _canonical_order()
+    cur_front = set(order_now[:WINDOW_SIZE])
+
+    records = _driver_records()
+    synth = {
+        n: {"hash_match": True} for n in cur_front if n in oracles
+    }
+    records = records + [("CORRECTNESS_next.json(SYNTH)", synth)]
+
+    # registration order under the prepped plan
+    next_rank = {
+        f"{reg.__package__}.{m}": i for i, m in enumerate(reg._NEXT_MODULES)
+    }
+    assert sorted(next_rank) == sorted(
+        f"{reg.__package__}.{m}" for m in reg._MODULES
+    ), "_NEXT_MODULES must be a permutation of _MODULES"
+    next_order = sorted(
+        queries,
+        key=lambda n: (
+            next_rank[queries[n].__module__],
+            queries[n].__code__.co_firstlineno,
+        ),
+    )
+    next_front = set(next_order[:WINDOW_SIZE])
+    oldest_allowed = len(records) - WINDOW_SPAN
+
+    problems = []
+    for name in oracles:
+        newest = _newest_green_round(records, name)
+        if newest is None:
+            problems.append((name, "never recorded"))
+        elif newest < oldest_allowed:
+            problems.append((name, f"stale at {records[newest][0]}"))
+        elif newest == oldest_allowed and name not in next_front:
+            problems.append((name, "ages out under the prepped plan"))
+    assert not problems, (
+        f"the prepped _NEXT_MODULES plan breaks the rotation law: "
+        f"{problems}"
+    )
+
+    # window arithmetic under the prepped plan: at most one module
+    # straddles the 50 boundary (same rule as the live window).
+    counts = {}
+    for n in next_order:
+        m = queries[n].__module__.rsplit(".", 1)[-1]
+        counts[m] = counts.get(m, 0) + 1
+    total, straddle = 0, []
+    for m in reg._NEXT_MODULES:
+        lo, hi = total, total + counts[m]
+        if lo < WINDOW_SIZE < hi:
+            straddle.append(m)
+        total += counts[m]
+    assert len(straddle) <= 1, straddle
+
+
 def test_rotation_window_is_exactly_the_committed_plan(registry):
     """The registry comment and the executable order must agree.
 
