@@ -83,7 +83,17 @@ def _with_yyjson_strict(ev):
     pruning after the final select.
     """
     props = F.col("props")
-    nb = F.regexp_replace(props, r"\\\\", "")  # drop \\ escape pairs
+    # Escaped-backslash pairs are replaced with a SENTINEL, not
+    # deleted — an empty replacement fabricates adjacency, exactly
+    # the r6 lesson the oracle's chr(1) join encodes: in
+    # '"\ud800\\\udc00"' deleting the middle \\ welds the two LONE
+    # surrogate escapes into a valid-looking pair and the 53d guard
+    # missed it (r11 in-round review find, parity divergence
+    # confirmed live). DEL (0x7f) is the sentinel: not a backslash
+    # (can't re-enable escape parsing), not a quote (can't break
+    # span pairing), and OUTSIDE the 53e scanned class [\x00-\x1f]
+    # (a \\ inside a string must not read as a control char).
+    nb = F.regexp_replace(props, r"\\\\", "\x7f")
     nb2 = F.regexp_replace(nb, r"\\\"", "")  # then \" escapes
     # p0: true string spans → \x01 sentinel (leftmost pairing = JSON
     # pairing once quotes can no longer be escaped), whitespace out.

@@ -149,6 +149,16 @@ PROPS_CASES = [
     '{"k": 5, "s": "a\\u0000b"}',
     # trailing content, array-first variant:
     '[1,2]{"k": 5}',
+    # 53d SEAM class (r11 in-round review find): lone-high, ESCAPED
+    # BACKSLASH, lone-low — deleting the \\ pair with '' welded the
+    # two lone escapes into a valid-looking pair and the guard missed
+    # them (Spark +5 vs oracle NULL); the DEL-sentinel replacement
+    # keeps them lone. Value and key variants reject; the decoy
+    # (escaped backslashes followed by PLAIN TEXT 'ud800') stays
+    # valid on both.
+    '{"k": 5, "s": "\\ud800\\\\\\udc00"}',
+    '{"\\ud800\\\\\\udc00": 1, "k": 6}',
+    '{"k": 5, "s": "\\\\ud800\\\\udc00"}',
 ]
 
 
@@ -224,5 +234,5 @@ def test_integer_contract_sum(spark, registry, json_sf):
         .where(F.col("event_type") == "json-edge")
         .collect()[0]
     )
-    assert row["sum_k"] == 100
+    assert row["sum_k"] == 105
     assert row["n_events"] == len(PROPS_CASES)

@@ -43,8 +43,6 @@ def _canonical_order():
     driver-visible order is recomputed here from first principles:
     _MODULES order, then in-file definition order (co_firstlineno).
     """
-    import importlib
-
     from flink_streaming_kmeans_spark.plans import registry as reg
 
     reg.collect()
@@ -128,8 +126,6 @@ def test_prepped_next_window_satisfies_law(registry):
     front-50, hash-green), reorder to the prepped plan, and re-run
     every law clause. A mis-prepped plan fails the round BEFORE the
     next session starts from it, not during that session's task 1."""
-    import importlib
-
     from flink_streaming_kmeans_spark.plans import registry as reg
 
     queries, oracles = registry

@@ -112,6 +112,9 @@ PROPS = [None, '{"k": 7}', '{"k": 3,}', '{"k": "7"}', '{"k": 1.7}',
          '{"k": 5}{"k": 6}', '{"k": 5},', '{"k": 5}]', '{"k": 5} x',
          # escape-collision duplicate key (first occurrence wins):
          '{"k": 1, "\\u006b": 2}',
+         # 53d seam: escaped backslash BETWEEN lone surrogates
+         # (deletion-fabricated adjacency, r11 review find):
+         '{"k": 5, "s": "\\ud800\\\\\\udc00"}',
          # structural decoys INSIDE strings (brace/digit walls):
          '{"k": 5, "s": "' + "{" * 1500 + '"}',
          '{"k": 4, "s": "' + "9" * 1500 + '"}']

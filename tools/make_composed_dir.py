@@ -224,6 +224,10 @@ def build(src: str, dest: str) -> None:
            1.0, '{"k": 1, "\\u006b": 2}'),
           (955032, TIMESTAMP '2024-01-16 08:32:00', 987703, 'json-struct',
            1.0, '{"k": 5, "s": "' || repeat('{', 1500) || '"}'),
+          (955033, TIMESTAMP '2024-01-16 08:33:00', 987703, 'json-struct',
+           -- 53d seam: lone surrogates separated by an escaped
+           -- backslash must stay LONE (r11 review find)
+           1.0, '{"k": 5, "s": "\\ud800\\\\\\udc00"}'),
           -- r8 axis: ±Infinity measures composed with NULL user /
           -- NULL ts / out-of-domain ts. Ids 945007/945014/945021 are
           -- ≡0 (mod 7), so q_stream_dedup's at-least-once redelivery
