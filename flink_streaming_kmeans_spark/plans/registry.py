@@ -58,21 +58,23 @@ def register(name: str, oracle: str | None = None):
 # explicitly ordered this rotation; this list is the CANONICAL rotation
 # plan — module docstrings defer here).
 #
-# Round-11 window (executes the round-10 verdict task 1 — the r11 plan
-# exactly as prepped in the r10 registry comment):
-#   windows(9, re-confirming the 6 that closed the r10 window) +
-#   relational(9) + scalars(9) + ml(4) + llm(13) + textops(first 6)
-#   = 50 exactly — refreshing the r7-era windows-tail/relational/
-#   scalars/ml rows (the 23 queries the rotation-law freshness clause
-#   flags once CORRECTNESS_r10.json is committed) and the r8-era llm
-#   rows, with textops(head) starting the r8 re-sweep.
-#
-# Round-12 plan (prepped now, oldest-first per the rotation law):
-#   textops(16, re-confirming the 6 that close the r11 window) +
+# Round-12 window (executes the round-11 verdict task 1 — the r12 plan
+# exactly as prepped in the r11 registry comment and simulation-verified
+# by test_prepped_next_window_satisfies_law before the rotation):
+#   textops(16, re-confirming the 6 that closed the r11 window) +
 #   training(6) + quality(2) + scans(6) + filters(3) + joins(13) +
 #   aggs(first 4) = 50 exactly — refreshing the r8-era textops-tail/
 #   training/quality/scans/filters rows and the r9-era joins rows,
-#   with aggs(head) starting the r9 re-sweep.
+#   with aggs(head) starting the r9 re-sweep. Fresh-process front
+#   query: q_dedup_simhash (textops first definition).
+#
+# Round-13 plan (prepped now, oldest-first per the rotation law):
+#   aggs(14, re-confirming the 4 that close the r12 window) +
+#   approx_cd(1) + setops(4) + sketches(4) + coverage(10) +
+#   corpus(15) + streams(first 2) = 50 exactly — refreshing the
+#   r9-era aggs-tail/approx_cd/setops/sketches/coverage rows (the 28
+#   the r11 simulation enumerated), with corpus/streams(head)
+#   starting the r10 re-sweep.
 #
 # ROTATION LAW (steady state from r9 on): every registered query gets
 #   a driver-recorded hash row at most TWO testdata generations old.
@@ -99,7 +101,10 @@ def register(name: str, oracle: str | None = None):
 #   CORRECTNESS_r09.json; r10 window = corpus(15) + streams(10) +
 #   events(9) + udf(4) + streaming_ext(1) + lakehouse(5) +
 #   windows(first 6), 49/49 hash + q_kmeans_stream_reassign rows-tier
-#   clean in CORRECTNESS_r10.json. The rotation law above is pinned
+#   clean in CORRECTNESS_r10.json; r11 window = windows(9) +
+#   relational(9) + scalars(9) + ml(4) + llm(13) + textops(first 6),
+#   48/48 hash + q_ml_kmeans_iter and q_kmeans_stream rows-tier clean
+#   in CORRECTNESS_r11.json. The rotation law above is pinned
 #   mechanically in tests/test_rotation_law.py against the committed
 #   CORRECTNESS_r0*.json set.
 #
@@ -110,39 +115,6 @@ def register(name: str, oracle: str | None = None):
 # semantics depend on it (verified by the full preflight sweep each
 # round).
 _MODULES = [
-    "windows",
-    "relational",
-    "scalars",
-    "ml",
-    "llm",
-    "textops",  # first 6 complete the r11 window; tail 10 lead r12.
-    "training",
-    "quality",
-    "scans",
-    "filters",
-    "joins",
-    "aggs",
-    "approx_cd",  # stays ordered with aggs (r9 window pairing).
-    "setops",
-    "sketches",
-    "coverage",
-    "corpus",
-    "streams",
-    "events",
-    "udf",
-    "streaming_ext",
-    "lakehouse",
-]
-
-# The NEXT round's plan in executable form (r11 on): the prose
-# "Round-12 plan" above, as the module order the next session will
-# rotate to. tests/test_rotation_law.py SIMULATES the next round
-# against this list — it synthesizes the upcoming driver record from
-# the current front-50 and asserts the prepped order still satisfies
-# every law clause, so a bad prep fails the round BEFORE it bites
-# instead of during the next session's task 1. Rotating a round =
-# _MODULES ← _NEXT_MODULES, then prep the new _NEXT_MODULES.
-_NEXT_MODULES = [
     "textops",
     "training",
     "quality",
@@ -165,6 +137,39 @@ _NEXT_MODULES = [
     "scalars",
     "ml",
     "llm",
+]
+
+# The NEXT round's plan in executable form (r11 on): the prose
+# "Round-12 plan" above, as the module order the next session will
+# rotate to. tests/test_rotation_law.py SIMULATES the next round
+# against this list — it synthesizes the upcoming driver record from
+# the current front-50 and asserts the prepped order still satisfies
+# every law clause, so a bad prep fails the round BEFORE it bites
+# instead of during the next session's task 1. Rotating a round =
+# _MODULES ← _NEXT_MODULES, then prep the new _NEXT_MODULES.
+_NEXT_MODULES = [
+    "aggs",
+    "approx_cd",  # stays ordered with aggs (r9 window pairing).
+    "setops",
+    "sketches",
+    "coverage",
+    "corpus",
+    "streams",  # first 2 complete the r13 window; tail 8 lead r14.
+    "events",
+    "udf",
+    "streaming_ext",
+    "lakehouse",
+    "windows",
+    "relational",
+    "scalars",
+    "ml",
+    "llm",
+    "textops",
+    "training",
+    "quality",
+    "scans",
+    "filters",
+    "joins",
 ]
 
 
