@@ -266,8 +266,7 @@ def test_streaming_upsert_sink(spark):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(180)
-
+            assert q.awaitTermination(180), "stream did not terminate in 180s"
             assert latest_version(root) >= 2  # one commit per micro-batch
             got = {
                 (r.custkey, round(r.acctbal, 4))
@@ -521,8 +520,7 @@ def test_streaming_join_against_evolving_dim(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-
+        assert q.awaitTermination(180), "stream did not terminate in 180s"
         assert len(seen) == 2
         assert all(lab.startswith("v0-") for _, lab in seen[0])
         assert all(lab.startswith("v1-") for _, lab in seen[1])

@@ -52,7 +52,7 @@ def _run_to_memory(df, name, mode="complete"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate in 120s"
     return q
 
 
@@ -118,7 +118,7 @@ def test_watermark_drops_late_data(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not terminate in 120s"
         return got
 
     try:
@@ -190,7 +190,7 @@ def test_watermark_boundary_semantics(spark):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            assert q.awaitTermination(120), "stream did not terminate in 120s"
             return got
 
         try:
@@ -267,7 +267,7 @@ def test_drop_duplicates_within_watermark(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not terminate in 120s"
         ids = sorted(r.id for r in got)
         assert ids == list(range(20)), ids  # each id exactly once
     finally:
@@ -321,7 +321,7 @@ def test_stream_stream_interval_join(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not terminate in 180s"
     got_n = spark.sql("SELECT count(*) AS n FROM t_ssj").collect()[0].n
     assert got_n == batch_n, (got_n, batch_n)
 
@@ -355,8 +355,7 @@ def test_stateful_running_stats(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-
+        assert q.awaitTermination(180), "stream did not terminate in 180s"
         # last update per user == the full batch aggregate
         final = {
             r.user_id: (r.n_events, r.total_value)
@@ -444,7 +443,7 @@ def test_streaming_kmeans_restart_and_lloyd_parity(spark):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(180)
+            assert q.awaitTermination(180), "stream did not terminate in 180s"
             return skm
 
         # First incarnation sees 3 of the 5 batches, then "crashes".
@@ -519,7 +518,7 @@ def test_streaming_kmeans_macqueen(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not terminate in 180s"
         assert skm.batches_seen >= 2, "expected multiple micro-batches"
         assert int(skm.n.sum()) == 500
         assert np.isfinite(skm.C).all()
@@ -563,8 +562,7 @@ def test_streaming_etl_to_parquet_sink(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
-
+        assert q.awaitTermination(180), "stream did not terminate in 180s"
         got = {
             r.win_start: (r.n_events, round(r.sum_value, 4))
             for r in spark.read.parquet(d + "/out").collect()

@@ -38,16 +38,28 @@ def survey_anchors() -> list[str]:
     for row in m.group(0).splitlines():
         if not row.startswith("|") or "pytest anchor" in row:
             continue
-        # one table cell may carry several anchors joined by " / " —
-        # "::name" shorthand continues the preceding file's anchor.
+        # Parse the ANCHOR COLUMN only (last table cell) — a stray
+        # "::word" in the behavior-description prose must not be
+        # fabricated into an anchor (r11 close advice). The cell may
+        # carry several anchors joined by " / "; a bare "::name" token
+        # continues the preceding file's anchor. Both-optional regex
+        # groups matched empty everywhere; this grammar is explicit.
+        cells = [c.strip() for c in row.strip().strip("|").split("|")]
+        if len(cells) < 2 or cells[0].startswith("---"):
+            continue
         current_file = None
-        for tok in re.findall(r"(test_\w+\.py)?(::\w+)?", row):
-            f, t = tok
-            if f:
-                current_file = f
-                anchors.append(f + t if t else f)
-            elif t and current_file:
-                anchors.append(current_file + t)
+        for tok in re.findall(r"test_\w+\.py(?:::\w+)?|::\w+", cells[-1]):
+            if tok.startswith("::"):
+                if current_file:
+                    anchors.append(current_file + tok)
+            else:
+                current_file = tok.split("::", 1)[0]
+                anchors.append(tok)
+    if not anchors:
+        # The audit must not pass vacuously: a §5.8 format drift that
+        # breaks extraction would otherwise print "all anchors resolve"
+        # over zero anchors — the exact failure the tool exists to catch.
+        raise SystemExit("§5.8 parsed but zero anchors extracted — format drift?")
     return anchors
 
 
@@ -58,6 +70,14 @@ def collected_ids() -> set[str]:
         capture_output=True,
         text=True,
     )
+    # Exit code 0 = clean collection. Anything else (a single test
+    # file failing to import is rc=2) means the id set is PARTIAL —
+    # auditing against it would report success over uncollected files.
+    if out.returncode != 0:
+        raise SystemExit(
+            f"pytest collection failed (rc={out.returncode}) — audit would "
+            f"run over a partial suite:\n{(out.stdout + out.stderr)[-2000:]}"
+        )
     ids = {
         line.strip()
         for line in out.stdout.splitlines()
