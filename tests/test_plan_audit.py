@@ -45,3 +45,46 @@ def test_no_undocumented_quadratic_or_row_python(spark, registry):
         "undocumented quadratic join / row-Python in hot path — either "
         f"fix the plan or document it in tools/plan_audit.DOCUMENTED: {bad}"
     )
+
+
+def test_law53_lane_contract_live_and_parser(spark, registry):
+    """r12 (r11 verdict task 5): the law-53 guard's physical-lane
+    contract — flat-doc hot path in whole-stage codegen, the per-char
+    depth fold (CodegenFallback HOF) confined to the unstarred nested
+    lane — gated live via tools/scale_probe.law53_lane_contract, plus
+    parser mutations so the gate itself can't pass vacuously."""
+    import scale_probe
+
+    queries, _ = registry
+    plan = scale_probe._final_plan(queries["q_json_extract"](spark, SF_SMOKE))
+    assert scale_probe.law53_lane_contract(plan) == []
+
+    # Mutation 1: fold leaks into a starred node -> must flag.
+    leaked = plan.replace("aggregate(split(", "XXnofoldXX", 1)
+    star_line = next(
+        i for i, ln in enumerate(leaked.splitlines())
+        if ln.lstrip().startswith(":") and "*(" in ln and "Project" in ln
+    )
+    lines = leaked.splitlines()
+    lines[star_line] += " aggregate(split(_p0"
+    assert any(
+        "flat lane" in p for p in scale_probe.law53_lane_contract("\n".join(lines))
+    )
+
+    # Mutation 2: fold gone entirely (guard rewritten) -> must flag.
+    gone = plan.replace("aggregate(split(", "XXnofoldXX")
+    assert any(
+        "deep lane" in p for p in scale_probe.law53_lane_contract(gone)
+    )
+
+    # Mutation 3: flat lane falls out of codegen (the 4x/30x failure
+    # mode) -> must flag. Un-star every rail line.
+    import re
+
+    unstarred = "\n".join(
+        re.sub(r"\*\(\d+\) ", "", ln) if ln.lstrip().startswith(":") else ln
+        for ln in plan.splitlines()
+    )
+    assert any(
+        "NOT codegen" in p for p in scale_probe.law53_lane_contract(unstarred)
+    )
