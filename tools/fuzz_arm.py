@@ -73,7 +73,18 @@ TS = [None,
       # sub-second window-boundary straddlers (the pinned
       # test_degenerate_timestamps axis, randomized into compositions)
       "2024-01-15 10:00:00.000001", "2024-01-15 09:59:59.999999",
-      "2024-01-15 10:09:59.999999"]
+      "2024-01-15 10:09:59.999999",
+      # r12 row-granular axis (r11 verdict task 4): values exactly ONE
+      # WATERMARK DELAY (the dedup/join drives' 2h) apart from the
+      # 10:00:00 anchor, one microsecond on either side — so a random
+      # composition can place a drive-injected duplicate pair, a state
+      # eviction, and a watermark advance in EXACT event-time tie. The
+      # windowed family is structurally immune to such ties (law 54);
+      # dropDuplicatesWithinWatermark / eviction-flush / CEP / upsert
+      # decide per ROW, which is the seam this axis aims at.
+      "2024-01-15 12:00:00", "2024-01-15 11:59:59.999999",
+      "2024-01-15 12:00:00.000001", "2024-01-15 08:00:00",
+      "2024-01-15 14:00:00"]
 USERS = [None, 77001, 77002, 77003, -1, -(2**63)]
 ETYPES = [None, "click", "purchase", "view", "", "vïew", "ß",
           # r10 astral axis: every char below is OUTSIDE the BMP
@@ -343,10 +354,23 @@ def main() -> int:
         # per-trial draw: one consumer per batch family + one streaming
         names = [rng.choice(pool) for pool in BATCH_POOL.values()]
         names.append(rng.choice(STREAM_POOL))
+        # r12 axis: randomize the micro-batch split for the streaming
+        # consumer (the oracle is split-independent by contract, so
+        # any split-sensitive boundary handling shows up as a parity
+        # divergence). None = the drive's own default count.
+        split = rng.choice([None, 1, 2, 5, 7])
+        planted["stream_batches"] = split
         con = make_duckdb(sf)
         try:
             for name in names:
                 runs += 1
+                if name in STREAM_POOL:
+                    if split is None:
+                        os.environ.pop("SPARK_GRAFT_STREAM_BATCHES", None)
+                    else:
+                        os.environ["SPARK_GRAFT_STREAM_BATCHES"] = str(split)
+                else:
+                    os.environ.pop("SPARK_GRAFT_STREAM_BATCHES", None)
                 try:
                     r = check_parity(
                         spark, con, name, queries[name], oracles[name], sf
