@@ -125,7 +125,17 @@ def test_prepped_next_window_satisfies_law(registry):
     simulated here — synthesize the upcoming driver record (current
     front-50, hash-green), reorder to the prepped plan, and re-run
     every law clause. A mis-prepped plan fails the round BEFORE the
-    next session starts from it, not during that session's task 1."""
+    next session starts from it, not during that session's task 1.
+
+    r12 (r11 verdict design note): when the CUMULATIVE test above is
+    already red — the designed state right after a driver drops a new
+    CORRECTNESS file, before the session rotates — this simulation
+    necessarily reads one round stale and fired a SECOND red for the
+    same trigger. One red per trigger: skip here while the live
+    window itself demands rotation; the simulation resumes the moment
+    the rotation lands."""
+    import pytest
+
     from flink_streaming_kmeans_spark.plans import registry as reg
 
     queries, oracles = registry
@@ -133,6 +143,18 @@ def test_prepped_next_window_satisfies_law(registry):
     cur_front = set(order_now[:WINDOW_SIZE])
 
     records = _driver_records()
+
+    live_oldest = len(records) - WINDOW_SPAN
+    for name in oracles:
+        newest = _newest_green_round(records, name)
+        if newest is not None and (
+            newest < live_oldest
+            or (newest == live_oldest and name not in cur_front)
+        ):
+            pytest.skip(
+                "cumulative-freshness clause already firing on the live "
+                "window (rotation pending) — one red per trigger"
+            )
     synth = {
         n: {"hash_match": True} for n in cur_front if n in oracles
     }
