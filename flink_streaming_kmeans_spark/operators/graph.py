@@ -51,19 +51,32 @@ def connected_components(
         prop = both.join(
             labels.withColumnRenamed("id", "src"), "src"
         ).select(F.col("dst").alias("id"), "label")
-        new_labels = (
-            labels.union(prop)
+        # The previous label rides through the SAME aggregation as an
+        # ``own`` column (labels rows carry own=label, propagated rows
+        # own=NULL; ids are unique in labels, so min(own) is exactly
+        # the previous label and NULL marks an edge-only id). That
+        # makes the convergence check a filter+count over the already-
+        # checkpointed result instead of the extra join+shuffle per
+        # round it used to be (r12 optimization: one shuffle and one
+        # join removed per round; same labels, same changed-count —
+        # min(label) <= own, so "!=" is exactly "<", and edge-only ids
+        # were excluded by the old inner join just as own IS NULL
+        # excludes them here).
+        new_full = (
+            labels.withColumn("own", F.col("label"))
+            .union(
+                prop.withColumn(
+                    "own", F.lit(None).cast(labels.schema["label"].dataType)
+                )
+            )
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("own").alias("own"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.where(
+            F.col("own").isNotNull() & (F.col("label") < F.col("own"))
+        ).count()
+        labels = new_full.select("id", "label")
         if changed == 0:
             # Restrict to the node set (row-set contract above).
             return labels.join(nodes.select("id"), "id", "left_semi")

@@ -120,7 +120,14 @@ def _shingle_sets(spark, sf_dir):
     query, and the MinHashLSH recall path."""
     from ..operators.minhash import shingle_rows
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # Keyed fan-out (r12 optimization, guide §2.4): every consumer of
+    # the shingle rows is doc_id-keyed — the per-doc DISTINCT inside
+    # shingle_rows (keys ⊇ doc_id) and the ns window (doc_id) — so one
+    # hashpartitioning(doc_id) up front satisfies both and the chain
+    # runs with ONE exchange where the round-robin fan_out left three
+    # (measured 1.2 s → 0.33 s at sf0.1 for this subtree; rows and
+    # hashes identical).
+    d = fan_out(load_table(spark, sf_dir, "documents"), by="doc_id")
     return shingle_rows(d).withColumn(
         "ns", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
     )
@@ -777,7 +784,13 @@ def q_pipeline_clean(spark, sf_dir):
     # (~80% of the corpus) only to discard it at the join (review r6).
     # Equivalent because keep inner-joins stats (en-only) to topf.
     # Only the near-dup side (_near_pairs/drops) must stay unfiltered.
-    d_en = d.where(F.col("lang") == "en")
+    # Keyed fan-out (r12, guide §2.4): the repetition aggregate's two
+    # doc_id-clustered groupBys, the stats⋈topf join and the drops
+    # anti-join are all doc_id-keyed — one hashpartitioning(doc_id)
+    # after the selective lang filter feeds them all exchange-free on
+    # this side (also fixes the single-task explode: the one-file scan
+    # ran the whole token explode on one core).
+    d_en = fan_out(d.where(F.col("lang") == "en"), by="doc_id")
     toks = d_en.select(
         "doc_id", "source", F.split("text", " ").alias("w")
     )

@@ -70,7 +70,12 @@ def q_dedup_simhash(spark, sf_dir):
     bit j of the fingerprint is 1 iff the vote sum is positive.
     Near-dup docs (shared token sets) land at small hamming distance —
     banding the signature gives the candidate join at scale."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # Keyed fan-out (r12, guide §2.4): dropDuplicates(doc_id, tok),
+    # the bit-vote groupBy(doc_id, j) and the final groupBy(doc_id)
+    # are all doc_id-clustered — hashpartitioning(doc_id) satisfies
+    # every one, so the whole vote chain runs exchange-free after the
+    # fan-out (was 3 downstream exchanges under round-robin).
+    d = fan_out(load_table(spark, sf_dir, "documents"), by="doc_id")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).dropDuplicates(["doc_id", "tok"])
@@ -202,7 +207,9 @@ def q_sim_ann(spark, sf_dir):
         emb_finite("embedding")  # vector-op contract (NaN/Inf sweep r6)
     )
     comps = (
-        fan_out(e).select("vec_id", F.posexplode("embedding").alias("d", "x"))
+        # Keyed fan-out (r12, guide §2.4): the signature-bit groupBys
+        # (vec_id, j) and (vec_id) are vec_id-clustered.
+        fan_out(e, by="vec_id").select("vec_id", F.posexplode("embedding").alias("d", "x"))
         .crossJoin(F.broadcast(spark.range(8).select(F.col("id").cast("int").alias("j"))))
         .select(
             "vec_id",
@@ -358,11 +365,14 @@ def q_text_fingerprint(spark, sf_dir):
     deterministic and identical on both engines. (At 100 TB you'd
     order by a row serial instead of the text value; the text key is
     the exact cross-engine form.)"""
+    # Keyed fan-out (r12, guide §2.4): the entity-collapse DISTINCT
+    # (doc_id, text), the winnow window (doc_id) and both downstream
+    # doc_id aggregations are all doc_id-clustered — partitioning by
+    # doc_id BEFORE the dropDuplicates satisfies all of them with one
+    # exchange (the round-robin form paid one per step).
     d = fan_out(
-        load_table(spark, sf_dir, "documents").dropDuplicates(
-            ["doc_id", "text"]
-        )
-    )
+        load_table(spark, sf_dir, "documents"), by="doc_id"
+    ).dropDuplicates(["doc_id", "text"])
     toks = d.select("doc_id", "text", F.split("text", " ").alias("w")).where(
         F.size("w") >= 3
     )
@@ -480,7 +490,11 @@ def q_text_tfidf(spark, sf_dir):
     row, the join fan-out is bounded by docs-per-term which is the df
     itself — skew shows up only if one term dominates the corpus, the
     salting case)."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # Keyed fan-out (r12, guide §2.4): the tf aggregate (doc_id, tok)
+    # and the final top-k window (doc_id) are doc_id-clustered; the
+    # df-side groupBy(tok) still pays its own exchange (different
+    # key — fundamental to the join, not removable).
+    d = fan_out(load_table(spark, sf_dir, "documents"), by="doc_id")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -767,7 +781,10 @@ def q_text_repetition(spark, sf_dir):
     doc, no joins between docs, embarrassingly parallel at corpus
     scale. Ratios compared after mround so the oracle is bit-exact;
     the keep flag compares UNrounded ratios on both engines."""
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # Keyed fan-out (r12, guide §2.4): both gram aggregates and both
+    # per-doc rollups are doc_id-clustered — one hashpartitioning
+    # (doc_id) replaces four downstream exchanges.
+    d = fan_out(load_table(spark, sf_dir, "documents"), by="doc_id")
     toks = d.select("doc_id", F.split("text", " ").alias("w"))
     tok = toks.select("doc_id", F.explode("w").alias("t"))
     m1 = (

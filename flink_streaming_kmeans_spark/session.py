@@ -48,10 +48,28 @@ def shuffle_partitions() -> str:
     return os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
 
 
+# ensure_confs memo: (python-session id) -> the RUNTIME_CONFS snapshot
+# last applied to it. Every query entry point calls ensure_confs via
+# load_table, so the suite used to pay len(RUNTIME_CONFS) py4j
+# conf.set round-trips per source-table load — pure driver-side
+# planning overhead (guide §1.2 step 2). The memo key includes the
+# FULL snapshot, not a boolean: tools/config_sweep.py installs
+# overrides by mutating RUNTIME_CONFS itself and relies on the next
+# query entry re-applying them (and re-applying the restored values
+# afterwards) — a snapshot mismatch re-runs the sets exactly as
+# before, so that contract is unchanged.
+_ENSURED: dict[int, tuple] = {}
+
+
 def ensure_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing session (idempotent)."""
+    """Apply runtime-settable confs to an existing session (idempotent,
+    memoized per session × RUNTIME_CONFS snapshot)."""
     import sys
 
+    key = id(spark)
+    snap = tuple(sorted(RUNTIME_CONFS.items()))
+    if _ENSURED.get(key) == snap:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -66,6 +84,7 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
                 f"[session] WARNING: could not set {k}={v!r}: {exc!r}",
                 file=sys.stderr,
             )
+    _ENSURED[key] = snap
     return spark
 
 

@@ -87,6 +87,36 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
         return spark.createDataFrame(rows, schema)
 
 
+# Inferred-schema memo for the SOURCE tables, keyed on
+# (realpath, mtime_ns): every load_table call used to run parquet
+# schema INFERENCE (a driver-side footer read per plan build — guide
+# §6: "inference is an extra listing pass", the same reason
+# q_sink_partitioned re-reads with an explicit schema). The suite
+# builds ~370 source frames per bench pass, so the repeated inference
+# was a volume-independent planning cost on every query. The memo
+# holds only the StructType (never data, never results — each query
+# still scans the parquet bytes in full); the mtime_ns key drops the
+# entry if a table file is ever regenerated in-process. At 100 TB the
+# analogous fix is a catalog table whose schema lives in the
+# metastore/manifest instead of being re-inferred per query.
+_SCHEMA_CACHE: dict[tuple[str, int], object] = {}
+
+
+def _read_source(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with the inferred schema memoized per
+    (realpath, mtime_ns) — see _SCHEMA_CACHE."""
+    try:
+        key = (os.path.realpath(path), os.stat(path).st_mtime_ns)
+    except OSError:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; normalizes events.ts to TIMESTAMP (µs).
 
@@ -100,7 +130,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     condition (72M evaluations) — and ntz/ltz schema drift would break
     result-schema stability across data regenerations."""
     ensure_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_source(spark, f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -114,7 +144,9 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame, n: int | None = None, by: str | list[str] | None = None
+) -> DataFrame:
     """Restore parallelism for a compute-bound small input.
 
     A small table stored as one parquet file scans as ONE partition, so
@@ -128,8 +160,24 @@ def fan_out(df: DataFrame, n: int | None = None) -> DataFrame:
 
     Only use where downstream work per row is large; for plain scans the
     extra shuffle is pure cost.
+
+    ``by``: when the downstream work is KEYED (groupBy / window /
+    dropDuplicates whose keys all contain these columns), hash-
+    partition on them instead of round-robin: hashpartitioning(by)
+    satisfies every downstream ClusteredDistribution whose keys are a
+    superset, so the explode/aggregate chain runs WITHOUT further
+    exchanges (guide §2.4 "two operations keyed the same way share one
+    exchange"; measured on the shingle-set build: 1.2 s → 0.33 s at
+    sf0.1, 3 exchanges → 1). Hash-by-key is also deterministic under
+    task retry where round-robin needs its sort-before-repartition
+    guard (guide §2.5). Only key it when the key's cardinality ≫ n
+    (docs/vecs here: 5000/2000 ≫ 32); a low-cardinality key would
+    recreate the single-task hazard fan_out exists to fix.
     """
     n = n or df.sparkSession.sparkContext.defaultParallelism
+    if by is not None:
+        cols = [by] if isinstance(by, str) else list(by)
+        return df.repartition(n, *cols)
     return df.repartition(n)
 
 

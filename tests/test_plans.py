@@ -332,10 +332,19 @@ def test_compute_heavy_scans_fan_out(spark, registry):
     per-row work (decimal moments, per-token md5) runs one-core — a
     silent 3-30x local regression if someone drops the repartition."""
     queries, _ = registry
-    for name in ("q_agg_corr", "q_dedup_simhash", "q_join_range"):
+    # q_dedup_simhash uses the KEYED fan_out form (r12 optimization,
+    # guide §2.4): hashpartitioning(doc_id) restores the same
+    # parallelism AND feeds every downstream doc_id-clustered
+    # aggregate exchange-free, so either partitioning satisfies the
+    # "not one-core" contract this test pins.
+    for name, accept in (
+        ("q_agg_corr", ("RoundRobinPartitioning",)),
+        ("q_dedup_simhash", ("RoundRobinPartitioning", "hashpartitioning(doc_id")),
+        ("q_join_range", ("RoundRobinPartitioning",)),
+    ):
         df = queries[name](spark, SF_T2)
         p = plan_of(df, "formatted")
-        assert "RoundRobinPartitioning" in p, f"{name} lost its fan_out"
+        assert any(a in p for a in accept), f"{name} lost its fan_out"
 
 
 def test_heavy_hitters_take_ordered_after_partial_agg(plans):
