@@ -392,7 +392,11 @@ def lloyd_iterate(
     cached = embeddings.select("vec_id", "embedding").persist()
     try:
         for _ in range(max_iter):
-            partials = cached.mapInPandas(
+            # select("embedding"): the combiner never reads vec_id, and
+            # an opaque mapInPandas defeats column pruning (guide §4.1)
+            # — project the one needed column so the Arrow exchange
+            # carries d floats per row, not d floats + an id.
+            partials = cached.select("embedding").mapInPandas(
                 _partial_stats_fn(C, cids, euclidean),
                 "cid int, psum array<double>, n bigint",
             ).collect()

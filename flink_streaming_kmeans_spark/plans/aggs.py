@@ -46,7 +46,13 @@ from .registry import register
 )
 def q_agg_q1(spark, sf_dir):
     """TPC-H Q1 — the flagship relational aggregate."""
-    li = load_table(spark, sf_dir, "lineitem").where(
+    # fan_out (r12, guide §2.5 input skew): the single-file lineitem
+    # scan runs the 7 exact-decimal partial aggregates on ONE core —
+    # the same hazard q_agg_corr documents; round-robin (not keyed:
+    # (flag, status) has 6 values < 32 partitions, the low-cardinality
+    # trap) restores 32-way partials. Measured 2.41 → 1.68 s at sf0.1,
+    # hash identical. At 100 TB the lake's natural splits provide this.
+    li = fan_out(load_table(spark, sf_dir, "lineitem")).where(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -142,7 +148,11 @@ def q_agg_rollup(spark, sf_dir):
     """,
 )
 def q_agg_cube(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
+    # fan_out (r12): Expand multiplies every lineitem row x4 grouping
+    # sets BEFORE the partial aggregate, all on the one-core single-
+    # file scan — same hazard as q_agg_q1 above. Measured 1.57 →
+    # 0.87 s at sf0.1, hash identical.
+    li = fan_out(load_table(spark, sf_dir, "lineitem"))
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_f"),
         F.grouping("l_linestatus").cast("int").alias("g_s"),

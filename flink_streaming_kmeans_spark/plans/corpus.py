@@ -417,7 +417,19 @@ def q_graph_pagerank(spark, sf_dir):
     # localCheckpoint loop: executor-local storage, lineage truncated,
     # constant plan size per iteration.
     edges = edges.localCheckpoint(eager=False)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # Materialize the degree table too (r12, guide §5 localCheckpoint):
+    # deg is referenced FOUR times (both steps' joins, the init ranks,
+    # the final rejoin) and each reference re-ran the groupBy over the
+    # checkpointed edges — four aggregations for one result. Non-eager:
+    # computed inside the timed action, fresh per run. Measured 2.24 →
+    # 1.77 s at sf0.1, hash identical (keying the edge checkpoint by
+    # src was also tried and does NOT pay: the per-step joins broadcast
+    # the small deg/ranks sides, so edge partitioning never matters).
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
 
     def step(ranks):
         """ranks: (node, pr) -> next (node, pr); one shuffle on dst."""

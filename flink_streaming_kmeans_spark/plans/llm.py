@@ -321,10 +321,24 @@ def q_dedup_lsh(spark, sf_dir):
     Output = true near-dups among LSH candidates; recall vs the exact
     pair set is tested in tests/test_minhash_lsh.py (≥0.9)."""
     ex = _shingle_sets(spark, sf_dir)
+    # Materialize the hashed shingle frame ONCE per run (r12, guide
+    # §3.3 "materialising an intermediate truncates the plan" + §5
+    # localCheckpoint): this frame feeds THREE differently-keyed
+    # consumers — the signature build (doc_id), and the x/y sides of
+    # the candidate re-verify join (doc_id1 / doc_id2+s) — whose
+    # exchanges all differ, so ReuseExchange cannot fire and the
+    # explode+distinct+window subtree ran three times per query
+    # (contrast _near_pairs, whose self-join IS exchange-identical on
+    # both sides and gets reused for free — measured 0.9 s → 1.9 s
+    # when checkpointed, so it deliberately is NOT). Non-eager: the
+    # materialization runs inside the timed action, fresh per
+    # invocation — a within-run intermediate like q_graph_pagerank's
+    # edge list, never a cross-run cache. Measured min 1.8 → 1.4 s at
+    # sf0.1 with the 6-13 s codegen-recompile spikes collapsing to <2x.
     exh = ex.withColumn(
         "h",
         F.expr(f"CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {_LSH_P}"),
-    )
+    ).localCheckpoint(eager=False)
     hashes = F.broadcast(
         spark.range(_LSH_NH).select(F.col("id").alias("i"))
     )

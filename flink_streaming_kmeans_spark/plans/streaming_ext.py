@@ -139,7 +139,9 @@ def q_stream_slide(spark, sf_dir):
     # as q_stream_session / q_stream_join_left).
     m = ev.agg(F.max("ts").alias("m_ts"))
     return client_ntz(
-        spark.read.parquet(sink_dir)
+        # Explicit sink schema (guide §6; r12): skip the read-back
+        # footer-inference pass.
+        spark.read.schema(agg.schema).parquet(sink_dir)
         .crossJoin(F.broadcast(m))
         .where(F.col("win_start") <= F.col("m_ts"))
         .drop("m_ts")

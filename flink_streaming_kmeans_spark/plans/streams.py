@@ -176,11 +176,16 @@ def q_stream_dedup(spark, sf_dir):
         spark,
     )
 
-    return client_ntz(spark.read.parquet(sink_dir).select(
-        "event_id",
-        F.date_trunc("second", "ts").alias("ts_s"),
-        mround("value").alias("value"),
-    ))
+    # Explicit sink schema (guide §6; r12): the file sink wrote
+    # exactly the stream frame's schema — skip the footer-inference
+    # pass on read-back (one driver-side job per drive).
+    return client_ntz(
+        spark.read.schema(deduped.schema).parquet(sink_dir).select(
+            "event_id",
+            F.date_trunc("second", "ts").alias("ts_s"),
+            mround("value").alias("value"),
+        )
+    )
 
 
 @register(
@@ -276,7 +281,9 @@ def q_stream_join(spark, sf_dir):
         "q_stream_join",
         spark,
     )
-    return spark.read.parquet(sink_dir)
+    # Explicit sink schema (guide §6; r12): skip the read-back
+    # footer-inference pass.
+    return spark.read.schema(joined.schema).parquet(sink_dir)
 
 
 @register(
@@ -601,7 +608,9 @@ def q_stream_session(spark, sf_dir):
     # memory and shift on a non-UTC host (law 47).
     m = ev.agg(F.max("ts").alias("m_ts"))
     res = (
-        spark.read.parquet(sink_dir)
+        # Explicit sink schema (guide §6; r12): skip the read-back
+        # footer-inference pass.
+        spark.read.schema(agg.schema).parquet(sink_dir)
         .crossJoin(F.broadcast(m))
         .where(F.col("session_start") <= F.col("m_ts"))
         .drop("m_ts")
@@ -788,7 +797,10 @@ def q_stream_cep(spark, sf_dir):
         # commit (and it breaks the per-batch lineage chain).
         path = os.path.join(d, f"state-v{bid}")
         new.write.mode("overwrite").parquet(path)
-        state["df"] = spark.read.parquet(path)
+        # Explicit schema (guide §6; r12): the state layout is fixed
+        # by state_schema — per-generation footer inference was one
+        # driver-side pass per micro-batch.
+        state["df"] = spark.read.schema(state_schema).parquet(path)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -1012,7 +1024,9 @@ def q_stream_join_left(spark, sf_dir):
     # not the collected `top` literal (law 47).
     m = ev.agg(F.max("ts").alias("m_ts"))
     return (
-        spark.read.parquet(sink_dir)
+        # Explicit sink schema (guide §6; r12): skip the read-back
+        # footer-inference pass.
+        spark.read.schema(joined.schema).parquet(sink_dir)
         .crossJoin(F.broadcast(m))
         .where(F.col("p_ts") <= F.col("m_ts"))
         .drop("p_ts", "m_ts")

@@ -150,7 +150,10 @@ class StreamingKMeans:
         """The live (vec_id, cid) assignment table."""
         if self._assign_df is None:
             if self._assign_gen >= 0:
-                self._assign_df = spark.read.parquet(
+                # Explicit schema: the state layout is fixed by
+                # _ASSIGN_SCHEMA — per-generation footer inference was
+                # a driver-side job per batch (guide §6; r12).
+                self._assign_df = spark.read.schema(_ASSIGN_SCHEMA).parquet(
                     self._gen_path(self._assign_gen)
                 )
             else:
@@ -273,7 +276,9 @@ class StreamingKMeans:
         counts = np.zeros(len(self.cids), dtype="int64")
         pos = {int(c): j for j, c in enumerate(self.cids)}
         if not self.track:
-            partials = batch_df.select("vec_id", "embedding").mapInPandas(
+            # embedding only: the combiner never reads vec_id (guide
+            # §4.1 — opaque fns defeat column pruning; project first).
+            partials = batch_df.select("embedding").mapInPandas(
                 _partial_stats_fn(self.C, self.cids, self.euclidean),
                 "cid int, psum array<double>, n bigint",
             ).collect()
@@ -334,7 +339,11 @@ class StreamingKMeans:
             finally:
                 out.unpersist()
             self._assign_gen = gen
-            self._assign_df = spark.read.parquet(self._gen_path(gen))
+            # Explicit schema (guide §6; r12): skips one footer-
+            # inference pass per micro-batch.
+            self._assign_df = spark.read.schema(_ASSIGN_SCHEMA).parquet(
+                self._gen_path(gen)
+            )
             # Prune generation gen-2: gen is live, gen-1 stays as the
             # crash-recovery fallback (a crash between this commit and
             # the npz _save leaves meta pointing at gen-1; deleting

@@ -100,7 +100,13 @@ def test_agg_q1_partial_final_pairs(plans):
     p = plans("q_agg_q1", "simple")
     assert "partial_sum" in p, "no map-side combine"
     assert p.count("HashAggregate") == 2
-    assert p.count("Exchange") == 1, p
+    # Exactly ONE aggregate shuffle (hashpartitioning on the group
+    # keys) plus the r12 fan_out's round-robin repartition, which
+    # spreads the one-core single-file scan's decimal partials across
+    # the cluster (same contract as test_compute_heavy_scans_fan_out).
+    assert p.count("Exchange") == 2, p
+    assert "RoundRobinPartitioning" in p, "q_agg_q1 lost its fan_out"
+    assert p.count("hashpartitioning") == 1, p
 
 
 def test_agg_approx_cd_is_two_level_hash_agg_no_python(plans):
