@@ -570,6 +570,9 @@ def q_sim_ivf(spark, sf_dir):
     )
     from ..operators.kmeans import assign, init_centroids
 
+    # NOT keyed (r12 probe): unlike q_ml_kmeans_assign, asg here feeds
+    # a cid-keyed self-join, and the keyed fan-out measured neutral-to
+    # -slightly-worse (1.22 vs 1.06 s min at sf0.1) — round-robin kept.
     asg = assign(fan_out(e), init_centroids(e)).select(
         "vec_id", "embedding", F.col("cid").cast("int").alias("cid")
     )

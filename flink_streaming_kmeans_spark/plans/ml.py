@@ -48,7 +48,10 @@ def q_ml_kmeans_assign(spark, sf_dir):
         # with ASSIGN_CTE's emb CTE (r7 NULL-entity-id probe)
         F.col("vec_id").isNotNull() & emb_finite("embedding")
     )
-    a = assign(fan_out(e), init_centroids(e))
+    # Keyed fan-out (r12, guide §2.4): assign()'s best-per-vector
+    # window partitions by vec_id — hashpartitioning(vec_id) feeds it
+    # exchange-free (measured 0.64 → 0.38 s at sf0.1, hash identical).
+    a = assign(fan_out(e, by="vec_id"), init_centroids(e))
     return a.select(
         "vec_id",
         F.col("cid").alias("cluster_id"),
@@ -76,7 +79,7 @@ def q_ml_kmeans_update(spark, sf_dir):
         # with ASSIGN_CTE's emb CTE (r7 NULL-entity-id probe)
         F.col("vec_id").isNotNull() & emb_finite("embedding")
     )
-    a = assign(fan_out(e), init_centroids(e))
+    a = assign(fan_out(e, by="vec_id"), init_centroids(e))
     upd = update(a)  # (cid, dim, c_val) — c_val unrounded double
     return upd.select(
         F.col("cid").alias("cluster_id"),

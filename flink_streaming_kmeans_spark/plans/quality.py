@@ -153,7 +153,11 @@ def q_ml_kmeans_iter2(spark, sf_dir):
         # with ASSIGN_CTE's emb CTE (r7 NULL-entity-id probe)
         F.col("vec_id").isNotNull() & emb_finite("embedding")
     )
-    a1 = assign(fan_out(e), init_centroids(e))
+    # Keyed fan-out on both rounds (r12, guide §2.4): each assign()'s
+    # per-vector window is vec_id-partitioned, so one
+    # hashpartitioning(vec_id) per scan replaces a round-robin + a
+    # window exchange (measured 1.48 → 0.91 s at sf0.1, hash identical).
+    a1 = assign(fan_out(e, by="vec_id"), init_centroids(e))
     u1 = update(a1)  # (cid, dim, c_val) — unrounded double means
     c1 = (
         u1.select("cid", "dim", mround("c_val").alias("cq"))
@@ -165,7 +169,7 @@ def q_ml_kmeans_iter2(spark, sf_dir):
             ).alias("cemb")
         )
     )
-    a2 = assign(fan_out(e), c1)
+    a2 = assign(fan_out(e, by="vec_id"), c1)
     return a2.select(
         "vec_id",
         F.col("cid").alias("cluster_id"),
