@@ -51,7 +51,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vector import dsum, dsumr, emb_finite, mround, sql_dsum, sql_dsumr, sql_emb_finite, sql_mround
-from ..sources.loader import load_table
+from ..sources.loader import fan_out, load_table
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -1040,8 +1040,16 @@ def q_neg_sample(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     np_ = p.agg(F.count(F.lit(1)).alias("n_parts"))
+    # Keyed fan-out (r12, guide §2.4): every downstream clustering on
+    # this side — the (custkey, item) collision dedup, the anti-join,
+    # and the final per-customer rank window — contains custkey, and
+    # hashpartitioning on a SUBSET of a required clustering satisfies
+    # it, so one exchange here replaces three (dedup + both of the
+    # anti-join/window's ENSURE_REQUIREMENTS) and parallelizes the 8x
+    # explode off the single-file customer scan. custkey cardinality
+    # (15k at sf0.1) >> 32 partitions, so no single-task hazard.
     cand = (
-        c.select(F.col("c_custkey").alias("custkey"))
+        fan_out(c.select(F.col("c_custkey").alias("custkey")), by="custkey")
         .select("custkey", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"))
         .crossJoin(F.broadcast(np_))
         .select(
@@ -1053,10 +1061,18 @@ def q_neg_sample(spark, sf_dir):
         )
     )
     dedup = cand.groupBy("custkey", "item").agg(F.min("i").alias("i_min"))
+    # Same keyed fan-out on the positives side: the distinct and the
+    # anti-join's right-side requirement are both custkey-contained,
+    # so this replaces the (custkey, item) distinct exchange and
+    # co-partitions the join input in one shuffle.
     pos = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("custkey"),
-                F.col("l_partkey").alias("item"))
+        fan_out(
+            o.join(li, o.o_orderkey == li.l_orderkey).select(
+                F.col("o_custkey").alias("custkey"),
+                F.col("l_partkey").alias("item"),
+            ),
+            by="custkey",
+        )
         .distinct()
     )
     neg = dedup.join(pos, ["custkey", "item"], "left_anti")

@@ -339,6 +339,17 @@ def q_dedup_lsh(spark, sf_dir):
         "h",
         F.expr(f"CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {_LSH_P}"),
     ).localCheckpoint(eager=False)
+    # The checkpoint surfaces as an ExistingRDD with UnknownPartitioning
+    # — the keyed fan_out's hashpartitioning(doc_id) is invisible past
+    # it, so every consumer re-shuffled the full shingle frame. One
+    # explicit doc_id repartition over the checkpointed RDD is an
+    # IDENTICAL exchange subtree for all three consumers (ReuseExchange
+    # fires: computed once), and with subset co-partitioning accepted
+    # (session.py r12) the signature groupBys and the x-side verify
+    # join all ride it exchange-free. Locally warm-neutral (min 2.16 →
+    # 2.11 s core A/B) with first-run spikes halved; at scale it is
+    # one shuffle of the heavy frame instead of three (guide §2.3/2.4).
+    exh = fan_out(exh, by="doc_id")
     hashes = F.broadcast(
         spark.range(_LSH_NH).select(F.col("id").alias("i"))
     )

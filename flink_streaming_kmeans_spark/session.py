@@ -41,6 +41,16 @@ RUNTIME_CONFS: dict[str, str] = {
     # session with the 4096 default). 50k-row window partitions are a
     # few MB; keep them in a plain in-memory array.
     "spark.sql.windowExec.buffer.in.memory.threshold": "1048576",
+    # Accept children co-partitioned on a SUBSET of the join keys
+    # (r12, guide §2.4): the keyed fan_out sites deliberately hash-
+    # partition on the one key every downstream clustering contains
+    # (doc_id / vec_id / custkey); with the default (true) a join on
+    # (key, extra) re-shuffles BOTH already-key-partitioned sides.
+    # Only plans where a subset co-partitioning already exists are
+    # affected — i.e. exactly the explicit fan_out(by=) sites, where
+    # the subset key is chosen high-cardinality (>> partition count),
+    # so the skew hazard this default guards against does not apply.
+    "spark.sql.requireAllClusterKeysForCoPartition": "false",
 }
 
 
