@@ -12,8 +12,19 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vector import dsumw, mround, sql_dsumw, sql_mround
-from ..sources.loader import load_table
+from ..functions.vector import (
+    _NAN,
+    _NINF,
+    _PINF,
+    _isfin,
+    dbl2dec,
+    dec2dbl,
+    dsumw,
+    mround,
+    sql_dsumw,
+    sql_mround,
+)
+from ..sources.loader import fan_out, load_table
 from .registry import register
 
 
@@ -127,23 +138,136 @@ def q_win_range_frame(spark, sf_dir):
     # (e.g. 169738.83/8 = 21217.35375) where Spark and DuckDB native
     # ROUNDs disagree — the round-1 hash failure on this very query.
     #
-    # Partition key is (status, priority), NOT status alone: Spark's
-    # WindowExec recomputes a BOUNDED range frame from scratch per row
-    # (O(rows × frame) interpreted decimal ops, no codegen), so frame
-    # density and partition count bound the cost. 3 status-only
-    # partitions of 50k rows measured 8-110s at sf0.1 (bimodal JIT);
-    # 15 (status, priority) partitions keep the same operator semantics
-    # at ~25x less work — and at 100 TB a bounded range frame over a
-    # 3-value key would be a single-task straggler anyway.
+    # r12 RESTRUCTURE (guide §1.2 step 1 — replace the algorithm, not
+    # the constants): Spark's WindowExec recomputes a BOUNDED range
+    # frame from scratch per row — O(rows × frame) interpreted decimal
+    # ops, no codegen, and the operator that motivated this session's
+    # windowExec.buffer.in.memory.threshold conf (5 s → 385 s under
+    # the spilling buffer's per-row iterator restarts). The same
+    # values come out of DIFFERENCES OF PREFIX SUMS, all of whose
+    # windows are UNBOUNDED-PRECEDING (incrementally maintained, O(n)
+    # per partition):
+    #
+    #   frame_sum(v)  = cum_sum(<= v) − cum_sum(< v−1000)
+    #   frame_count   = likewise over row counts
+    #
+    # Equivalence is EXACT, not approximate-and-retuned:
+    #   * the sums are DECIMAL(38,6) — decimal addition is associative
+    #     and exact, so the prefix-sum difference equals the frame sum
+    #     bit-for-bit, and dec2dbl of equal decimals is equal doubles;
+    #   * the frame's lower boundary v−1000 is computed in double here
+    #     exactly as WindowExec computes the RANGE bound;
+    #   * ties collapse into per-distinct-value groups first (RANGE
+    #     frames are value-inclusive on both ends, so every tie shares
+    #     one frame), and the boundary lookup places each query point
+    #     BEFORE data points at the same key (q DESC) because a data
+    #     value equal to v−1000 is INSIDE the frame;
+    #   * non-finite order values close their own frames — a NULL/NaN/
+    #     ±inf current row's RANGE frame is exactly its own order
+    #     group on both engines (NaN±1000=NaN, inf−1000=inf), where
+    #     dsumw's mask yields NULL/NaN/+inf/−inf respectively and
+    #     count divides out — so those rows take a constant CASE, and
+    #     the finite lanes never see them (verified on a crafted
+    #     NULL+NaN+±inf+exact-boundary-tie corpus and the standing
+    #     nullnan parity suite, plus hash-identity at all three SFs).
+    #
+    # Measured at sf0.1: warm min 1.79 → 1.21 s isolated; the
+    # O(rows × frame) surface (and its in-memory-buffer cliff) is gone
+    # — at 100 TB every window here is a single incremental pass.
+    # The one-pass boundary lookup rides the r12 union-asof pattern:
+    # data rows carry the running (cum_sum, cum_count), query rows
+    # (one per distinct value, at key v−1000) carry their OWN cum
+    # pair and read the last data cum before their key — no
+    # same-lineage self-join (Catalyst's dedupRight mis-resolves one;
+    # the first draft measured silently-wrong lcs=0 rows).
     o = load_table(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_orderstatus", "o_orderpriority")
-        .orderBy("o_totalprice")
-        .rangeBetween(-1000, W.currentRow)
+    P = ["o_orderstatus", "o_orderpriority"]
+    v = F.col("o_totalprice")
+    special = (
+        F.when(v.isNull(), F.lit(None).cast("double"))
+        .when(F.isnan(v), F.lit(_NAN))
+        .when(v == F.lit(_PINF), F.lit(_PINF))
+        .when(v == F.lit(_NINF), F.lit(_NINF))
     )
-    s = dsumw("o_totalprice", w)
-    n = F.count(F.lit(1)).over(w)
-    return o.select("o_orderkey", mround(s / n).alias("avg_near"))
+    fin = o.where(_isfin(v))
+    g = (
+        fan_out(fin, by=P)
+        .groupBy(*P, v.alias("v"))
+        .agg(F.sum(dbl2dec(v)).alias("gs"), F.count(F.lit(1)).alias("gn"))
+    )
+    wcum = (
+        W.partitionBy(*P)
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = g.select(
+        *P,
+        "v",
+        F.sum("gs").over(wcum).alias("cs"),
+        F.sum("gn").over(wcum).alias("cn"),
+    )
+    data = cum.select(
+        *P,
+        F.col("v").alias("k"),
+        F.lit(0).alias("q"),
+        "cs",
+        "cn",
+        F.lit(None).cast("double").alias("v0"),
+        F.lit(None).cast("decimal(38,6)").alias("ocs"),
+        F.lit(None).cast("bigint").alias("ocn"),
+    )
+    qrows = cum.select(
+        *P,
+        (F.col("v") - F.lit(1000.0)).alias("k"),
+        F.lit(1).alias("q"),
+        F.lit(None).cast("decimal(38,6)").alias("cs"),
+        F.lit(None).cast("bigint").alias("cn"),
+        F.col("v").alias("v0"),
+        F.col("cs").alias("ocs"),
+        F.col("cn").alias("ocn"),
+    )
+    wlast = (
+        W.partitionBy(*P)
+        .orderBy(F.col("k").asc(), F.col("q").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fr = (
+        data.unionAll(qrows)
+        .select(
+            *P,
+            "q",
+            "v0",
+            "ocs",
+            "ocn",
+            F.last("cs", ignorenulls=True).over(wlast).alias("lcs"),
+            F.last("cn", ignorenulls=True).over(wlast).alias("lcn"),
+        )
+        .where(F.col("q") == 1)
+        .select(
+            F.col(P[0]).alias("_st"),
+            F.col(P[1]).alias("_pr"),
+            F.col("v0").alias("_v"),
+            dec2dbl(
+                F.col("ocs")
+                - F.coalesce("lcs", F.lit(0).cast("decimal(38,6)"))
+            ).alias("fs"),
+            (F.col("ocn") - F.coalesce("lcn", F.lit(0))).alias("fn"),
+        )
+    )
+    return (
+        o.join(
+            fr,
+            (F.col("o_orderstatus") == F.col("_st"))
+            & (F.col("o_orderpriority") == F.col("_pr"))
+            & (v == F.col("_v")),
+            "left",
+        ).select(
+            "o_orderkey",
+            F.when(_isfin(v), mround(F.col("fs") / F.col("fn")))
+            .otherwise(mround(special))
+            .alias("avg_near"),
+        )
+    )
 
 
 @register(
