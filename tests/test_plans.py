@@ -222,6 +222,21 @@ def test_dedup_lsh_candidates_meet_in_band_buckets(plans):
     ), "band-bucket candidate join must be an equi-join"
 
 
+def test_dedup_canonical_top1_is_partial_agg_no_window(plans):
+    # r12: the per-cluster keep-richest top-1 is a max(struct(n_chars,
+    # -doc_id, doc_id)) aggregate, NOT a row_number window — the
+    # partial_max collapses each map partition to one candidate per
+    # cluster BEFORE the shuffle (the struct buffer rides Spark's
+    # sort-based aggregate path, but the exchange carries aggregated
+    # candidates, not rows). A refactor that reintroduces the window
+    # changes no small-SF result but ships every scored row at scale.
+    p = plans("q_dedup_canonical")
+    assert "Window" not in p, "canonical top-1 regressed to a window"
+    assert "partial_max(struct(n_chars" in p, (
+        "map-side partial argmax missing: " + p
+    )
+
+
 def test_not_in_plans_null_aware_anti_join(plans):
     # NOT IN must exercise Spark's dedicated three-valued-logic path,
     # not decay to a plain LeftAnti (which would be wrong under NULLs).

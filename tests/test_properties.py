@@ -66,6 +66,59 @@ def test_union_all_count_additive(spark, a, b):
     assert da.unionAll(db).count() == len(a) + len(b)
 
 
+scored_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # cluster_id
+        st.integers(min_value=0, max_value=30),  # doc_id
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),  # n_chars
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[1],  # doc_id unique, as in the real pipeline
+)
+
+
+@SET
+@given(scored_rows)
+def test_canonical_argmax_equals_window_top1(spark, rows):
+    """The q_dedup_canonical r12 rewrite: max(struct(n_chars, -doc_id,
+    doc_id)) must pick exactly the row a (n_chars DESC, doc_id ASC)
+    row_number window ranks first — including NULL n_chars (loses to
+    any non-null, exactly like DESC NULLS LAST), all-NULL clusters,
+    and n_chars ties broken by the lower doc_id."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        rows, "cluster_id int, doc_id long, n_chars long"
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = df.withColumn("rn", F.row_number().over(w))
+    old = ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars")))
+        .cast("bigint")
+        .alias("kept_chars"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"), F.col("doc_id")
+        )
+    )
+    new = (
+        df.groupBy("cluster_id")
+        .agg(best.alias("best"), (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"))
+        .select(
+            "cluster_id",
+            F.col("best.doc_id").alias("kept_doc"),
+            F.col("best.n_chars").cast("bigint").alias("kept_chars"),
+            "n_dropped",
+        )
+    )
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+    assert old.schema == new.schema
+
+
 tok_sets = st.sets(st.sampled_from("abcdefgh"), min_size=1, max_size=8)
 
 
