@@ -305,14 +305,45 @@ def main() -> int:
     # Degrade the slowest-queries preview until the line fits the
     # driver's tail capture — never abort a finished bench run over
     # presentation (the sidecar always holds the full map).
+    #
+    # The preview is the UNION of the current top-15 and the PREVIOUS
+    # driver round's top-15 (r12 verdict task 4): the driver's PERF
+    # comparison reads this line, and a query that leaves the top-15
+    # BECAUSE IT IMPROVED was indistinguishable from a removed query
+    # (q_dedup_lsh read as "dropped_from_bench" in PERF_r12 after a
+    # 2.75 → 1.88 s improvement). Carrying last round's preview keys
+    # forward keeps every compared query present with a real number.
+    # Bounded: ≤30 entries; the fit loop below still degrades to
+    # plain top-N if the union line ever exceeds the tail capture.
+    prev_top: list[str] = []
+    driver_rounds = sorted(
+        (
+            (int(m.group(1)), f_)
+            for f_ in os.listdir(here)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f_))
+        ),
+        reverse=True,
+    )
+    if driver_rounds:
+        try:
+            with open(os.path.join(here, driver_rounds[0][1])) as fh:
+                prev_top = list(
+                    json.load(fh).get("parsed", {}).get("queries", {})
+                )
+        except (OSError, ValueError):
+            prev_top = []
     ranked = sorted(times.items(), key=lambda kv: kv[1], reverse=True)
-    for top in (15, 10, 5, 0):
-        slowest = dict(ranked[:top])
-        compact = dict(
-            full,
-            queries=slowest,
-            queries_note=f"top-{top} slowest; full map in {sidecar}",
-        )
+    for top in ("union", 15, 10, 5, 0):
+        if top == "union":
+            keys = {k for k, _ in ranked[:15]} | {
+                k for k in prev_top if k in times
+            }
+            slowest = {k: times[k] for k, _ in ranked if k in keys}
+            note = f"top-15 + prev-round top; full map in {sidecar}"
+        else:
+            slowest = dict(ranked[:top])
+            note = f"top-{top} slowest; full map in {sidecar}"
+        compact = dict(full, queries=slowest, queries_note=note)
         line = json.dumps(compact)
         if len(line) < 1500:
             break

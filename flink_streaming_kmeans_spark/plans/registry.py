@@ -58,23 +58,28 @@ def register(name: str, oracle: str | None = None):
 # explicitly ordered this rotation; this list is the CANONICAL rotation
 # plan — module docstrings defer here).
 #
-# Round-12 window (executes the round-11 verdict task 1 — the r12 plan
-# exactly as prepped in the r11 registry comment and simulation-verified
-# by test_prepped_next_window_satisfies_law before the rotation):
-#   textops(16, re-confirming the 6 that closed the r11 window) +
-#   training(6) + quality(2) + scans(6) + filters(3) + joins(13) +
-#   aggs(first 4) = 50 exactly — refreshing the r8-era textops-tail/
-#   training/quality/scans/filters rows and the r9-era joins rows,
-#   with aggs(head) starting the r9 re-sweep. Fresh-process front
-#   query: q_dedup_simhash (textops first definition).
-#
-# Round-13 plan (prepped now, oldest-first per the rotation law):
+# Round-13 window (executes the round-12 verdict task 3 — the r13 plan
+# exactly as prepped in the r12 registry comment, PLUS the one-off
+# 3-query annex the r12 verdict prescribed):
+#   ANNEX(3: q_win_range_frame, q_dedup_canonical, q_dedup_lsh — the
+#   r12 optimization round's riskiest rewrites, whose home modules
+#   (windows, llm) would otherwise wait for r14; forward-declared in
+#   collect() via _ANNEX_R13 so dict insertion order fronts them while
+#   the home modules' later @register overwrites the VALUES in place) +
 #   aggs(14, re-confirming the 4 that close the r12 window) +
 #   approx_cd(1) + setops(4) + sketches(4) + coverage(10) +
-#   corpus(15) + streams(first 2) = 50 exactly — refreshing the
-#   r9-era aggs-tail/approx_cd/setops/sketches/coverage rows (the 28
-#   the r11 simulation enumerated), with corpus/streams(head)
-#   starting the r10 re-sweep.
+#   corpus(first 14) = 50 exactly — refreshing the r9-era aggs-tail/
+#   approx_cd/setops/sketches/coverage rows. The annex displaces the
+#   originally planned corpus 15th + streams(first 2), all three of
+#   which have r10-era rows and are fronted in the r14 plan below.
+#   The annex is ONE-OFF: the r14 rotation deletes _ANNEX_R13.
+#
+# Round-14 plan (prepped now, oldest-first per the rotation law):
+#   corpus(15, re-confirming the 14 that close the r13 window) +
+#   streams(10) + events(9) + udf(4) + streaming_ext(1) +
+#   lakehouse(5) + windows(first 6) = 50 exactly — refreshing every
+#   r10-era row (corpus tail / streams / events / udf / streaming_ext
+#   / lakehouse), with windows(head) starting the r11 re-sweep.
 #
 # ROTATION LAW (steady state from r9 on): every registered query gets
 #   a driver-recorded hash row at most TWO testdata generations old.
@@ -115,18 +120,12 @@ def register(name: str, oracle: str | None = None):
 # semantics depend on it (verified by the full preflight sweep each
 # round).
 _MODULES = [
-    "textops",
-    "training",
-    "quality",
-    "scans",
-    "filters",
-    "joins",
-    "aggs",  # first 4 complete the r12 window; tail 10 lead r13.
-    "approx_cd",
+    "aggs",
+    "approx_cd",  # stays ordered with aggs (r9 window pairing).
     "setops",
     "sketches",
     "coverage",
-    "corpus",
+    "corpus",  # first 14 complete the r13 window (annex takes 3 slots).
     "streams",
     "events",
     "udf",
@@ -137,7 +136,23 @@ _MODULES = [
     "scalars",
     "ml",
     "llm",
+    "textops",
+    "training",
+    "quality",
+    "scans",
+    "filters",
+    "joins",
 ]
+
+# r13 one-off window annex (r12 verdict task 3): the r12 round's
+# riskiest rewrites get their driver hash row THIS round instead of
+# waiting for their home modules' r14 slot. collect() registers these
+# names FIRST with lazy delegates; dict insertion order is fixed by
+# the first insertion, and the home modules' later @register calls
+# overwrite the VALUES (and supply the oracles) in place — so the
+# driver's first-50 window carries the real implementations, fronted.
+# DELETE this tuple (and its collect() hook) at the r14 rotation.
+_ANNEX_R13 = ("q_win_range_frame", "q_dedup_canonical", "q_dedup_lsh")
 
 # The NEXT round's plan in executable form (r11 on): the prose
 # "Round-12 plan" above, as the module order the next session will
@@ -148,18 +163,13 @@ _MODULES = [
 # instead of during the next session's task 1. Rotating a round =
 # _MODULES ← _NEXT_MODULES, then prep the new _NEXT_MODULES.
 _NEXT_MODULES = [
-    "aggs",
-    "approx_cd",  # stays ordered with aggs (r9 window pairing).
-    "setops",
-    "sketches",
-    "coverage",
     "corpus",
-    "streams",  # first 2 complete the r13 window; tail 8 lead r14.
+    "streams",
     "events",
     "udf",
     "streaming_ext",
     "lakehouse",
-    "windows",
+    "windows",  # first 6 complete the r14 window; tail 3 lead r15.
     "relational",
     "scalars",
     "ml",
@@ -170,7 +180,36 @@ _NEXT_MODULES = [
     "scans",
     "filters",
     "joins",
+    "aggs",
+    "approx_cd",
+    "setops",
+    "sketches",
+    "coverage",
 ]
+
+
+def _register_annex() -> None:
+    """Forward-declare the _ANNEX_R13 names ahead of the module loop
+    (see the tuple's comment). Idempotent: skips names already
+    registered (e.g. a test imported a home module before collect()),
+    so the annex can never shadow a real implementation — only claim
+    an early dict slot that the home module's @register then fills."""
+
+    def fwd(name: str) -> QueryFn:
+        def placeholder(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Unreachable after collect(): every home module's import
+            # overwrites this entry with the real implementation. If a
+            # caller somehow runs it, fail loudly rather than recurse.
+            raise RuntimeError(
+                f"annex placeholder for {name} was never overwritten — "
+                "its home module did not register it"
+            )
+
+        return placeholder
+
+    for name in _ANNEX_R13:
+        if name not in QUERIES:
+            QUERIES[name] = fwd(name)
 
 
 def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
@@ -184,6 +223,7 @@ def collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     if not _COLLECTED:
         import importlib
 
+        _register_annex()
         for mod in _MODULES:
             fq = f"{__package__}.{mod}"
             try:

@@ -47,6 +47,54 @@ def test_no_undocumented_quadratic_or_row_python(spark, registry):
     )
 
 
+def test_subset_copartition_rule_flags_and_sanctions(spark):
+    """r13 (r12 verdict task 5): the subset-co-partition invariant —
+    session.py's global requireAllClusterKeysForCoPartition=false is
+    only safe because every join that rides subset co-partitioning
+    sits downstream of an explicit fan_out(by=) on a documented
+    high-cardinality key. The registry-wide sweep runs via the COPART
+    flag in test_no_undocumented_quadratic_or_row_python (COPART is
+    never in DOCUMENTED, so any violation fails that gate); this test
+    proves the detector itself is live in both directions."""
+    import plan_audit
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.sources.loader import fan_out
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.range(100_000).select(
+            (F.col("id") % 7).alias("k"), (F.col("id") % 50).alias("x")
+        )
+        # Violation: both sides arrive hashpartitioning(k) from an
+        # unrelated LOW-cardinality aggregation; the join on (k, x)
+        # consumes that subset partitioning with no fan_out site.
+        j = (
+            df.groupBy("k")
+            .agg(F.max("x").alias("x"))
+            .join(df.groupBy("k").agg(F.min("x").alias("x")), ["k", "x"])
+        )
+        v = plan_audit.subset_copartition_violations(j)
+        assert v and all("⊂ join keys" in m for m in v), v
+
+        # Sanctioned: explicit fan_out(by=) on a documented key feeds
+        # the same join shape — no violation.
+        def side():
+            return fan_out(
+                spark.range(100_000).select(
+                    F.col("id").alias("doc_id"), (F.col("id") % 50).alias("x")
+                ),
+                by="doc_id",
+            )
+
+        assert plan_audit.subset_copartition_violations(
+            side().join(side(), ["doc_id", "x"])
+        ) == []
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_law53_lane_contract_live_and_parser(spark, registry):
     """r12 (r11 verdict task 5): the law-53 guard's physical-lane
     contract — flat-doc hot path in whole-stage codegen, the per-char

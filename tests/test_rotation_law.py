@@ -49,11 +49,20 @@ def _canonical_order():
     mod_rank = {
         f"{reg.__package__}.{m}": i for i, m in enumerate(reg._MODULES)
     }
+    # The r13 one-off annex (registry._ANNEX_R13) forward-declares its
+    # names BEFORE the module loop, so in a fresh process (the driver)
+    # they hold the first dict slots even though their home modules
+    # rank late — model that here with a rank of -1.
+    annex = list(getattr(reg, "_ANNEX_R13", ()))
     names = sorted(
         reg.QUERIES,
         key=lambda n: (
-            mod_rank[reg.QUERIES[n].__module__],
-            reg.QUERIES[n].__code__.co_firstlineno,
+            (-1, annex.index(n))
+            if n in annex
+            else (
+                mod_rank[reg.QUERIES[n].__module__],
+                reg.QUERIES[n].__code__.co_firstlineno,
+            )
         ),
     )
     counts = {}
@@ -216,23 +225,38 @@ def test_rotation_window_is_exactly_the_committed_plan(registry):
     an exact module-boundary sum, which is what makes the driver's
     'first 50' reproducible round over round.
     """
-    order, counts = _canonical_order()
+    from flink_streaming_kmeans_spark.plans import registry as reg
+
+    order, _ = _canonical_order()
     queries, _ = registry
     assert set(order) == set(queries)
     front = order[:WINDOW_SIZE]
     assert len(front) == WINDOW_SIZE
 
+    # r13: the one-off annex holds the first len(_ANNEX_R13) slots by
+    # forward declaration; the module arithmetic below governs the
+    # REMAINDER of the window (annex names excluded from the counts so
+    # their home modules don't read as straddling).
+    annex = list(getattr(reg, "_ANNEX_R13", ()))
+    assert front[: len(annex)] == annex
+    window_rest = WINDOW_SIZE - len(annex)
+    rest = [n for n in order if n not in annex]
+    counts = {}
+    for n in rest:
+        m = queries[n].__module__.rsplit(".", 1)[-1]
+        counts[m] = counts.get(m, 0) + 1
+
     # Module boundaries over the registration order: every module is
     # either wholly inside the window, wholly outside, or the SINGLE
-    # "first k of <module>" segment that completes it (corpus-first-4
-    # in the r9 plan). Two straddling modules would mean the window
+    # "first k of <module>" segment that completes it (corpus-first-14
+    # in the r13 plan). Two straddling modules would mean the window
     # drifted off the committed module arithmetic.
     boundaries = []
     total = 0
     for mod, n in counts.items():
         boundaries.append((mod, total, total + n))
         total += n
-    inside = [m for m, lo, hi in boundaries if lo < WINDOW_SIZE and hi <= WINDOW_SIZE]
-    straddle = [m for m, lo, hi in boundaries if lo < WINDOW_SIZE < hi]
+    inside = [m for m, lo, hi in boundaries if lo < window_rest and hi <= window_rest]
+    straddle = [m for m, lo, hi in boundaries if lo < window_rest < hi]
     assert len(straddle) <= 1, f"window may straddle at most one module: {straddle}"
     assert inside, "window must cover at least one whole module"

@@ -94,6 +94,99 @@ DOCUMENTED = {
 }
 
 
+# r13 (r12 verdict task 5): session.py sets
+# spark.sql.requireAllClusterKeysForCoPartition=false GLOBALLY, justified
+# by the explicit fan_out(by=) sites whose keys are high-cardinality by
+# construction. Nothing pinned that invariant for FUTURE queries: a new
+# join on (k, extra) could silently ride a subset hashpartitioning(k)
+# left behind by an unrelated low-cardinality aggregation — exactly the
+# skew hazard the conf's default guards against. This rule fails any
+# plan where a sort-merge / shuffled-hash join consumes subset
+# co-partitioning that is NOT (a) keyed on a documented fan_out key and
+# (b) downstream of an explicit fan_out(by=) exchange
+# (REPARTITION_BY_NUM hashpartitioning on exactly those keys).
+FAN_OUT_JOIN_KEYS = {"doc_id", "vec_id", "custkey"}
+
+
+def _attr_tokens(s: str) -> set[str]:
+    """Attribute tokens (name#exprId) in an expression/partitioning
+    string."""
+    return set(re.findall(r"\w+#\d+", s))
+
+
+def _attr_names(tokens: set[str]) -> set[str]:
+    return {t.split("#", 1)[0] for t in tokens}
+
+
+def _walk(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk(node.children().apply(i))
+
+
+def _has_fanout_exchange(node, key_names: set[str]) -> bool:
+    """True iff the subtree holds an explicit-repartition exchange
+    (fan_out(by=): REPARTITION_BY_NUM) hash-partitioned on exactly
+    ``key_names``."""
+    for n in _walk(node):
+        if n.nodeName() != "Exchange":
+            continue
+        part = n.outputPartitioning().toString()
+        if not part.startswith("hashpartitioning"):
+            continue
+        try:
+            origin = n.shuffleOrigin().toString()
+        except Exception:
+            continue
+        if origin == "REPARTITION_BY_NUM" and (
+            _attr_names(_attr_tokens(part)) == key_names
+        ):
+            return True
+    return False
+
+
+def subset_copartition_violations(df) -> list[str]:
+    """Flag every SMJ/SHJ side that consumes SUBSET co-partitioning
+    without sitting downstream of a documented explicit fan_out(by=)
+    site. Inspects the pre-AQE initial plan: partitioning consumption
+    is decided by EnsureRequirements there (AQE only coalesces)."""
+    ep = df._jdf.queryExecution().executedPlan()
+    try:
+        root = ep.initialPlan()
+    except Exception:
+        root = ep
+    out = []
+    for n in _walk(root):
+        nm = n.nodeName()
+        if not (nm.startswith("SortMergeJoin") or nm.startswith("ShuffledHashJoin")):
+            continue
+        for keys, i in ((n.leftKeys(), 0), (n.rightKeys(), 1)):
+            key_toks = _attr_tokens(keys.toString())
+            ch = n.children().apply(i)
+            part = ch.outputPartitioning().toString()
+            if not part.startswith("hashpartitioning"):
+                continue
+            part_toks = _attr_tokens(part)
+            if not part_toks or not (part_toks < key_toks):
+                continue  # full co-partition (or unrelated): fine
+            pn = _attr_names(part_toks)
+            problems = []
+            if not pn <= FAN_OUT_JOIN_KEYS:
+                problems.append(
+                    "key not in the documented high-cardinality fan_out set"
+                )
+            if not _has_fanout_exchange(ch, pn):
+                problems.append(
+                    "no explicit fan_out REPARTITION_BY_NUM site upstream"
+                )
+            if problems:
+                out.append(
+                    f"{nm} side{i}: partitioned on {sorted(pn)} ⊂ join keys "
+                    f"{sorted(_attr_names(key_toks))} — " + "; ".join(problems)
+                )
+    return out
+
+
 def audit_one(name, df):
     # NB: df may be UN-executed here — for an AdaptiveSparkPlan this
     # string is then the initial plan (isFinalPlan=false). That is
@@ -114,11 +207,17 @@ def audit_one(name, df):
     if re.search(r"\bBatchEvalPython\b", plan):
         flags.append("ROW_PYTHON")
     widths = [len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
+    copart = subset_copartition_violations(df)
+    if copart:
+        # Never documentable by design: fix the plan (add the fan_out
+        # site / key) instead of allowlisting the violation.
+        flags.append("COPART")
     return {
         "exchanges": n_exchange,
         "broadcasts": n_bcast,
         "flags": flags,
         "max_scan_cols": max(widths, default=0),
+        "copart": copart,
     }
 
 
@@ -156,6 +255,9 @@ def main():
             if not note:
                 clean = False
             print(f"  {name}: {f} ({status})")
+            if f == "COPART":
+                for msg in r["copart"]:
+                    print(f"      {msg}")
     for name, e in errors.items():
         clean = False
         print(f"  {name}: ERROR {e}")
