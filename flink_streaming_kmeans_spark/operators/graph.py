@@ -43,10 +43,17 @@ def connected_components(
     relative to scale: it is a constant prefix, and the common case
     (small diameter) never pays the star constant factor at all.
     """
+    # eager=False everywhere (r13, guide §5): an eager localCheckpoint
+    # is its own driver job; the lazy form materializes (and truncates
+    # lineage) inside the FIRST job that reads it — here the per-round
+    # convergence count, which computes every partition anyway. One
+    # job per round + two setup jobs removed; same plans, same labels.
     both = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=False
+    )
     for rnd in range(max_rounds):
         prop = both.join(
             labels.withColumnRenamed("id", "src"), "src"
@@ -71,7 +78,7 @@ def connected_components(
             )
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.min("own").alias("own"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_full.where(
             F.col("own").isNotNull() & (F.col("label") < F.col("own"))
@@ -140,11 +147,13 @@ def connected_components_star(
     use this variant when components can be long paths — session
     graphs, citation chains, URL redirect chains.
     """
+    # eager=False: materialized by the first convergence count, same
+    # as the propagation loop above (r13, guide §5).
     e = _canon(
         edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(max_rounds):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         stable = (
             e2.count() == e.count()
             and e2.exceptAll(e).limit(1).count() == 0

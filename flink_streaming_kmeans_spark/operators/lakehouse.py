@@ -329,6 +329,19 @@ def read_table(
         # Dropping/renaming/retyping would need column-id indirection
         # in the manifest — out of scope, as is Iceberg's.
         reader = reader.option("mergeSchema", "true")
+    elif m.get("schema") is not None:
+        # Explicit schema from the manifest (r13, guide §6 — the same
+        # fix the streaming sink read-backs got in r12): the manifest
+        # records the exact read-back shape (_read_shape_schema:
+        # partition column last, all nullable), so the footer-
+        # inference pass — one driver-side job per read_table call,
+        # and q_stream_upsert calls this once per micro-batch merge —
+        # is pure overhead. This is the table-metadata-is-the-schema
+        # design point Delta/Iceberg readers use. Legacy manifests
+        # without a recorded schema keep the inference path.
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(m["schema"]))
     df = reader.parquet(*paths)
     # Partition-dir inference types the column from path strings; cast
     # back to the declared type so snapshots round-trip schema-stable.

@@ -795,7 +795,12 @@ def q_evt_basket(spark, sf_dir):
     # distinct shuffle — the same per-reference recomputation
     # q_graph_pagerank's edge list fixes with localCheckpoint
     # (review r6).
-    ut = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    # eager=False (r13, guide §5): materialized inside the first
+    # consuming action instead of a separate driver job; the other
+    # three references read the cached partitions exactly as before.
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=False
+    )
     a = ut.select("user_id", F.col("event_type").alias("t1"))
     b = ut.select("user_id", F.col("event_type").alias("t2"))
     pairs = (

@@ -168,12 +168,22 @@ def q_stream_dedup(spark, sf_dir):
     # copies of a duplicate, the extra row lands in the sink and fails
     # the row-count/hash compare (a keyed driver dict would mask it).
     sink_dir = os.path.join(d, "sink")
+    # final_no_data_batch=False (r13, guide §1.2): dedup emits each
+    # event at FIRST sight, eagerly on its data batch; the final
+    # no-data micro-batch only evicts state that the availableNow
+    # query is about to discard anyway — a full trigger (~0.4 s) for
+    # zero output rows. Output identical (3-SF oracle-verified).
     _run_available_now(
         deduped.writeStream.format("parquet")
         .option("path", sink_dir)
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_stream_dedup",
         spark,
+        # partitions=2 (r13): per-trigger state commit was 165-428 ms
+        # of a 270-880 ms addBatch at parts=4; the interleaved A/B has
+        # 2 parts + the no-data skip at 2.59 → 2.24 s warm-min.
+        partitions=2,
+        final_no_data_batch=False,
     )
 
     # Explicit sink schema (guide §6; r12): the file sink wrote
@@ -273,6 +283,14 @@ def q_stream_join(spark, sf_dir):
     # sink; every joined pair lands in the sink, nothing
     # data-proportional crosses the driver.
     sink_dir = os.path.join(d, "sink")
+    # final_no_data_batch=False (r13, guide §1.2): INNER interval-join
+    # matches emit eagerly on the data batch that completes them (the
+    # docstring's own semantics); the final no-data micro-batch only
+    # runs watermark eviction of state the terminating query discards
+    # — measured 0.7 s/trigger of pure state-commit + offset-log cost
+    # for zero output rows. The LEFT join twin keeps the default: its
+    # unmatched rows emit exactly there. Output identical
+    # (3-SF oracle-verified).
     _run_available_now(
         joined.writeStream.format("parquet")
         .option("path", sink_dir)
@@ -280,6 +298,13 @@ def q_stream_join(spark, sf_dir):
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_stream_join",
         spark,
+        # partitions=2 (r13): this drive's triggers are state-commit-
+        # dominated — symmetricHashJoin keeps 4 stores per partition,
+        # and the decomposition measured 620-1200 ms commit inside a
+        # 600-770 ms addBatch at parts=4; the interleaved A/B has
+        # 2 parts + the no-data skip at 4.58 → 3.53 s warm-min.
+        partitions=2,
+        final_no_data_batch=False,
     )
     # Explicit sink schema (guide §6; r12): skip the read-back
     # footer-inference pass.

@@ -93,9 +93,20 @@ def batch_input_dir(
     df-minus-bno. Batch order is pinned by monotone mtimes. A batch
     named in ``sequence`` but holding no rows is an error — silently
     skipping a file would shift every later trigger.
+
+    The stage is hash-repartitioned on bno_col (r13, guide §2.6): each
+    bno value lands in exactly ONE shuffle partition, so every batch
+    dir still gets exactly one parquet file (the replay invariant),
+    but the n batch files compress and write in PARALLEL instead of
+    through the old coalesce(1) single task — measured 1.06 → 0.74 s
+    warm on the 200k-row events stage. Hash-by-column is
+    deterministic under task retry (guide §2.5; no round-robin).
     """
     staged = os.path.join(d, "staged")
-    df.coalesce(1).write.mode("overwrite").partitionBy(bno_col).parquet(staged)
+    n_batches = max(1, len(set(sequence)))
+    df.repartition(n_batches, bno_col).write.mode("overwrite").partitionBy(
+        bno_col
+    ).parquet(staged)
     in_dir = os.path.join(d, "in")
     os.makedirs(in_dir, exist_ok=True)
     for k, b in enumerate(sequence):
@@ -112,10 +123,41 @@ def batch_input_dir(
 
 
 def run_available_now(
-    writer, name: str, spark=None, partitions: int = 4, timeout: int = 300
+    writer,
+    name: str,
+    spark=None,
+    partitions: int = 4,
+    timeout: int = 300,
+    final_no_data_batch: bool = True,
 ):
     """Start an availableNow streaming query and fail loudly on
     timeout instead of returning partial state.
+
+    ``partitions``: every state-store commit writes one delta file
+    PER STORE PER PARTITION per trigger (a stream-stream join keeps 4
+    stores per partition), so drives whose triggers are state-commit-
+    dominated (the r13 per-trigger decomposition: q_stream_join
+    620-1200 ms commit of a 600-770 ms addBatch) pass 2; drives whose
+    triggers carry real per-batch compute keep 4 — the r13 interleaved
+    A/B measured parts=2 WORSE for those (q_stream_session 3.0→3.5 s,
+    q_stream_hll 1.7→1.9 s: halving task parallelism cost more than
+    the saved commits). Load-sized, not code-sized — see
+    session.scoped_shuffle_partitions; output is partition-count
+    invariant (the 5-vs-32 reducer sweep + SPARK_GRAFT_STREAM_BATCHES
+    sweeps assert exactly that).
+
+    ``final_no_data_batch=False`` scopes
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false`` around
+    the run (restored after). The final no-data micro-batch exists to
+    run watermark-driven state eviction/emission after the last data
+    batch; drives whose sink output is already complete by then (an
+    inner interval join and first-sight dedup emit eagerly on match;
+    an update-mode foreachBatch emits every state change on its data
+    batch) pay a full trigger — plan + state commit + offset/commit
+    log writes, 0.4-0.7 s measured — for a batch that provably emits
+    nothing. APPEND-mode finalization drives (session / slide /
+    left-outer join) MUST keep the default: their tail rows emit only
+    on that final eviction.
 
     SPARK_GRAFT_STREAM_TIMEOUT overrides the cap for fixtures whose
     OUTPUT is legitimately huge (the adversarial-skew rung's hot-user
@@ -143,14 +185,23 @@ def run_available_now(
     t_env = os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT")
     if t_env:
         timeout = max(1, int(t_env))
-    with scope:
-        q = writer.trigger(availableNow=True).start()
-        if not q.awaitTermination(timeout):
-            q.stop()
-            raise RuntimeError(
-                f"{name}: streaming query exceeded {timeout} s"
-            )
-        return q
+    ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    saved_ndb = None
+    if spark is not None and not final_no_data_batch:
+        saved_ndb = spark.conf.get(ndb_key, "true")
+        spark.conf.set(ndb_key, "false")
+    try:
+        with scope:
+            q = writer.trigger(availableNow=True).start()
+            if not q.awaitTermination(timeout):
+                q.stop()
+                raise RuntimeError(
+                    f"{name}: streaming query exceeded {timeout} s"
+                )
+            return q
+    finally:
+        if saved_ndb is not None:
+            spark.conf.set(ndb_key, saved_ndb)
 
 
 def append_batch(df: DataFrame, in_dir: str, k: int) -> str:

@@ -77,6 +77,60 @@ def test_iter_matches_numpy_reference(spark, registry):
     assert agree >= 0.99, f"only {agree:.3f} agreement with numpy reference"
 
 
+def test_sidefile_combiner_bit_identical(spark):
+    """r13: lloyd_iterate plans its per-iteration pass once and ships
+    the centroid matrix via a side file the combiner loads at task
+    start (_partial_stats_fn_from_file). The partials must be
+    BIT-identical to the closure-baked combiner's — same GEMM, same
+    tie-break, same accumulation order — or the plan-once rewrite
+    would silently change which Lloyd fixpoint the loop reaches."""
+    import os
+    import tempfile
+    import uuid
+
+    import numpy as np
+
+    from flink_streaming_kmeans_spark.functions.vector import emb_finite
+    from flink_streaming_kmeans_spark.operators.kmeans import (
+        _partial_stats_fn,
+        _partial_stats_fn_from_file,
+        init_centroids,
+    )
+    from flink_streaming_kmeans_spark.sources.loader import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_SMOKE, "embeddings").where(
+        F.col("vec_id").isNotNull() & emb_finite("embedding")
+    ).select("embedding")
+    cent = init_centroids(
+        load_table(spark, SF_SMOKE, "embeddings").where(
+            F.col("vec_id").isNotNull() & emb_finite("embedding")
+        )
+    ).collect()
+    cids = np.array(sorted(int(r.cid) for r in cent))
+    by = {int(r.cid): [float(x) for x in r.cemb] for r in cent}
+    C = np.array([by[c] for c in cids])
+
+    schema = "cid int, psum array<double>, n bigint"
+    closure = e.mapInPandas(_partial_stats_fn(C, cids), schema).collect()
+    cpath = os.path.join(
+        tempfile.gettempdir(), f"fsk_test_C-{uuid.uuid4().hex[:8]}.npy"
+    )
+    np.save(cpath, C)
+    try:
+        sidefile = e.mapInPandas(
+            _partial_stats_fn_from_file(cpath, cids, C.shape[1]), schema
+        ).collect()
+    finally:
+        os.unlink(cpath)
+    a = {int(r.cid): (np.array(r.psum), int(r.n)) for r in closure}
+    b = {int(r.cid): (np.array(r.psum), int(r.n)) for r in sidefile}
+    assert set(a) == set(b)
+    for c in a:
+        assert a[c][1] == b[c][1]
+        assert np.array_equal(a[c][0], b[c][0]), f"cid {c} psum drifted"
+
+
 def test_iter_better_than_random_and_uses_k_clusters(spark, registry):
     queries, _ = registry
     X, y, ids = _load_xy(spark, SF_SMOKE)
