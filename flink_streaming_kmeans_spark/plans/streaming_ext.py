@@ -128,6 +128,12 @@ def q_stream_slide(spark, sf_dir):
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_stream_slide",
         spark,
+        # partitions stays 4 (r13 probe): parts=2 measured WORSE
+        # interleaved (warm-min 3.80/3.88 at 4 parts vs 4.67/3.92 at
+        # 2) — the per-batch window aggregation over 50k rows loses
+        # more to halved task parallelism than the ~160 ms/trigger
+        # state commit saves, same shape as the q_stream_session
+        # parts probe (replay.run_available_now).
     )
     # Drop any sentinel-era window (win_start > max real ts); the
     # sentinel's count-1 windows never emit under the final watermark,

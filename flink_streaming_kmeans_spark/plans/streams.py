@@ -52,6 +52,7 @@ from ..sources.replay import (
     memory_sink_name,
     replay_batch_count,
     run_available_now,
+    stage_time_batches,
     time_batch_col,
 )
 from .registry import register
@@ -65,14 +66,12 @@ def _write_time_batches(df, d, n_batches, order_cols=("ts", "event_id")):
     )
 
 
-def _probe_batches(df, target=3):
-    """Drive batch count clamped to the source's row count: probes
-    ``limit(b)`` rows only, where b honors the sweep override
-    (sources/replay.replay_batch_count) — 0 means an empty source
-    (the callers' empty-guard). The clamp keeps ntile from leaving
-    empty trailing batch files the replay prep rejects (ADVICE r5)."""
-    b = replay_batch_count(target)
-    return min(b, df.limit(b).count())
+# (The former _probe_batches limit-count helper is gone — r13: the
+# batch-count clamp + empty-source guard now fall out of the staging
+# write itself, sources/replay.stage_time_batches, saving one driver
+# job per drive. Drives that need a row count anyway — the sentinel
+# appenders and q_stream_quantile's domain stats — keep their stats
+# jobs and the _write_time_batches path above.)
 
 
 _run_available_now = run_available_now
@@ -118,20 +117,22 @@ def q_stream_dedup(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
         "event_id", "ts", "value"
     )
-    # Empty-source guard + ntile clamp (r8 full-registry empty sweep;
-    # same idiom as q_stream_session): an empty stream has no batch
-    # files and no sink dir, and ntile(3) over <3 rows leaves a batch
-    # with no partition dir — both abort the replay prep loudly.
-    cnt = _probe_batches(ev)
+    # Empty-source guard + ntile clamp via the staging write itself
+    # (r13, guide §1.5 — the separate limit-count probe job is gone):
+    # stage_time_batches returns how many contiguous batch files the
+    # ntile split actually produced; zero means an empty stream, the
+    # r8 empty-sweep path unchanged. Output is batch-count-invariant
+    # (module contract), so clamping on the union's row count rather
+    # than the pre-union probe count is observationally identical.
+    dups = ev.where(F.col("event_id") % 7 == 0)
+    d = _tmp_out("stream_dedup", sf_dir)
+    in_dir, cnt = stage_time_batches(ev.unionAll(dups), d, 3)
     if cnt == 0:
         # timestamp_ntz, matching the client_ntz non-empty path (law 47
         # + r8 ADVICE: the empty and non-empty paths must agree).
         return spark.createDataFrame(
             [], "event_id bigint, ts_s timestamp_ntz, value double"
         )
-    dups = ev.where(F.col("event_id") % 7 == 0)
-    d = _tmp_out("stream_dedup", sf_dir)
-    in_dir = _write_time_batches(ev.unionAll(dups), d, cnt)
 
     # Identity participation (law 49, r8 streaming fuzz arm): a row
     # with NULL event_id has no identity and cannot participate in
@@ -235,15 +236,14 @@ def q_stream_join(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
         "event_id", "user_id", "event_type", "ts"
     )
-    # Empty-source guard + ntile clamp (r8 empty sweep — see
-    # q_stream_dedup): zero joined pairs is the oracle's answer.
-    cnt = _probe_batches(ev)
+    # Empty-source guard + ntile clamp via the staging write (r13 —
+    # see q_stream_dedup): zero joined pairs is the oracle's answer.
+    d = _tmp_out("stream_join", sf_dir)
+    in_dir, cnt = stage_time_batches(ev, d, 3)
     if cnt == 0:
         return spark.createDataFrame(
             [], "user_id bigint, p_id bigint, c_id bigint"
         )
-    d = _tmp_out("stream_join", sf_dir)
-    in_dir = _write_time_batches(ev, d, cnt)
 
     def src():
         return (
@@ -382,26 +382,22 @@ def q_stream_upsert(spark, sf_dir):
 
     from ..operators.lakehouse import merge_cow, read_table
 
-    # Empty-source guard + ntile clamp (r8 empty sweep): a merge of
-    # nothing IS the seed snapshot — return it directly (the seed's
-    # empty-table read works via the manifest-recorded schema).
-    cnt = _probe_batches(src)
+    d = _tmp_out("stream_upsert", sf_dir)
+    # Batches of DISJOINT, contiguous custkey ranges (ntile on the
+    # ordered key — insert keys are negated custkeys, so range-split
+    # keeps every batch non-empty where a mod split would not).
+    # Empty-source guard + ntile clamp via the staging write (r13 —
+    # see q_stream_dedup); the probe this replaces was the round's
+    # most expensive one, a limit-count that partially evaluated the
+    # whole merge-source join+aggregate. A merge of nothing IS the
+    # seed snapshot — return it directly (the seed's empty-table read
+    # works via the manifest-recorded schema).
+    in_dir, cnt = stage_time_batches(src, d, 3, order_cols=("custkey",))
     if cnt == 0:
         t = read_table(spark, root)
         return t.select(
             "custkey", "name", mround("acctbal").alias("acctbal"), "segment"
         )
-
-    d = _tmp_out("stream_upsert", sf_dir)
-    # Batches of DISJOINT, contiguous custkey ranges (ntile on the
-    # ordered key — insert keys are negated custkeys, so range-split
-    # keeps every batch non-empty where a mod split would not).
-    n_batches = cnt
-    in_dir = batch_input_dir(
-        time_batch_col(src, n_batches, order_cols=("custkey",)),
-        d,
-        range(n_batches),
-    )
 
     def fb(batch_df, _bid):
         # isEmpty short-circuits at the first row; a count() here
@@ -724,15 +720,14 @@ def q_stream_cep(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("i")
     )
-    # Empty-source guard + ntile clamp (r8 empty sweep — see
-    # q_stream_dedup): no events, no NFAs.
-    cnt = _probe_batches(ev)
+    # Empty-source guard + ntile clamp via the staging write (r13 —
+    # see q_stream_dedup): no events, no NFAs.
+    d = _tmp_out("stream_cep", sf_dir)
+    in_dir, cnt = stage_time_batches(ev, d, 3)
     if cnt == 0:
         return spark.createDataFrame(
             [], "user_id bigint, n_events bigint, n_funnels bigint, converted int"
         )
-    d = _tmp_out("stream_cep", sf_dir)
-    in_dir = _write_time_batches(ev, d, cnt)
 
     state_schema = (
         "user_id bigint, n_events bigint, nfa int, rel int, n_funnels bigint"
@@ -832,6 +827,13 @@ def q_stream_cep(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
+    # partitions stays 4 (r13 probe): this drive has NO state store
+    # (foreachBatch; the parquet generations are the state) and its
+    # triggers carry real per-batch compute — the cogrouped pandas NFA
+    # fold. parts=2 measured WORSE interleaved (warm-min 4.13/4.20 at
+    # 4 parts vs 5.48/4.73 at 2): halving the cogroup task parallelism
+    # costs more than the saved task overhead, same shape as the
+    # q_stream_session parts probe (replay.run_available_now).
     run_available_now(
         stream.writeStream.foreachBatch(advance), "q_stream_cep", spark
     )
@@ -880,13 +882,12 @@ def q_stream_hll(spark, sf_dir):
     (<=256 keys), so no watermark is needed — the canonical
     'small-keyspace running aggregate' streaming shape."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    # Empty-source guard + ntile clamp (r8 empty sweep — see
-    # q_stream_dedup): an empty stream has empty registers.
-    cnt = _probe_batches(ev)
+    # Empty-source guard + ntile clamp via the staging write (r13 —
+    # see q_stream_dedup): an empty stream has empty registers.
+    d = _tmp_out("stream_hll", sf_dir)
+    in_dir, cnt = stage_time_batches(ev, d, 3)
     if cnt == 0:
         return spark.createDataFrame([], "bucket int, max_rank int")
-    d = _tmp_out("stream_hll", sf_dir)
-    in_dir = _write_time_batches(ev, d, cnt)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -1195,12 +1196,11 @@ def q_stream_topk(spark, sf_dir):
     split-invariance law asserted in tests/test_sketches.py)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dd = _tmp_out("stream_topk", sf_dir)
-    # Clamp like q_stream_quantile: ntile(3) on a 1-2-row corpus
-    # leaves empty batch files the replay prep rejects (ADVICE r5).
-    n_batches = _probe_batches(d)
+    # Empty-source guard + ntile clamp via the staging write (r13 —
+    # see q_stream_dedup).
+    in_dir, n_batches = stage_time_batches(d, dd, 3, ("doc_id",))
     if n_batches == 0:
         return spark.createDataFrame([], "tok string, n bigint, rank int")
-    in_dir = _write_time_batches(d, dd, n_batches, ("doc_id",))
 
     stream = (
         spark.readStream.schema(d.schema)

@@ -27,10 +27,8 @@ from ..functions.hashing import DUCK_H60, SPARK_H60
 from ..functions.vector import client_ntz, davg, dsum, dsumr, emb_finite, fin, isum64, mround, sql_davg, sql_dsum, sql_emb_finite, sql_fin, sql_mround, sql_ts_valid, ts_valid
 from ..sources.loader import _tmp_out, fan_out, load_table, local_df
 from ..sources.replay import (
-    batch_input_dir,
-    replay_batch_count,
     run_available_now,
-    time_batch_col,
+    stage_time_batches,
 )
 from .registry import register
 
@@ -346,18 +344,16 @@ def q_stream_tumble(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
         "event_id", "ts", "value"
     )
-    # Empty-source guard + ntile clamp (r8 full-registry empty sweep;
-    # same idiom as q_stream_session): replay prep aborts loudly on a
-    # batch with no rows, and zero windows is the oracle's answer.
-    _b = replay_batch_count(3)
-    cnt = ev.limit(_b).count()  # bounded probe: min(b, n) is all we use
-    if cnt == 0:
+    # Empty-source guard + ntile clamp via the staging write (r13,
+    # guide §1.5 — see q_stream_dedup; the separate bounded probe job
+    # is gone): zero staged batches means an empty stream, and zero
+    # windows is the oracle's answer.
+    d = _tmp_out("stream_tumble", sf_dir)
+    in_dir, n_batches = stage_time_batches(ev, d, 3)
+    if n_batches == 0:
         return spark.createDataFrame(
             [], "win_start timestamp_ntz, n_events bigint, sum_value double"
         )
-    n_batches = min(_b, cnt)
-    d = _tmp_out("stream_tumble", sf_dir)
-    in_dir = batch_input_dir(time_batch_col(ev, n_batches), d, range(n_batches))
 
     # Update-mode sink: keep the latest emitted row per window; the
     # final dict IS the aggregate state at stream end.

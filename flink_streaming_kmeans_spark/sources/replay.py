@@ -122,6 +122,63 @@ def batch_input_dir(
     return in_dir
 
 
+def stage_time_batches(
+    df: DataFrame,
+    d: str,
+    target: int,
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    bno_col: str = "bno",
+) -> tuple[str, int]:
+    """Stage up to ``target`` contiguous-order micro-batch files under
+    d/in and return ``(in_dir, n_actual)``.
+
+    Replaces the pre-staging ``limit(b).count()`` probe job (r13,
+    guide §1.5 — one driver job per drive, and for q_stream_upsert a
+    partial evaluation of the whole merge-source join+agg): the clamp
+    the probe computed falls out of the staging write itself.
+    ``ntile(b)`` over r < b rows fills buckets 1..r with one row each
+    and leaves the rest EMPTY, so the staged partition dirs are
+    exactly the contiguous prefix 0..min(b,r)-1 and ``n_actual`` is
+    their count; an empty ``df`` stages zero dirs → ``(in_dir, 0)``
+    and the caller returns its typed empty frame exactly as it did on
+    a zero probe count. Anything non-contiguous would mean the ntile
+    invariant broke — fail loudly, never renumber (a silently shifted
+    batch file re-orders every later trigger).
+
+    Only for plain ``range(n)`` replays: sentinel-appending drives
+    (session / slide / left-outer join) need the row count BEFORE the
+    append index and keep their stats-job path; re-delivery sequences
+    (the reassignment drive) name batches explicitly via
+    :func:`batch_input_dir`. The sweep override
+    (``SPARK_GRAFT_STREAM_BATCHES``) is honored here, before the
+    split, per the replay_batch_count contract."""
+    b = replay_batch_count(target)
+    staged = os.path.join(d, "staged")
+    time_batch_col(df, b, order_cols).repartition(b, bno_col).write.mode(
+        "overwrite"
+    ).partitionBy(bno_col).parquet(staged)
+    present = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(staged)
+        if name.startswith(f"{bno_col}=")
+    )
+    if present != list(range(len(present))):
+        raise ValueError(
+            f"staged batches are not a contiguous prefix: {present}"
+        )
+    in_dir = os.path.join(d, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    for k in present:
+        pdir = os.path.join(staged, f"{bno_col}={k}")
+        src = next(
+            f for f in sorted(os.listdir(pdir)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"batch-{k:05d}.parquet")
+        shutil.copy(os.path.join(pdir, src), dst)
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    return in_dir, len(present)
+
+
 def run_available_now(
     writer,
     name: str,

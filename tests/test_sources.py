@@ -300,3 +300,66 @@ def test_encoding_variant_parity(spark, registry, monkeypatch):
                 con.close()
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stage_time_batches_clamp_empty_and_invariants(spark, tmp_path, monkeypatch):
+    """The r13 probe-job removal: stage_time_batches must derive the
+    batch-count clamp and the empty-source guard from the staging
+    write itself — (a) a table with fewer rows than the target stages
+    exactly row-count files, a contiguous prefix batch-00000..; (b) an
+    empty frame stages zero files and reports 0; (c) each batch is ONE
+    parquet file with strictly monotone mtimes (the FileStreamSource
+    ordering invariant); (d) the SPARK_GRAFT_STREAM_BATCHES sweep
+    override is honored before the split, per the replay_batch_count
+    contract."""
+    import datetime as dt
+    import os
+
+    from flink_streaming_kmeans_spark.sources.replay import (
+        stage_time_batches,
+    )
+
+    def frame(n):
+        return spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1, 0, i, 0), float(i))
+                for i in range(n)
+            ],
+            "event_id bigint, ts timestamp, value double",
+        )
+
+    # (a) clamp: 2 rows, target 3 -> 2 contiguous batch files
+    d2 = str(tmp_path / "two")
+    in_dir, n = stage_time_batches(frame(2), d2, 3)
+    files = sorted(f for f in os.listdir(in_dir) if f.endswith(".parquet"))
+    assert n == 2 and files == ["batch-00000.parquet", "batch-00001.parquet"]
+    mtimes = [os.path.getmtime(os.path.join(in_dir, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
+    # rows round-trip: union of batch files == the staged frame
+    assert spark.read.parquet(in_dir).count() == 2
+
+    # (b) empty source -> zero files, n=0 (the callers' typed-empty path)
+    d0 = str(tmp_path / "zero")
+    in_dir0, n0 = stage_time_batches(frame(0), d0, 3)
+    assert n0 == 0
+    assert not [f for f in os.listdir(in_dir0) if f.endswith(".parquet")]
+
+    # (c) normal split: 9 rows, target 3 -> 3 files, one per batch,
+    # contiguous TIME ranges (batch k's max ts <= batch k+1's min ts)
+    d9 = str(tmp_path / "nine")
+    in_dir9, n9 = stage_time_batches(frame(9), d9, 3)
+    assert n9 == 3
+    spans = []
+    for k in range(3):
+        p = os.path.join(in_dir9, f"batch-{k:05d}.parquet")
+        rows = spark.read.parquet(p).agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+        spans.append((rows.lo, rows.hi))
+    assert all(spans[k][1] <= spans[k + 1][0] for k in range(2))
+
+    # (d) sweep override routes through replay_batch_count
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_BATCHES", "2")
+    dov = str(tmp_path / "override")
+    _, nov = stage_time_batches(frame(9), dov, 3)
+    assert nov == 2
