@@ -26,10 +26,9 @@ from ..functions.vector import client_ntz, dsum, sql_dsum, sql_ts_valid, ts_vali
 from ..sources.loader import _tmp_out, load_table, local_df
 from ..sources.replay import (
     append_batch,
-    batch_input_dir,
-    replay_batch_count,
     run_available_now,
-    time_batch_col,
+    stage_time_batches,
+    staged_footer_stats,
 )
 from .registry import register
 
@@ -88,27 +87,23 @@ def q_stream_slide(spark, sf_dir):
         .where(ts_valid("ts"))
         .select("event_id", "ts", "value")
     )
-    stats = ev.agg(
-        F.max("ts").alias("m"), F.count(F.lit(1)).alias("cnt")
-    ).collect()[0]
-    top = stats.m
-    if top is None:
+    d = _tmp_out("stream_slide", sf_dir)
+    # Staging-derived clamp + empty guard (r13 — see plans/streams.py
+    # q_stream_dedup; replaces the pre-drive agg(max,count) stats job).
+    in_dir, n_batches = stage_time_batches(ev, d, 2)
+    if n_batches == 0:
         # timestamp_ntz matches the client_ntz non-empty path (law 47
         # + r8 ADVICE: empty and non-empty schemas must agree).
         return spark.createDataFrame(
             [], "win_start timestamp_ntz, n_events bigint, sum_value double"
         )
+    # Sentinel bound from the staged footers — zero Spark jobs (r13,
+    # guide §6; see q_stream_session).
+    _, _, top = staged_footer_stats(in_dir, "ts")
+    if top is None:
+        top = ev.agg(F.max("ts").alias("m")).collect()[0].m
     t3 = top + timedelta(days=3)
     sent = local_df(spark, [(-1, t3, 0.0)], ev.schema)
-
-    d = _tmp_out("stream_slide", sf_dir)
-    # ntile(2) on a 1-row table leaves batch 1 empty, which the
-    # replay prep rejects — clamp (same ADVICE-r5 guard as
-    # q_stream_quantile/q_stream_topk).
-    n_batches = min(replay_batch_count(2), int(stats.cnt))
-    in_dir = batch_input_dir(
-        time_batch_col(ev, n_batches, ("ts", "event_id")), d, range(n_batches)
-    )
     append_batch(sent, in_dir, n_batches)
 
     agg = (

@@ -50,28 +50,20 @@ from ..sources.replay import (
     append_batch,
     batch_input_dir,
     memory_sink_name,
-    replay_batch_count,
     run_available_now,
     stage_time_batches,
-    time_batch_col,
+    staged_footer_stats,
 )
 from .registry import register
 
-
-def _write_time_batches(df, d, n_batches, order_cols=("ts", "event_id")):
-    """Contiguous-time micro-batch files (sources/replay.py — single
-    partitionBy pass, monotone mtimes)."""
-    return batch_input_dir(
-        time_batch_col(df, n_batches, order_cols), d, range(n_batches)
-    )
-
-
-# (The former _probe_batches limit-count helper is gone — r13: the
-# batch-count clamp + empty-source guard now fall out of the staging
-# write itself, sources/replay.stage_time_batches, saving one driver
-# job per drive. Drives that need a row count anyway — the sentinel
-# appenders and q_stream_quantile's domain stats — keep their stats
-# jobs and the _write_time_batches path above.)
+# (The former _probe_batches / _write_time_batches helpers are gone —
+# r13: the batch-count clamp + empty-source guard now fall out of the
+# staging write itself (sources/replay.stage_time_batches, one driver
+# job per drive removed), and the sentinel bounds / quantile bin
+# domain come from the staged files' parquet footers
+# (replay.staged_footer_stats, the pre-drive agg-stats job removed).
+# Only the re-delivery drive (q_kmeans_stream_reassign) still names
+# its batch sequence explicitly via batch_input_dir.)
 
 
 _run_available_now = run_available_now
@@ -569,28 +561,30 @@ def q_stream_session(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
         "user_id", "ts", "event_id"
     )
-    stats = ev.agg(
-        F.max("ts").alias("m"), F.count(F.lit(1)).alias("cnt")
-    ).collect()[0]
-    top = stats.m
-    if top is None:
+    d = _tmp_out("stream_session", sf_dir)
+    # Staging-derived clamp + empty guard (r13 — see q_stream_dedup).
+    in_dir, n_batches = stage_time_batches(ev, d, 2)
+    if n_batches == 0:
         # Empty events: zero sessions (the oracle's answer); the
-        # sentinel arithmetic and replay prep would both choke.
+        # sentinel arithmetic would choke.
         # timestamp_ntz matches the client_ntz non-empty path (law 47
         # + r8 ADVICE: empty and non-empty schemas must agree).
         return spark.createDataFrame(
             [], "user_id bigint, session_start timestamp_ntz, n_events bigint"
         )
+    # Sentinel bound from the staged files' parquet FOOTERS — zero
+    # Spark jobs (r13, guide §6; replaces the agg(max,count) stats
+    # job). ts is NULL-free here (ts_valid gate), so footer max ==
+    # agg max; the agg fallback covers a stats-less footer, loudly
+    # not silently (staged_footer_stats' contract).
+    _, _, top = staged_footer_stats(in_dir, "ts")
+    if top is None:
+        top = ev.agg(F.max("ts").alias("m")).collect()[0].m
     # Python timedelta == SQL INTERVAL here: both are fixed 72h
     # offsets on a UTC timestamp. local_df keeps the 1-row sentinel
     # write off the Python-RDD path (sources/loader.local_df).
     t3 = top + timedelta(days=3)
     sent1 = local_df(spark, [(-1, t3, -1)], ev.schema)
-    d = _tmp_out("stream_session", sf_dir)
-    # ntile clamp for 1-row tables (same ADVICE-r5 guard as the
-    # documents-driven drives).
-    n_batches = min(replay_batch_count(2), int(stats.cnt))
-    in_dir = _write_time_batches(ev, d, n_batches)
     # appended file, not a union — see sources/replay.append_batch
     append_batch(sent1, in_dir, n_batches)
 
@@ -961,16 +955,26 @@ def q_stream_join_left(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").where(ts_valid("ts")).select(
         "event_id", "user_id", "event_type", "ts"
     )
-    stats = ev.agg(
-        F.max("ts").alias("m"), F.count(F.lit(1)).alias("cnt")
-    ).collect()[0]
-    top = stats.m
-    if top is None:
+    # 2 real batches + 1 sentinel batch (appended as its own file —
+    # sources/replay.append_batch — NOT unioned into the main write,
+    # which was measured 8x slower): the outer semantics need only
+    # (a) a batch boundary inside the data for mid-stream evictions
+    # and (b) the sentinel to flush the tail via the final no-data
+    # batch. Staging-derived clamp + empty guard (r13 — see
+    # q_stream_dedup).
+    d = _tmp_out("stream_join_left", sf_dir)
+    in_dir, n_batches = stage_time_batches(ev, d, 2)
+    if n_batches == 0:
         # Empty events: the LEFT join over an empty probe side is
         # empty (the oracle's answer).
         return spark.createDataFrame(
             [], "user_id bigint, p_id bigint, c_id bigint"
         )
+    # Sentinel bound from the staged footers — zero Spark jobs (r13,
+    # guide §6; see q_stream_session).
+    _, _, top = staged_footer_stats(in_dir, "ts")
+    if top is None:
+        top = ev.agg(F.max("ts").alias("m")).collect()[0].m
     # Python timedelta == SQL INTERVAL on a UTC timestamp; local_df
     # keeps the 2-row sentinel write off the Python-RDD path.
     t3 = top + timedelta(days=3)
@@ -979,15 +983,6 @@ def q_stream_join_left(spark, sf_dir):
         [(-1, -1, "purchase", t3), (-2, -1, "click", t3)],
         ev.schema,
     )
-    # 2 real batches + 1 sentinel batch (appended as its own file —
-    # sources/replay.append_batch — NOT unioned into the main write,
-    # which was measured 8x slower): the outer semantics need only
-    # (a) a batch boundary inside the data for mid-stream evictions
-    # and (b) the sentinel to flush the tail via the final no-data
-    # batch. ntile clamp for 1-row tables.
-    d = _tmp_out("stream_join_left", sf_dir)
-    n_batches = min(replay_batch_count(2), int(stats.cnt))
-    in_dir = _write_time_batches(ev, d, n_batches)
     append_batch(s1, in_dir, n_batches)
 
     def src():
@@ -1118,28 +1113,28 @@ def q_stream_quantile(spark, sf_dir):
         .select("doc_id", "n_chars")
         .where(F.col("n_chars").isNotNull())
     )
-    stats_row = d.agg(
-        F.min("n_chars").alias("mn"),
-        F.max("n_chars").alias("mx"),
-        F.count(F.lit(1)).alias("cnt"),
-    ).collect()[0]
-    mn, mx = stats_row.mn, stats_row.mx
-    if mn is None:
-        # Empty table: the batch twin's oracle yields zero rows; the
-        # replay prep would otherwise abort on an empty batch file,
-        # and interpolating None into SQL would be invalid anyway.
+    dd = _tmp_out("stream_quantile", sf_dir)
+    # Staging-derived clamp + empty guard (r13 — see q_stream_dedup).
+    in_dir, nb = stage_time_batches(d, dd, 3, ("doc_id",))
+    if nb == 0:
+        # Empty table: the batch twin's oracle yields zero rows, and
+        # interpolating None into SQL would be invalid anyway.
         return spark.createDataFrame(
             [], "p int, bin bigint, lo bigint, hi bigint"
         )
+    # Bin domain from the staged files' parquet FOOTERS — zero Spark
+    # jobs (r13, guide §6; replaces the min/max/count stats job).
+    # Integer footer stats are EXACT and exclude NULLs, and n_chars is
+    # NULL-free here (isNotNull gate), so footer min/max == agg
+    # min/max — the binning codebook is bit-identical. Agg fallback if
+    # a footer ever lacks stats (staged_footer_stats' contract).
+    _, mn, mx = staged_footer_stats(in_dir, "n_chars")
+    if mn is None:
+        r = d.agg(
+            F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+        ).collect()[0]
+        mn, mx = r.mn, r.mx
     width = mx - mn + 1
-
-    dd = _tmp_out("stream_quantile", sf_dir)
-    # ntile(n) leaves trailing batches EMPTY when the table has fewer
-    # rows than batches, and an empty batch file aborts the replay
-    # prep — clamp so 1-2-row corpora still drive (ADVICE r5).
-    in_dir = _write_time_batches(
-        d, dd, min(replay_batch_count(3), int(stats_row.cnt)), ("doc_id",)
-    )
 
     stream = (
         spark.readStream.schema(d.schema)

@@ -154,9 +154,23 @@ def stage_time_batches(
     split, per the replay_batch_count contract."""
     b = replay_batch_count(target)
     staged = os.path.join(d, "staged")
-    time_batch_col(df, b, order_cols).repartition(b, bno_col).write.mode(
-        "overwrite"
-    ).partitionBy(bno_col).parquet(staged)
+    # TIMESTAMP_MICROS for the staged files, scoped to this write:
+    # Spark's default parquet timestamp output is deprecated INT96,
+    # which carries NO footer min/max — staged_footer_stats would
+    # always fall back to the agg job it exists to remove. INT64 µs
+    # round-trips bit-identically through the replay read (explicit
+    # schema either way) and is the modern format every lake writer
+    # uses; scoping keeps the rest of the engine's writes untouched.
+    spark = df.sparkSession
+    _ts_key = "spark.sql.parquet.outputTimestampType"
+    _saved_ts = spark.conf.get(_ts_key, "INT96")
+    spark.conf.set(_ts_key, "TIMESTAMP_MICROS")
+    try:
+        time_batch_col(df, b, order_cols).repartition(b, bno_col).write.mode(
+            "overwrite"
+        ).partitionBy(bno_col).parquet(staged)
+    finally:
+        spark.conf.set(_ts_key, _saved_ts)
     present = sorted(
         int(name.split("=", 1)[1])
         for name in os.listdir(staged)
@@ -177,6 +191,47 @@ def stage_time_batches(
         shutil.copy(os.path.join(pdir, src), dst)
         os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
     return in_dir, len(present)
+
+
+def staged_footer_stats(in_dir: str, col: str):
+    """``(total_rows, col_min, col_max)`` straight from the staged
+    batch files' parquet FOOTERS — zero Spark jobs (r13, guide §6/§1.5;
+    the same footer-stats surface the lakehouse manifest records via
+    operators/lakehouse._file_stats). Replaces the pre-drive
+    ``agg(max, count).collect()`` stats job for the sentinel-appending
+    drives: the staged files are Spark-written from the already
+    loaded/filtered frame, so a timestamp column is physical
+    timestamp(us) (tz-aware on read-back here — the loader's
+    ns-vs-us variance never reaches staged files) and integer stats
+    are exact. Statistics exclude NULLs, matching MIN/MAX semantics;
+    the callers stage NULL-free columns anyway (ts_valid /
+    isNotNull-gated frames). Returns ``(rows, None, None)`` when any
+    file lacks exact min/max for ``col`` — callers must fall back to
+    the agg job, never guess."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    lo = hi = None
+    ok = True
+    for f in sorted(os.listdir(in_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(in_dir, f)).metadata
+        total += md.num_rows
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if col not in idx:
+            ok = False
+            continue
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx[col]).statistics
+            if s is None or not s.has_min_max:
+                ok = False
+                break
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+    if not ok:
+        return total, None, None
+    return total, lo, hi
 
 
 def run_available_now(
