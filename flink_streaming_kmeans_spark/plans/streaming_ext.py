@@ -129,6 +129,10 @@ def q_stream_slide(spark, sf_dir):
         # more to halved task parallelism than the ~160 ms/trigger
         # state commit saves, same shape as the q_stream_session
         # parts probe (replay.run_available_now).
+        # append-mode windows straddling the data span emit in the
+        # final eviction batch (r13 flake hardening; see
+        # run_available_now's ensure_eviction).
+        ensure_eviction=True,
     )
     # Drop any sentinel-era window (win_start > max real ts); the
     # sentinel's count-1 windows never emit under the final watermark,

@@ -608,6 +608,10 @@ def q_stream_session(spark, sf_dir):
         .option("checkpointLocation", os.path.join(d, "ckpt")),
         "q_stream_session",
         spark,
+        # append-mode tail sessions emit ONLY in the final eviction
+        # batch — verify it ran, restart once from the checkpoint if
+        # the engine concluded early (r13 flake; see run_available_now)
+        ensure_eviction=True,
     )
 
     # Exclude the SENTINEL'S SESSION structurally, by time, not by
@@ -1034,6 +1038,9 @@ def q_stream_join_left(spark, sf_dir):
         "q_stream_join_left",
         spark,
         partitions=2,
+        # unmatched-left NULL rows emit only in the final eviction
+        # batch (r13 flake hardening; see run_available_now)
+        ensure_eviction=True,
     )
     # Exclude the SENTINEL'S ROWS structurally, by time: real
     # purchases have p_ts <= the source max; the sentinel purchase

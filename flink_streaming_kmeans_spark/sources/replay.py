@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -27,6 +28,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..session import scoped_shuffle_partitions
+
+# Serializes the conf-scoped streaming-drive region across threads on
+# one session — see run_available_now's CONCURRENCY note (r13 close).
+_DRIVE_LOCK = threading.RLock()
 
 
 def replay_batch_count(n: int) -> int:
@@ -241,6 +246,7 @@ def run_available_now(
     partitions: int = 4,
     timeout: int = 300,
     final_no_data_batch: bool = True,
+    ensure_eviction: bool = False,
 ):
     """Start an availableNow streaming query and fail loudly on
     timeout instead of returning partial state.
@@ -282,6 +288,48 @@ def run_available_now(
     for these bounded drives — see session.scoped_shuffle_partitions
     for the measurement and the production-sizing note.
 
+    ``ensure_eviction=True`` (the APPEND-finalization drives: session /
+    slide / left-outer join, whose tail rows emit ONLY in the final
+    watermark-eviction no-data batch): after a successful termination,
+    verify from ``recentProgress`` that a zero-input batch actually
+    ran; if the engine concluded the availableNow run straight after
+    the last data batch (observed once in ~10⁴ full-suite drives —
+    the r13 close's [1-q_stream_session] flake, 943/946 rows with
+    exactly the last-2.5h session tail missing, unreproducible in 30
+    isolated runs), RESTART the writer once from the same checkpoint:
+    the restarted query sees no new files and runs precisely the
+    pending eviction batch — the engine's own checkpoint-resume path
+    (pinned by tests/test_streaming.py::
+    test_filesink_checkpoint_resume_equals_single_run), so the
+    append-sink contents equal the single-run answer exactly. Free in
+    the normal case (one progress-list read); never valid together
+    with ``final_no_data_batch=False``. The probe is sound for these
+    drives because their replay NEVER delivers an empty data batch
+    (stage_time_batches raises on one; sentinel batches carry rows),
+    so last-progress ``numInputRows == 0`` ⟺ the eviction batch ran.
+
+    CONCURRENCY (r13 close, found by the round-close full suite via
+    the multi-tenant contract test's q_stream_tumble self-pair): the
+    shuffle-partition scope and the no-data-batch scope are SESSION-
+    GLOBAL conf flips with save/restore. Two drives on one session
+    from two threads race them — T1 saves "true"/32 and sets
+    "false"/2, T2 then SAVES T1's scoped value as its own baseline,
+    and whichever restores last can leave the scoped value stuck
+    session-wide. The shuffle-partition variant of this race is as
+    old as the scoping (r5) but output-invisible (every drive is
+    partition-count invariant); the r13 no-data scope made it
+    output-VISIBLE — a leaked ``false`` deterministically drops the
+    append-finalization drives' tail (session 943/946 rows, exactly
+    the eviction set; reproduced by forcing the conf). Fix: one
+    module-level RLock serializes the conf-scoped region (flip →
+    start → awaitTermination → restore). Concurrent streaming drives
+    on one session serialize; batch work is untouched; a same-thread
+    re-entry cannot deadlock (RLock). That is the honest multi-tenant
+    posture: session-global knobs demand session-level mutual
+    exclusion, and the drives' correctness must never depend on a
+    racy conf window — ``ensure_eviction`` below stays as the
+    independent belt for engine-side termination races.
+
     Returns the TERMINATED StreamingQuery so callers (the single-scan
     plan pin in tests/test_streaming.py, r9 verdict task 4) can read
     executed-run evidence — ``recentProgress[*].sources`` is one entry
@@ -289,6 +337,10 @@ def run_available_now(
     stronger than any pre-start plan inspection."""
     import contextlib
 
+    if ensure_eviction and not final_no_data_batch:
+        raise ValueError(
+            f"{name}: ensure_eviction requires the final no-data batch"
+        )
     scope = (
         scoped_shuffle_partitions(spark, partitions)
         if spark is not None
@@ -298,22 +350,42 @@ def run_available_now(
     if t_env:
         timeout = max(1, int(t_env))
     ndb_key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    saved_ndb = None
-    if spark is not None and not final_no_data_batch:
-        saved_ndb = spark.conf.get(ndb_key, "true")
-        spark.conf.set(ndb_key, "false")
-    try:
-        with scope:
-            q = writer.trigger(availableNow=True).start()
-            if not q.awaitTermination(timeout):
-                q.stop()
-                raise RuntimeError(
-                    f"{name}: streaming query exceeded {timeout} s"
-                )
-            return q
-    finally:
-        if saved_ndb is not None:
-            spark.conf.set(ndb_key, saved_ndb)
+
+    def _await(query):
+        if not query.awaitTermination(timeout):
+            query.stop()
+            raise RuntimeError(
+                f"{name}: streaming query exceeded {timeout} s"
+            )
+
+    def _eviction_ran(query) -> bool:
+        try:
+            progress = query.recentProgress
+        except Exception:
+            return True  # cannot inspect — do not loop on a guess
+        if not progress:
+            return True  # zero triggers: empty replay, nothing to evict
+        last = progress[-1]
+        return int(last.get("numInputRows", 0)) == 0
+
+    # The whole conf-scoped region — flip, start, await, restore —
+    # runs under the module lock (docstring CONCURRENCY note).
+    with _DRIVE_LOCK:
+        saved_ndb = None
+        if spark is not None and not final_no_data_batch:
+            saved_ndb = spark.conf.get(ndb_key, "true")
+            spark.conf.set(ndb_key, "false")
+        try:
+            with scope:
+                q = writer.trigger(availableNow=True).start()
+                _await(q)
+                if ensure_eviction and not _eviction_ran(q):
+                    q = writer.trigger(availableNow=True).start()
+                    _await(q)
+                return q
+        finally:
+            if saved_ndb is not None:
+                spark.conf.set(ndb_key, saved_ndb)
 
 
 def append_batch(df: DataFrame, in_dir: str, k: int) -> str:

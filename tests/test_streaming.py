@@ -1316,3 +1316,115 @@ def test_stream_dedup_single_streaming_scan(spark, monkeypatch):
         f"run consumed {got['input_rows']} rows vs {out_rows} emitted — "
         f"the duplicate-injection drive should consume strictly more"
     )
+
+
+def test_ensure_eviction_probe_soundness_and_guard(spark, tmp_path):
+    """r13 flake hardening (replay.run_available_now ensure_eviction):
+    (a) on a normal watermarked append drive the probe must observe
+    the final zero-input eviction batch (numInputRows == 0 in the
+    last progress entry) and therefore NOT restart — the terminated
+    query's batchId count equals data batches + 1; (b) combining
+    ensure_eviction with final_no_data_batch=False is a contract
+    error and must raise before starting anything."""
+    import datetime as dt
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_streaming_kmeans_spark.sources.loader import local_df
+    from flink_streaming_kmeans_spark.sources.replay import (
+        run_available_now,
+        stage_time_batches,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, i, 0), float(i)) for i in range(20)
+    ]
+    ev = local_df(spark, rows, "event_id bigint, ts timestamp, value double")
+    d = str(tmp_path / "evict")
+    in_dir, n = stage_time_batches(ev, d, 2)
+    assert n == 2
+
+    agg = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", os.path.join(d, "sink"))
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+    )
+    q = run_available_now(writer, "evict_probe", spark, ensure_eviction=True)
+    progress = q.recentProgress
+    # the eviction batch ran and is observable exactly as the probe
+    # expects: last entry, zero input rows — so no restart happened
+    # (batchIds are 0..n inclusive of the one no-data batch)
+    assert progress and int(progress[-1]["numInputRows"]) == 0
+    assert int(progress[-1]["batchId"]) == n  # n data batches + 1
+
+    with pytest.raises(ValueError, match="ensure_eviction"):
+        run_available_now(
+            writer,
+            "evict_guard",
+            spark,
+            final_no_data_batch=False,
+            ensure_eviction=True,
+        )
+
+
+def test_concurrent_drives_leave_session_confs_restored(spark, registry):
+    """r13 close regression: two conf-scoped drives on ONE session
+    from two threads raced the save/restore of session-global confs
+    (noDataMicroBatches, shuffle partitions) — T2 could save T1's
+    scoped value as its baseline and restore it last, leaving e.g.
+    noDataMicroBatches=false stuck session-wide, which silently drops
+    every later append-finalization drive's tail (session 943/946 —
+    the exact r13 full-suite cascade). run_available_now now
+    serializes the conf-scoped region under a module lock; this pins
+    the invariant the multi-tenant contract relies on: after ANY
+    concurrent drive pair, the session confs are back to baseline and
+    an eviction-dependent drive still matches its batch answer."""
+    import threading
+
+    queries, _ = registry
+    base_ndb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    for _ in range(3):  # three interleavings of the racy self-pair
+        ts = [
+            threading.Thread(
+                target=lambda: queries["q_stream_tumble"](
+                    spark, SF_SMOKE
+                ).collect()
+            )
+            for _ in range(2)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert (
+            spark.conf.get(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+            )
+            == base_ndb
+        ), "noDataMicroBatches leaked past the drive scope"
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions") == base_parts
+        ), "shuffle partitions leaked past the drive scope"
+
+    # and an eviction-dependent drive still emits its full tail —
+    # exact: the streaming sessionization must equal its batch twin's
+    # row count (a leaked noDataMicroBatches=false loses exactly the
+    # tail sessions, 943 vs 946 at sf0.001)
+    n_stream = queries["q_stream_session"](spark, SF_SMOKE).count()
+    n_batch = queries["q_win_session"](spark, SF_SMOKE).count()
+    assert n_stream == n_batch, (n_stream, n_batch)
